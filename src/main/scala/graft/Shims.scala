@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4.x moved `Column` onto `ColumnNode` (Spark Connect refactor); the
+  * classic conversion lives in `org.apache.spark.sql.classic.ExpressionUtils`,
+  * which is `private[sql]` — hence this shim lives under
+  * `org.apache.spark.sql`. This is the only place the library reaches into
+  * Spark internals.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * The reference's data model (a chunk table with embeddings + a centroid
+  * table, SURVEY §3) is mapped onto `embeddings`/`documents`; the
+  * descriptive-analytics notebooks map onto the TPC-H-ish tables.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and rebuild a µs timestamp column
+    * (sub-µs precision is dropped — DuckDB oracles date_trunc past it).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Chunks per synthetic document — the reference's chunk table has
+    * (document_id, chunk_id, content_vector); the embeddings table plays
+    * that role with `vec_id / 8` as document and `vec_id % 8` as chunk
+    * ordinal (8 chunks per document, deterministic, scale-free).
+    */
+  val ChunksPerDoc = 8
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("document_id", (col("vec_id") / ChunksPerDoc).cast("long"))
+      .withColumn("chunk_id", (col("vec_id") % ChunksPerDoc).cast("long"))
+}

@@ -1,0 +1,217 @@
+package graft.operators.analytics
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Descriptive-analytics operators re-expressing the reference notebooks'
+  * pandas groupby/merge patterns (SURVEY §2 "Descriptive analytics") as
+  * declarative Spark plans: partial-aggregate-friendly groupBys, broadcast
+  * joins to dim tables, window functions instead of driver-side loops.
+  *
+  * Scale notes: every query here is a single shuffle on its natural grouping
+  * key (Catalyst map-side partial aggregation), or a window over a
+  * partitionable key — no driver-side iteration, no collect.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** TPC-H Q1-style rollup — flagship scan+agg (maps the reference's global
+    * chunk statistics, analisis-informe.ipynb:130-240). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue/discount profile per (returnflag, linestatus) with averages —
+    * the avg/ratio flavor of the notebook stats. */
+  def qRevenueAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** Join+group across fact and dims (customer→orders→lineitem→nation) —
+    * revenue per nation. Nation/region are broadcast (dim-sized at any SF). */
+  def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** Top-3 orders per market segment — window/top-n per group (the
+    * notebook's "top documents per cluster" pattern). */
+  def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** Documents per source — chunks-per-content_type analog
+    * (main-script1.ipynb:120-124). */
+  def qChunksPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  /** Orders-per-customer ratio per segment — the chunk/doc ratio pattern
+    * (main-script1.ipynb:219-232: merge of two aggregates + ratio). */
+  def qDocRatio(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("ratio", round(col("n_orders").cast("double") / col("n_customers"), 6))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Mean/std of lines-per-order per returnflag — chunks-per-doc mean/std
+    * (analisis-informe.ipynb:229-240). Two-level aggregation; stddev is the
+    * only order-sensitive float here → round(6). */
+  def qChunksStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("n_lines")), 6).as("mean_lines"),
+        round(stddev_samp(col("n_lines")), 6).as("std_lines"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  /** Run-length ranges of consecutive equal classes per user over time —
+    * re-expression of ocr.py `_get_prediction_ranges` as windows (lag +
+    * running change-count), distributed over user_id. */
+  def qPredictionRanges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("grp", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg((min(col("rn")) - 1).as("start_idx"), (max(col("rn")) - 1).as("end_idx"))
+      .select(col("user_id"), col("event_type"), col("start_idx"), col("end_idx"))
+      .orderBy(col("user_id"), col("start_idx"))
+  }
+
+  /** Hourly tumbling-window event aggregation (batch twin of the streaming
+    * operator in graft.streaming; oracle-checkable via date_trunc). */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour_ts"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_ts", "event_type")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_revenue_agg" -> (qRevenueAgg _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_chunks_per_type" -> (qChunksPerType _),
+    "q_doc_ratio" -> (qDocRatio _),
+    "q_chunks_stats" -> (qChunksStats _),
+    "q_prediction_ranges" -> (qPredictionRanges _),
+    "q_events_window" -> (qEventsWindow _))
+
+  override def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_window_topn" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_chunks_per_type" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_doc_ratio" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT o_custkey), 6) AS ratio
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_chunks_stats" ->
+      """SELECT l_returnflag, round(avg(n_lines), 6) AS mean_lines,
+        |  round(stddev_samp(n_lines), 6) AS std_lines, count(*) AS n_orders
+        |FROM (SELECT l_returnflag, l_orderkey, count(*) AS n_lines
+        |      FROM lineitem GROUP BY l_returnflag, l_orderkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_prediction_ranges" ->
+      """SELECT user_id, event_type, min(rn) - 1 AS start_idx, max(rn) - 1 AS end_idx
+        |FROM (
+        |  SELECT user_id, event_type, rn, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM (
+        |    SELECT user_id, event_type, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |      CASE WHEN lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+        |           THEN 0 ELSE 1 END AS chg
+        |    FROM events))
+        |GROUP BY user_id, grp, event_type
+        |ORDER BY user_id, start_idx""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)
+}

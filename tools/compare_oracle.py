@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver:
+run DuckDB on each oracle_sql.json entry over the testdata parquet and
+compare against the Spark-written parquet in outDir (sorted columns,
+sorted rows, exact value compare with small float tolerance report).
+
+Usage: python3 tools/compare_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, tuple)) or str(df[c].dtype).startswith("object"):
+            df[c] = df[c].apply(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, list) else v))
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b): return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = canon(pq.read_table(files[0]).to_pandas())
+        except Exception as ex:
+            print(f"FAIL {name}: read spark output: {ex}"); n_bad += 1; continue
+        try:
+            exp = canon(con.execute(sql).df())
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}"); n_bad += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} duckdb={list(exp.columns)}"); n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}"); n_bad += 1; continue
+        bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                a, b = got[c].iloc[i], exp[c].iloc[i]
+                if (a is None) != (b is None) or (a is not None and not (pd.isna(a) and pd.isna(b) if not isinstance(a, tuple) else False) and not eq(a, b)):
+                    if pd.isna(a) and pd.isna(b) if not isinstance(a, (tuple, type(None))) else False:
+                        continue
+                    bad = (i, c, a, b); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}"); n_bad += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)"); n_ok += 1
+    missing = [d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*") if d.split("/")[-1] not in oracle]
+    if missing:
+        print(f"rows-only (no oracle): {sorted(missing)}")
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

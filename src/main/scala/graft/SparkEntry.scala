@@ -8,7 +8,10 @@ object SparkEntry {
     * oracle SQL (SURVEY §2 inventory). */
   def modules: Seq[QueryModule] = Seq(
     graft.operators.analytics.AnalyticsQueries,
-    graft.operators.search.VectorQueries)
+    graft.operators.search.VectorQueries,
+    graft.operators.search.SearchQueries,
+    graft.operators.text.TextQueries,
+    graft.operators.dedup.DedupQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

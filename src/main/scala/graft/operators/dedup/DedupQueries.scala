@@ -1,0 +1,96 @@
+package graft.operators.dedup
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2 "Deduplication").
+  *
+  * Scale design: exact dedup is one shuffle on a 128-bit content hash with
+  * map-side partial aggregation; n-gram Jaccard and embedding near-dup are
+  * *blocked* pair joins (adjacent-id / label blocks here; MinHash-LSH bands
+  * are the general blocking path) — never a global cross join.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Exact duplicate grouping by md5(text); keeper = min doc_id per group
+    * (the canonical survivor rule). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .withColumn("is_dup", col("n_copies") > 1)
+      .orderBy("h")
+
+  /** Word 3-gram shingle sets for a text column (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(trim(text), "\\s+")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram Jaccard over adjacent-doc pairs: |A∩B| / |A∪B| on distinct
+    * 3-gram shingle sets. Symmetric inter/union formula mirrored in the
+    * oracle so both engines agree on set semantics. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val a = d.select(col("doc_id"), shingles(col("text")).as("sh_a"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), shingles(col("text")).as("sh_b"))
+    a.join(b, "doc_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("doc_id"),
+        size(col("sh_a")).as("n_sh_a"), size(col("sh_b")).as("n_sh_b"),
+        round(col("inter") / when(col("uni") === 0, lit(null)).otherwise(col("uni")), 6)
+          .as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by the `label` column
+    * (at 100 TB the block key is an LSH band, see MinHashLsh). τ=0.4 —
+    * the synthetic corpus has no pairs above 0.5. */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", round(cosine_sim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos_sim") > 0.4)
+      .select(col("label"), col("v1"), col("v2"), col("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_embed" -> (qDedupEmbed _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper,
+        |  count(*) > 1 AS is_dup
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+        |    THEN list_transform(range(1, len(ws) - 1),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents))
+        |SELECT a.doc_id,
+        |  len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
+        |  round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |    / NULLIF(len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))), 0), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) > 0.4
+        |ORDER BY v1, v2""".stripMargin)
+}

@@ -1,0 +1,148 @@
+package graft.operators.text
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY §2
+  * "Text analysis"): token counting (the reference counts tokens with
+  * tiktoken, update-etiquetas.ipynb:108-110 — re-expressed as a BPE-ish
+  * regex), language-ID and quality heuristics, fingerprints, chunking
+  * (the reference's corpus is pre-chunked; the chunker reproduces that
+  * ingestion step, fixed window + overlap).
+  *
+  * Everything here is a narrow map over the documents scan — no shuffle,
+  * codegen'd string kernels — so at 100 TB it is I/O-bound per split.
+  */
+object TextQueries extends QueryModule {
+
+  /** ASCII word/number/punct tokenization, same regex in Java (Spark) and
+    * RE2 (DuckDB). */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por")
+  val StopFr = Seq("le", "les", "des", "et", "un", "une", "dans", "pour", "sur", "avec")
+  val StopDe = Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "im")
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Count of words (non-distinct) belonging to a stopword set. */
+  private def stopHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stops: _*)))
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).as("n_re_tokens"),
+      length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  /** Stopword-vote language ID; ties broken in fixed lang order (de, en,
+    * es, fr) — identical CASE in the oracle. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        stopHits(ws, StopDe).as("s_de"), stopHits(ws, StopEn).as("s_en"),
+        stopHits(ws, StopEs).as("s_es"), stopHits(ws, StopFr).as("s_fr"))
+      .withColumn("pred_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Length/punctuation/stopword quality heuristic — per-row double
+    * arithmetic, bit-identical cross-engine. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(ws).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"),
+        stopHits(ws, StopEn).cast("double").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_punct") / col("n_chars_m"), 6).as("punct_ratio"),
+        round(col("n_stop") / col("n_words"), 6).as("stop_ratio"),
+        round(lit(0.4) * least(lit(1.0), col("n_words") / lit(50.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m"))
+          + lit(0.3) * (col("n_stop") / col("n_words")), 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Whole-document fingerprint (md5 — identical hex in both engines).
+    * The winnowing/rolling-hash variant lives in RollingHash (rows-only). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 8).as("fp_short"))
+      .orderBy("doc_id")
+
+  /** Fixed-window chunker with overlap (window 48, stride 32) — the
+    * ingestion step producing the reference's chunk table. Lateral
+    * sequence explode; no shuffle. */
+  def qChunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("start", explode(sequence(lit(0L), col("n_chars") - 1, lit(32L))))
+      .select(col("doc_id"), (col("start") / 32).cast("long").as("chunk_idx"),
+        col("text").substr(col("start").cast("int") + 1, lit(48)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .orderBy("doc_id", "chunk_idx")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_chunking" -> (qChunking _))
+
+  private def inList(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
+  private def scoreSql(alias: String, stops: Seq[String]) =
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN (${inList(stops)}))) AS $alias"
+
+  override def oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '$TokenRegex')) AS n_re_tokens,
+         |  length(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  ${scoreSql("s_de", StopDe)},
+         |  ${scoreSql("s_en", StopEn)},
+         |  ${scoreSql("s_es", StopEs)},
+         |  ${scoreSql("s_fr", StopFr)}
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, n_words,
+         |  round(n_punct / n_chars_m, 6) AS punct_ratio,
+         |  round(n_stop / n_words, 6) AS stop_ratio,
+         |  round(0.4 * least(1.0, n_words / 50.0)
+         |      + 0.3 * (1.0 - n_punct / n_chars_m)
+         |      + 0.3 * (n_stop / n_words), 6) AS quality_score
+         |FROM (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_words,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |       w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunking" ->
+      """SELECT doc_id, start // 32 AS chunk_idx,
+        |  substring(text, CAST(start AS INT) + 1, 48) AS chunk_text,
+        |  length(substring(text, CAST(start AS INT) + 1, 48)) AS chunk_len
+        |FROM documents, UNNEST(range(0, n_chars, 32)) AS t(start)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+}

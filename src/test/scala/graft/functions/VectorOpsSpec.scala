@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.VectorOps._
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Array(1.0f, 2.0f, 2.0f), Array(3.0f, 0.0f, 4.0f)),
+    (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+  ).toDF("a", "b")
+
+  test("vec_dot") {
+    val r = df.select(vec_dot($"a", $"b")).as[Double].collect()
+    assert(approx(r(0), 11.0) && approx(r(1), 0.0))
+  }
+
+  test("vec_norm") {
+    val r = df.select(vec_norm($"a")).as[Double].collect()
+    assert(approx(r(0), 3.0) && approx(r(1), 0.0))
+  }
+
+  test("euclidean / manhattan") {
+    val r = df.select(euclidean_dist($"a", $"b"), manhattan_dist($"a", $"b"))
+      .as[(Double, Double)].collect()
+    assert(approx(r(0)._1, math.sqrt(4 + 4 + 4)) && approx(r(0)._2, 6.0))
+  }
+
+  test("cosine_sim bounded and exact on known pair") {
+    val cos = df.select(cosine_sim($"a", $"b")).as[Double].collect()
+    assert(approx(cos(0), 11.0 / (3.0 * 5.0)))
+    assert(cos(1).isNaN) // zero vector → NaN (matches sklearn warning case)
+  }
+
+  test("vec_normalize: unit norm, zero vector passes through") {
+    val r = df.select(vec_norm(vec_normalize($"a"))).as[Double].collect()
+    assert(approx(r(0), 1.0) && approx(r(1), 0.0))
+  }
+
+  test("works on real embeddings and matches euclidean identity") {
+    val e = graft.Tables.embeddings(spark, SfDir).limit(100)
+    // |a-b|^2 = |a|^2 + |b|^2 - 2<a,b>
+    val bad = e.crossJoin(e.select($"embedding".as("emb2")).limit(5))
+      .select(
+        (euclidean_dist($"embedding", $"emb2") * euclidean_dist($"embedding", $"emb2")
+          - (vec_norm($"embedding") * vec_norm($"embedding")
+            + vec_norm($"emb2") * vec_norm($"emb2")
+            - lit(2.0) * vec_dot($"embedding", $"emb2"))).as("resid"))
+      .filter(abs($"resid") > 1e-6).count()
+    assert(bad === 0)
+  }
+}

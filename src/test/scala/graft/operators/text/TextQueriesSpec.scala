@@ -1,0 +1,35 @@
+package graft.operators.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextQueriesSpec extends SparkSpec {
+
+  test("chunking covers the document with stride 32 / window 48") {
+    val ch = TextQueries.qChunking(spark, SfDir)
+    val doc0 = ch.filter(col("doc_id") === 0).collect()
+    assert(doc0.nonEmpty)
+    // every chunk except possibly the tail has length 48
+    val lens = doc0.map(_.getAs[Int]("chunk_len"))
+    assert(lens.init.forall(_ == 48))
+    // starts advance by the stride
+    assert(doc0.map(_.getAs[Long]("chunk_idx")).toSeq == doc0.indices.map(_.toLong))
+  }
+
+  test("lang_id scores are consistent with prediction") {
+    val r = TextQueries.qLangId(spark, SfDir).collect()
+    r.foreach { row =>
+      val scores = Map(
+        "de" -> row.getAs[Int]("s_de"), "en" -> row.getAs[Int]("s_en"),
+        "es" -> row.getAs[Int]("s_es"), "fr" -> row.getAs[Int]("s_fr"))
+      val pred = row.getAs[String]("pred_lang")
+      assert(scores(pred) == scores.values.max)
+    }
+  }
+
+  test("quality_score within [0,1]") {
+    val bad = TextQueries.qQualityScore(spark, SfDir)
+      .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
+    assert(bad == 0)
+  }
+}

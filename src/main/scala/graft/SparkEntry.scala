@@ -11,7 +11,9 @@ object SparkEntry {
     graft.operators.search.VectorQueries,
     graft.operators.search.SearchQueries,
     graft.operators.text.TextQueries,
-    graft.operators.dedup.DedupQueries)
+    graft.operators.dedup.DedupQueries,
+    graft.operators.clustering.ClusteringQueries,
+    graft.operators.clustering.KMeansOp)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,184 @@
+package graft.operators.clustering
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import graft.functions.NearestCentroid
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Clustering-support operators around a fixed centroid table (SURVEY §2
+  * "Clustering & evaluation") — the deterministic half of the reference's
+  * clustering pipeline, oracle-checkable because the centroids are a
+  * deterministic function of the data (normalized embeddings of vec_id<8,
+  * standing in for the reference's cluster_centroids.csv).
+  *
+  * Assignment is the map-side [[NearestCentroid]] expression — no join, no
+  * shuffle; every downstream stat is one shuffle on centroid_id/document_id.
+  */
+object ClusteringQueries extends QueryModule {
+
+  val K = 8
+
+  /** Deterministic centroid matrix: L2-normalized embeddings of the first K
+    * vec_ids (driver-sized: K×64 doubles). */
+  def centroids(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < K)
+      .orderBy("vec_id")
+      .select(vec_normalize(col("embedding")))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+      .toIndexedSeq
+
+  /** Normalized points with their assignment struct. */
+  def assigned(spark: SparkSession, dir: String): DataFrame = {
+    val cs = centroids(spark, dir)
+    Tables.embeddings(spark, dir)
+      .withColumn("asg", NearestCentroid(vec_normalize(col("embedding")), cs))
+      .select(col("vec_id"), col("label"),
+        col("asg.centroid_id").as("centroid_id"), col("asg.dist").as("dist"))
+  }
+
+  /** Nearest-centroid classification (cluster_creator.py classify_embedding). */
+  def qNearestCentroid(spark: SparkSession, dir: String): DataFrame =
+    assigned(spark, dir)
+      .select(col("vec_id"), col("centroid_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** Per-cluster distance outliers: dist > mean + 1·std within the assigned
+    * cluster (nuevo-kmeans-pre.ipynb plot_histograms_and_identify_outliers). */
+  def qCentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("centroid_id"))
+    assigned(spark, dir)
+      .withColumn("mean_d", avg(col("dist")).over(w))
+      .withColumn("std_d", stddev_samp(col("dist")).over(w))
+      .filter(col("dist") > col("mean_d") + lit(1.0) * col("std_d"))
+      .select(col("vec_id"), col("centroid_id"), round(col("dist"), 6).as("dist"),
+        round(col("mean_d"), 6).as("mean_d"), round(col("std_d"), 6).as("std_d"))
+      .orderBy("vec_id")
+  }
+
+  /** Top-3 nearest-to-centroid exemplars per cluster — the reference samples
+    * these as LLM labeling prompts (update-etiquetas.ipynb:228). */
+  def qClusterExemplars(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("centroid_id")).orderBy(col("dist"), col("vec_id"))
+    assigned(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("centroid_id"), col("rk"), col("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("centroid_id", "rk")
+  }
+
+  /** Label merge-back (ChunkLabelingProcesor.merge_documents): majority
+    * assigned cluster over a document's chunks becomes the document's
+    * etiqueta_cluster; join-update onto the documents table. */
+  def qLabelMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cs = centroids(spark, dir)
+    val chunkAsg = Tables.chunks(spark, dir)
+      .withColumn("centroid_id",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+    val w = Window.partitionBy(col("document_id"))
+      .orderBy(col("n").desc, col("centroid_id"))
+    val docLabel = chunkAsg.groupBy(col("document_id"), col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("document_id"), col("centroid_id").as("etiqueta_cluster"))
+    Tables.documents(spark, dir)
+      .join(docLabel, col("doc_id") === col("document_id"), "left")
+      .select(col("doc_id"), col("lang"), col("etiqueta_cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact silhouette of the ground-truth `label` clustering — the
+    * reference computes silhouette_score with sample_size=2000
+    * (nuevo-kmeans-pre.ipynb:112); all-pairs is exactly right at sample
+    * scale, and at 100 TB this operator runs on such a sample. */
+  def qSilhouetteExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("i"), col("label").as("la"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("embedding").as("eb"))
+    val meanDists = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), col("la"), col("lb"),
+        euclidean_dist(col("ea"), col("eb")).as("d"))
+      .groupBy(col("i"), col("la"), col("lb"))
+      .agg(round(avg(col("d")), 6).as("md"))
+    val perPoint = meanDists.groupBy(col("i"), col("la"))
+      .agg(
+        max(when(col("lb") === col("la"), col("md"))).as("a_i"),
+        min(when(col("lb") =!= col("la"), col("md"))).as("b_i"))
+      .withColumn("s_i", (col("b_i") - col("a_i")) / greatest(col("a_i"), col("b_i")))
+    perPoint.groupBy(col("la").as("label"))
+      .agg(round(avg(col("s_i")), 4).as("mean_sil"), count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nearest_centroid" -> (qNearestCentroid _),
+    "q_centroid_outliers" -> (qCentroidOutliers _),
+    "q_cluster_exemplars" -> (qClusterExemplars _),
+    "q_label_merge" -> (qLabelMerge _),
+    "q_silhouette_exact" -> (qSilhouetteExact _))
+
+  /** Shared SQL fragments: normalized vectors (mirroring VecNormalize's
+    * multiply-by-reciprocal) and the centroid CTE. */
+  private val NrmCte =
+    """nrm AS (SELECT vec_id, label,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT vec_id, label, cid AS centroid_id, dist FROM (
+      |    SELECT n.vec_id, n.label, c.cid, list_distance(n.v, c.cv) AS dist,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY list_distance(n.v, c.cv), c.cid) AS rn
+      |    FROM nrm n CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_nearest_centroid" ->
+      s"""WITH $NrmCte
+         |SELECT vec_id, centroid_id, round(dist, 6) AS dist FROM asg ORDER BY vec_id""".stripMargin,
+    "q_centroid_outliers" ->
+      s"""WITH $NrmCte
+         |SELECT vec_id, centroid_id, round(dist, 6) AS dist,
+         |  round(mean_d, 6) AS mean_d, round(std_d, 6) AS std_d
+         |FROM (SELECT vec_id, centroid_id, dist,
+         |    avg(dist) OVER (PARTITION BY centroid_id) AS mean_d,
+         |    stddev_samp(dist) OVER (PARTITION BY centroid_id) AS std_d
+         |  FROM asg)
+         |WHERE dist > mean_d + 1.0 * std_d ORDER BY vec_id""".stripMargin,
+    "q_cluster_exemplars" ->
+      s"""WITH $NrmCte
+         |SELECT centroid_id, rk, vec_id, round(dist, 6) AS dist FROM (
+         |  SELECT centroid_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY centroid_id ORDER BY dist, vec_id) AS rk
+         |  FROM asg)
+         |WHERE rk <= 3 ORDER BY centroid_id, rk""".stripMargin,
+    "q_label_merge" ->
+      s"""WITH $NrmCte,
+         |docasg AS (
+         |  SELECT vec_id // 8 AS document_id, centroid_id FROM asg),
+         |doclabel AS (
+         |  SELECT document_id, centroid_id AS etiqueta_cluster FROM (
+         |    SELECT document_id, centroid_id, count(*) AS n,
+         |      row_number() OVER (PARTITION BY document_id ORDER BY count(*) DESC, centroid_id) AS rk
+         |    FROM docasg GROUP BY document_id, centroid_id) WHERE rk = 1)
+         |SELECT doc_id, lang, etiqueta_cluster
+         |FROM documents LEFT JOIN doclabel ON doc_id = document_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_silhouette_exact" ->
+      """WITH md AS (
+        |  SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
+        |    round(avg(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS md
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |pp AS (
+        |  SELECT i, la,
+        |    max(CASE WHEN lb = la THEN md END) AS a_i,
+        |    min(CASE WHEN lb <> la THEN md END) AS b_i
+        |  FROM md GROUP BY i, la)
+        |SELECT la AS label, round(avg((b_i - a_i) / greatest(a_i, b_i)), 4) AS mean_sil,
+        |  count(*) AS n
+        |FROM pp GROUP BY la ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,105 @@
+package graft.operators.clustering
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative clustering on MLlib (SURVEY §2) — the distributed re-expression
+  * of cluster_creator.py `execute_clustering` (sklearn KMeans, k=37,
+  * n_init restarts, max_iter) and the notebook k-sweeps.
+  *
+  * MLlib KMeans is the 100 TB-correct implementation: per-iteration one
+  * broadcast of k centroids + one treeAggregate of per-centroid partial
+  * sums; nothing driver-side grows with n. Restarts (`n_init`) map to
+  * distinct seeds. Results are seed-deterministic but engine-specific →
+  * rows-only driver checks; invariants covered in ScalaTest.
+  */
+object KMeansOp extends QueryModule {
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(vec_normalize(col("embedding"))))
+
+  def fit(spark: SparkSession, dir: String, k: Int, seed: Long = 42L,
+          maxIter: Int = 25): KMeansModel =
+    new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(features(spark, dir))
+
+  /** Best-of-n restarts by training cost — reference N_ITER_KMEANS /
+    * n_init (cluster_creator.py:18). */
+  def fitBestOf(spark: SparkSession, dir: String, k: Int, nInit: Int): KMeansModel = {
+    val df = features(spark, dir).cache()
+    try (0 until nInit)
+      .map(s => new KMeans().setK(k).setSeed(42L + s).setMaxIter(25)
+        .setFeaturesCol("features").setPredictionCol("cluster").fit(df))
+      .minBy(_.summary.trainingCost)
+    finally df.unpersist()
+  }
+
+  /** Cluster sizes (rank by size — cluster ids are not portable). */
+  def qKmeansSizes(spark: SparkSession, dir: String): DataFrame = {
+    val m = fit(spark, dir, k = 10)
+    m.summary.predictions
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("cluster"))
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("size").desc, col("cluster"))).as("size_rank"), col("size"))
+  }
+
+  /** Inertia (WSSSE) for the k=10 fit — reference tracks kmeans.inertia_. */
+  def qKmeansInertia(spark: SparkSession, dir: String): DataFrame = {
+    val m = fit(spark, dir, k = 10)
+    val sil = new ClusteringEvaluator().setFeaturesCol("features")
+      .setPredictionCol("cluster").setMetricName("silhouette")
+      .setDistanceMeasure("squaredEuclidean").evaluate(m.summary.predictions)
+    import spark.implicits._
+    Seq((10, math.rint(m.summary.trainingCost * 1e4) / 1e4,
+      math.rint(sil * 1e4) / 1e4)).toDF("k", "inertia", "silhouette")
+  }
+
+  /** k-sweep: (k, inertia, silhouette) — silhouettes.ipynb:146-186. */
+  def qKsweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = features(spark, dir).cache()
+    val ev = new ClusteringEvaluator().setFeaturesCol("features")
+      .setPredictionCol("cluster").setMetricName("silhouette")
+      .setDistanceMeasure("squaredEuclidean")
+    val rows = try (2 to 8).map { k =>
+      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(25)
+        .setFeaturesCol("features").setPredictionCol("cluster").fit(df)
+      (k, math.rint(m.summary.trainingCost * 1e4) / 1e4,
+        math.rint(ev.evaluate(m.summary.predictions) * 1e4) / 1e4)
+    } finally df.unpersist()
+    rows.toDF("k", "inertia", "silhouette")
+  }
+
+  /** PCA projection to 3 components of the normalized embeddings —
+    * nuevo-kmeans-pre.ipynb:243-286 (2D/3D PCA; stands in for UMAP too,
+    * SURVEY §2 "Projection"). Distributed Gram-matrix + local eigen via
+    * MLlib. Signs/low-order bits are implementation-specific → rows-only. */
+  def qPca(spark: SparkSession, dir: String): DataFrame = {
+    val df = features(spark, dir)
+    val model = new PCA().setK(3).setInputCol("features").setOutputCol("pc").fit(df)
+    model.transform(df)
+      .select(col("vec_id"), vector_to_array(col("pc")).as("p"))
+      .select(col("vec_id"), round(col("p").getItem(0), 4).as("pc1"),
+        round(col("p").getItem(1), 4).as("pc2"), round(col("p").getItem(2), 4).as("pc3"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_sizes" -> (qKmeansSizes _),
+    "q_kmeans_inertia" -> (qKmeansInertia _),
+    "q_ksweep" -> (qKsweep _),
+    "q_pca" -> (qPca _))
+
+  /** Iterative/eigen ops are engine-specific — no SQL oracles (driver
+    * records rows-only checks); invariants live in KMeansOpSpec. */
+  override def oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,46 @@
+package graft.operators.clustering
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkSpec {
+
+  test("nearest centroid: centroids assign to themselves at distance 0") {
+    val self = ClusteringQueries.qNearestCentroid(spark, SfDir)
+      .filter(col("vec_id") < ClusteringQueries.K).collect()
+    self.foreach { r =>
+      assert(r.getAs[Int]("centroid_id") == r.getAs[Long]("vec_id").toInt)
+      assert(approx(r.getAs[Double]("dist"), 0.0, 1e-6))
+    }
+  }
+
+  test("assignment covers all points exactly once") {
+    val asg = ClusteringQueries.assigned(spark, SfDir)
+    val n = graft.Tables.embeddings(spark, SfDir).count()
+    assert(asg.count() == n)
+    assert(asg.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("exemplars are the closest members of their cluster") {
+    val ex = ClusteringQueries.qClusterExemplars(spark, SfDir)
+    val worstExemplar = ex.groupBy("centroid_id").agg(max("dist").as("w"))
+    val best = ClusteringQueries.assigned(spark, SfDir)
+      .groupBy("centroid_id").agg(min(round(col("dist"), 6)).as("b"))
+    val bad = worstExemplar.join(best, "centroid_id")
+      .filter(col("b") > col("w")).count()
+    assert(bad == 0)
+  }
+
+  test("silhouette values bounded in [-1, 1]") {
+    val bad = ClusteringQueries.qSilhouetteExact(spark, SfDir)
+      .filter(col("mean_sil") < -1 || col("mean_sil") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("label merge assigns every document with chunks") {
+    val lm = ClusteringQueries.qLabelMerge(spark, SfDir)
+    val nEmb = graft.Tables.embeddings(spark, SfDir).count()
+    val docsWithChunks = (nEmb + graft.Tables.ChunksPerDoc - 1) / graft.Tables.ChunksPerDoc
+    assert(lm.filter(col("etiqueta_cluster").isNotNull).count() == docsWithChunks)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators.clustering
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansOpSpec extends SparkSpec {
+
+  test("kmeans sizes sum to n and are deterministic under the seed") {
+    val sizes = KMeansOp.qKmeansSizes(spark, SfDir).collect()
+    val n = graft.Tables.embeddings(spark, SfDir).count()
+    assert(sizes.map(_.getAs[Long]("size")).sum == n)
+    val again = KMeansOp.qKmeansSizes(spark, SfDir).collect()
+    assert(sizes.map(_.getAs[Long]("size")).toSeq == again.map(_.getAs[Long]("size")).toSeq)
+  }
+
+  test("inertia decreases with k in the sweep") {
+    val sweep = KMeansOp.qKsweep(spark, SfDir).orderBy("k").collect()
+    val inertias = sweep.map(_.getAs[Double]("inertia")).toSeq
+    // fixed-seed kmeans lands in local optima: require an overall downward
+    // trend, not strict monotonicity
+    assert(inertias.last < inertias.head, s"inertia not decreasing overall: $inertias")
+    assert(inertias.forall(_ > 0))
+    val sils = sweep.map(_.getAs[Double]("silhouette"))
+    assert(sils.forall(s => s >= -1 && s <= 1))
+  }
+
+  test("best-of-n restarts never worse than single fit") {
+    val single = KMeansOp.fit(spark, SfDir, k = 5).summary.trainingCost
+    val best = KMeansOp.fitBestOf(spark, SfDir, k = 5, nInit = 3).summary.trainingCost
+    assert(best <= single + 1e-9)
+  }
+
+  test("pca projection has 3 components and unit-scale magnitudes") {
+    val p = KMeansOp.qPca(spark, SfDir)
+    assert(p.columns.toSeq == Seq("vec_id", "pc1", "pc2", "pc3"))
+    val m = p.agg(max(abs(col("pc1")))).head().getDouble(0)
+    assert(m > 0 && m < 10)
+  }
+}

@@ -13,7 +13,12 @@ object SparkEntry {
     graft.operators.text.TextQueries,
     graft.operators.dedup.DedupQueries,
     graft.operators.clustering.ClusteringQueries,
-    graft.operators.clustering.KMeansOp)
+    graft.operators.clustering.KMeansOp,
+    graft.operators.clustering.DbscanQueries,
+    graft.operators.search.AnnQueries,
+    graft.operators.search.LshAnn,
+    graft.operators.dedup.MinHashLsh,
+    graft.operators.dedup.SimHash)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.operators.clustering
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed DBSCAN (SURVEY §2) — the reference sweeps sklearn DBSCAN
+  * over (eps, min_samples) (silhouettes.ipynb:264-310).
+  *
+  * Stages:
+  *  1. ε-neighbor pairs — here an all-pairs join at sample scale; the 100 TB
+  *     path swaps in an LSH/cell prefilter for candidate pairs (identical
+  *     downstream);
+  *  2. core points = neighbor count (incl. self) ≥ minPts;
+  *  3. clusters = connected components of the core-core graph via iterative
+  *     min-id label propagation (converges in graph-diameter rounds; lineage
+  *     cut with localCheckpoint per round);
+  *  4. border points adopt the smallest cluster among their core neighbors;
+  *     everything else is noise (cluster -1).
+  *
+  * Deterministic: cluster id = min core vec_id in the component.
+  */
+object Dbscan {
+
+  def run(points: DataFrame, idCol: String, vecCol: String,
+          eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
+    val a = points.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = points.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    val pairs = a.join(b, col("i") =!= col("j"))
+      .filter(euclidean_dist(col("va"), col("vb")) <= eps)
+      .select(col("i"), col("j"))
+      .cache()
+    val counts = pairs.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
+    val core = counts.filter(col("n_nb") >= minPts).select(col("i")).cache()
+    // core-core edges (symmetric)
+    val coreEdges = pairs
+      .join(core.select(col("i")), Seq("i"))
+      .join(core.select(col("i").as("j")), Seq("j"))
+      .cache()
+    // label propagation to the component minimum
+    var labels = core.select(col("i"), col("i").as("cl"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbMin = coreEdges.join(labels.select(col("i").as("j"), col("cl").as("nb_cl")), Seq("j"))
+        .groupBy(col("i")).agg(min(col("nb_cl")).as("nb_min"))
+      val next = labels.join(nbMin, Seq("i"), "left")
+        .select(col("i"), least(col("cl"), coalesce(col("nb_min"), col("cl"))).as("cl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cl", "old"), Seq("i"))
+        .filter(col("cl") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    // border assignment: smallest core-neighbor's cluster
+    val borderLabels = pairs
+      .join(core.select(col("i").as("j")), Seq("j")) // j is a core neighbor of i
+      .join(labels.select(col("i").as("j"), col("cl")), Seq("j"))
+      .groupBy(col("i")).agg(min(col("cl")).as("border_cl"))
+    val out = points.select(col(idCol).as("i"))
+      .join(labels.withColumnRenamed("cl", "core_cl"), Seq("i"), "left")
+      .join(borderLabels, Seq("i"), "left")
+      .select(col("i").as(idCol),
+        coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"),
+        col("core_cl").isNotNull.as("is_core"))
+    pairs.unpersist(); core.unpersist(); coreEdges.unpersist()
+    out
+  }
+}
+
+object DbscanQueries extends QueryModule {
+  /** ε at the ~5th percentile of pairwise distance on the synthetic
+    * embeddings (1.26) — forms one dense component + noise. */
+  def qDbscan(spark: SparkSession, dir: String): DataFrame =
+    Dbscan.run(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      eps = 1.26, minPts = 4)
+      .groupBy(col("cluster"), col("is_core"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster", "is_core")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbscan" -> (qDbscan _))
+  override def oracles: Map[String, String] = Map.empty
+}

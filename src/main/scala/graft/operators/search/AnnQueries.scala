@@ -1,0 +1,124 @@
+package graft.operators.search
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import graft.functions.NearestCentroid
+import graft.operators.clustering.ClusteringQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor + density operators (SURVEY §2 "Similarity
+  * & search"): IVF-style cell-probed search and k-NN-based Local Outlier
+  * Factor — both shaped as blocked joins so the pair count is bounded by
+  * cell/block size, never n².
+  */
+object AnnQueries extends QueryModule {
+
+  /** IVF search: coarse-quantize the corpus into the K deterministic cells
+    * (map-side NearestCentroid — this is the "bulk index build"), then
+    * probe the 2 cells nearest the query and run exact cosine top-k inside
+    * them. At 100 TB the cell assignment is written bucketed-by-cell so a
+    * probe reads only its cells' files. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cs = ClusteringQueries.centroids(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+    // query = vec 0; rank its cells, probe nearest 2
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))
+    }
+    val probeCells = cs.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy { case (i, d) => (d, i) }.take(2).map(_._1)
+    val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
+    e.filter(col("vec_id") > 0 && col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell"),
+        round(cosine_sim(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Local Outlier Factor (k=5) within label blocks — the distributed
+    * re-expression of sklearn LocalOutlierFactor
+    * (analisis-informe.ipynb:863-1039). Three passes over the blocked pair
+    * join: k-distance, reachability, lrd ratio. */
+  def qLof(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = e.select(col("label"), col("vec_id").as("j"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("i")).orderBy(col("d"), col("j"))
+    val knn = a.join(b, Seq("label")).filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"), euclidean_dist(col("ea"), col("eb")).as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("j"), col("d"))
+    // k-distance of every point = distance to its k-th neighbor
+    val kdist = knn.groupBy(col("i").as("p")).agg(max(col("d")).as("kdist"))
+    // reach(i,o) = max(kdist(o), d(i,o)); lrd(i) = 1 / mean reach over kNN(i)
+    val lrd = knn.join(kdist, knn("j") === kdist("p"))
+      .select(col("i"), greatest(col("kdist"), col("d")).as("reach"))
+      .groupBy(col("i"))
+      .agg((lit(1.0) / avg(col("reach"))).as("lrd"))
+    // lof(i) = mean lrd(neighbors) / lrd(i)
+    val nbLrd = lrd.select(col("i").as("nb"), col("lrd").as("lrd_nb"))
+    knn.join(nbLrd, knn("j") === nbLrd("nb"))
+      .groupBy(col("i"))
+      .agg(avg(col("lrd_nb")).as("mean_lrd_nb"))
+      .join(lrd, Seq("i"))
+      .select(col("i").as("vec_id"), round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_lof" -> (qLof _))
+
+  private val AsgCte =
+    """nrm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
+      |  list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id < 8),
+      |asg AS (
+      |  SELECT vec_id, raw, cid AS cell FROM (
+      |    SELECT n.vec_id, n.raw, c.cid, row_number() OVER
+      |      (PARTITION BY n.vec_id ORDER BY list_distance(n.v, c.cv), c.cid) AS rn
+      |    FROM nrm n CROSS JOIN c) WHERE rn = 1),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, row_number() OVER (ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
+      |    FROM c, (SELECT v FROM nrm WHERE vec_id = 0) q) WHERE rn <= 2)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH $AsgCte
+         |SELECT vec_id, cell,
+         |  round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) AS cos_sim
+         |FROM asg WHERE vec_id > 0 AND cell IN (SELECT cid FROM probe)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_lof" ->
+      """WITH knn AS (
+        |  SELECT i, j, d FROM (
+        |    SELECT a.vec_id AS i, b.vec_id AS j,
+        |      list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS d,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rk
+        |    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |  WHERE rk <= 5),
+        |kdist AS (SELECT i AS p, max(d) AS kdist FROM knn GROUP BY i),
+        |lrd AS (
+        |  SELECT knn.i, 1.0 / avg(greatest(kdist.kdist, knn.d)) AS lrd
+        |  FROM knn JOIN kdist ON knn.j = kdist.p GROUP BY knn.i)
+        |SELECT knn.i AS vec_id, round(avg(nb.lrd) / any_value(own.lrd), 4) AS lof
+        |FROM knn
+        |JOIN lrd nb ON knn.j = nb.i
+        |JOIN lrd own ON knn.i = own.i
+        |GROUP BY knn.i ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,52 @@
+package graft.operators.search
+
+import graft.{QueryModule, Tables}
+import graft.functions.{HyperplaneSig, VectorOps}
+import VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cosine-LSH ANN: 6 random hyperplanes → 64 buckets; a query probes its
+  * own bucket plus the 6 flip-one-bit neighbors (multiprobe), then runs
+  * exact cosine top-k on the candidates. At 100 TB the corpus is written
+  * bucketed by `bucket` so a probe is a partition-pruned scan; the index
+  * build is one map-side pass (SURVEY §6).
+  */
+object LshAnn extends QueryModule {
+
+  val NumPlanes = 6
+  val Dim = 64
+
+  lazy val planes: Seq[Seq[Double]] = HyperplaneSig.randomPlanes(NumPlanes, Dim)
+
+  /** Corpus with bucket keys — the "index". */
+  def indexed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("bucket", HyperplaneSig(vec_normalize(col("embedding")), planes))
+
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = indexed(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      q.map(x => if (n == 0) x.toDouble else x * (1.0 / n))
+    }
+    val qBucket = planes.map(p => p.zip(qNorm).map { case (a, b) => a * b }.sum)
+      .zipWithIndex.foldLeft(0L) { case (acc, (s, i)) => if (s > 0) acc | (1L << i) else acc }
+    val probes = qBucket +: (0 until NumPlanes).map(i => qBucket ^ (1L << i))
+    val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
+    e.filter(col("vec_id") > 0 && col("bucket").isin(probes: _*))
+      .select(col("vec_id"), col("bucket"),
+        round(cosine_sim(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_lsh" -> (qAnnLsh _))
+
+  /** Plane matrix is engine-specific — rows-only; recall vs brute force is
+    * asserted in LshAnnSpec. */
+  override def oracles: Map[String, String] = Map.empty
+}

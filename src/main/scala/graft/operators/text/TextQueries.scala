@@ -93,11 +93,22 @@ object TextQueries extends QueryModule {
       .withColumn("chunk_len", length(col("chunk_text")))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Winnowing rolling-hash fingerprints (custom expression; engine-specific
+    * hash → rows-only, containment property covered in RollingHashSpec). */
+  def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingFingerprint(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_chunking" -> (qChunking _))
 
   private def inList(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")

@@ -1,0 +1,45 @@
+package graft.operators.clustering
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight blobs + two isolated noise points in 2-D. */
+  private lazy val blobs = {
+    val b1 = (0 until 10).map(i => (i.toLong, Array(0.0 + i * 0.01, 0.0)))
+    val b2 = (0 until 10).map(i => (100L + i, Array(5.0 + i * 0.01, 5.0)))
+    val noise = Seq((500L, Array(20.0, 20.0)), (501L, Array(-20.0, 3.0)))
+    (b1 ++ b2 ++ noise).toDF("id", "vec")
+  }
+
+  test("dbscan separates planted blobs and flags noise") {
+    val r = Dbscan.run(blobs, "id", "vec", eps = 0.5, minPts = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val c1 = (0 until 10).map(i => r(i.toLong)).toSet
+    val c2 = (0 until 10).map(i => r(100L + i)).toSet
+    assert(c1.size == 1 && c2.size == 1, "each blob must be one cluster")
+    assert(c1 != c2, "blobs must be distinct clusters")
+    assert(c1.head == 0L && c2.head == 100L, "cluster id = min member id")
+    assert(r(500L) == -1L && r(501L) == -1L, "isolated points are noise")
+  }
+
+  test("border points join a neighboring core's cluster") {
+    // a chain: 3 core-capable points + 1 border at the end
+    val chain = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.1, 0.0)), (2L, Array(0.2, 0.0)),
+      (3L, Array(0.65, 0.0)) // within eps of 2 only → border
+    ).toDF("id", "vec")
+    val r = Dbscan.run(chain, "id", "vec", eps = 0.5, minPts = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    val byId = r.map(t => t._1 -> t).toMap
+    assert(!byId(3L)._3 && byId(3L)._2 == 0L, s"border point should join cluster 0: ${r.toSeq}")
+  }
+
+  test("dbscan on embeddings returns a partition of all points") {
+    val out = DbscanQueries.qDbscan(spark, SfDir)
+    val n = out.agg(sum("n")).head().getLong(0)
+    assert(n == graft.Tables.embeddings(spark, SfDir).count())
+  }
+}

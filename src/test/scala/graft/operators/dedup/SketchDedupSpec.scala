@@ -1,0 +1,41 @@
+package graft.operators.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (3L, "completely unrelated text about spark catalyst expressions and shuffles here"),
+    (4L, "another disjoint document mentioning parquet scans predicate pushdown and codegen")
+  ).toDF("doc_id", "text")
+
+  test("minhash finds the planted near-dup pair and nothing else") {
+    val pairs = MinHashLsh.nearDupPairs(base, minJaccard = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("minhash signature is deterministic") {
+    val s1 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)
+    val s2 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("simhash: identical docs at hamming 0, near docs close, disjoint docs blocked or far") {
+    val withCopy = base.unionByName(Seq((5L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text"))
+    val pairs = SimHash.nearDupPairs(withCopy)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.get((1L, 5L)).contains(0), s"exact copy must be hamming 0: $pairs")
+    assert(!pairs.contains((3L, 4L)), "disjoint docs must not pass the hamming filter")
+  }
+
+  test("planted dups on real documents produce candidates") {
+    assert(MinHashLsh.qDedupMinhash(spark, SfDir).count() >= 20)
+    assert(SimHash.qDedupSimhash(spark, SfDir).count() >= 1)
+  }
+}

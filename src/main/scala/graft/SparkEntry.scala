@@ -18,7 +18,9 @@ object SparkEntry {
     graft.operators.search.AnnQueries,
     graft.operators.search.LshAnn,
     graft.operators.dedup.MinHashLsh,
-    graft.operators.dedup.SimHash)
+    graft.operators.dedup.SimHash,
+    graft.operators.multimodal.MediaQueries,
+    graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY §2 "Streaming"), each run here
+  * against the static events parquet through a real `readStream` → memory
+  * sink so the driver's batch oracle can check the streaming semantics:
+  *
+  *  - windowed aggregation with watermark (tumbling 1 h) — matches the
+  *    batch date_trunc oracle exactly;
+  *  - gap-based sessionization (30 min) via flatMapGroupsWithState —
+  *    matches the batch islands-SQL oracle;
+  *  - streaming dedup: dropDuplicates on a doubled stream collapses to the
+  *    batch distinct counts.
+  *
+  * At scale: watermarks bound window state; sessionization state is one
+  * open session per active user; dedup state is bounded by the watermark.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** Raw-parquet schema of events (ts as nanos long, pre-conversion). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming twin of Tables.events. The file source streams a
+    * *directory* (its real-world shape: files landing in an ingest dir),
+    * so the single events.parquet is staged into a temp dir once. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_events_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(stage)
+    Files.copy(Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Run a streaming frame to completion into a memory sink. */
+  private def runToTable(spark: SparkSession, df: DataFrame, name: String,
+                         mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  def qEventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+    runToTable(spark, agg, "events_window_stream", OutputMode.Complete())
+      .select(col("window.start").cast("string").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  // ---- sessionization ----------------------------------------------------
+
+  val SessionGapSec = 1800L
+
+  case class Ev(user_id: Long, ts_sec: Long, event_id: Long, value: Double)
+  case class Session(user_id: Long, session_id: Long, start_sec: Long,
+                     end_sec: Long, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionizer over one user's events (sorted in memory —
+    * per-user volume is bounded; state carries only the open session). */
+  private def sessionize(userId: Long, it: Iterator[Ev],
+                         state: GroupState[Session]): Iterator[Session] = {
+    val evs = it.toIndexedSeq.sortBy(e => (e.ts_sec, e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur = state.getOption.orNull
+    evs.foreach { e =>
+      if (cur == null) {
+        cur = Session(userId, 1L, e.ts_sec, e.ts_sec, 1L, e.value)
+      } else if (e.ts_sec - cur.end_sec > SessionGapSec) {
+        out += cur
+        cur = Session(userId, cur.session_id + 1, e.ts_sec, e.ts_sec, 1L, e.value)
+      } else {
+        cur = cur.copy(end_sec = e.ts_sec, n_events = cur.n_events + 1,
+          sum_value = cur.sum_value + e.value)
+      }
+    }
+    // static input arrives as one batch: flush the final open session too
+    out += cur
+    state.remove()
+    out.iterator
+  }
+
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[Ev] = eventsStream(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_id"), col("value"))
+      .as[Ev]
+    val sessions = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+    runToTable(spark, sessions.toDF(), "sessions_stream", OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Streaming dedup: the stream unioned with itself, dropDuplicates on
+    * event_id → per-type counts equal the batch distincts. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventsStream(spark, dir)
+    val doubled = s.unionByName(s)
+    val agg = doubled.dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    runToTable(spark, agg, "stream_dedup", OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window_stream" -> (qEventsWindowStream _),
+    "q_sessionize" -> (qSessionize _),
+    "q_stream_dedup" -> (qStreamDedup _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_events_window_stream" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |x AS (
+        |  SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800
+        |                   OR lag(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |y AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS sid
+        |  FROM x)
+        |SELECT user_id, sid AS session_id, min(ts_sec) AS start_sec,
+        |  max(ts_sec) AS end_sec, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming window agg equals batch date_trunc agg") {
+    val stream = StreamingQueries.qEventsWindowStream(spark, SfDir)
+      .select("hour_ts", "event_type", "n_events").collect().toSet
+    val batch = graft.operators.analytics.AnalyticsQueries.qEventsWindow(spark, SfDir)
+      .select("hour_ts", "event_type", "n_events").collect().toSet
+    assert(stream == batch)
+  }
+
+  test("sessions: gaps within a session ≤ 30 min, counts sum to event count") {
+    val s = StreamingQueries.qSessionize(spark, SfDir)
+    val nEvents = graft.Tables.events(spark, SfDir).count()
+    assert(s.agg(sum("n_events")).head().getLong(0) == nEvents)
+    assert(s.filter(col("end_sec") < col("start_sec")).count() == 0)
+    // consecutive sessions of the same user must be > gap apart
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val bad = s.withColumn("prev_end", lag("end_sec", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("start_sec") - col("prev_end") <= StreamingQueries.SessionGapSec)
+      .count()
+    assert(bad == 0, "sessions closer than the gap must have been merged")
+  }
+
+  test("streaming dedup collapses the doubled stream to batch counts") {
+    val dedup = StreamingQueries.qStreamDedup(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables.events(spark, SfDir)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dedup == batch)
+  }
+}

@@ -139,7 +139,36 @@ object AnalyticsQueries extends QueryModule {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour_ts", "event_type")
 
+  /** Cluster × category contingency with within-cluster proportions
+    * (analisis-informe.ipynb:413-414: groupby(etiqueta, category) + share
+    * of cluster total). Chunks join the doc dim on document_id; label plays
+    * etiqueta, the doc source plays category. */
+  def qClusterCategory(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.chunks(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val grouped = c.join(broadcast(d), c("document_id") === d("doc_id"))
+      .groupBy(col("label"), col("source"))
+      .agg(count(lit(1)).as("n_chunks"))
+    grouped
+      .withColumn("share", round(col("n_chunks") /
+        sum(col("n_chunks")).over(Window.partitionBy(col("label"))), 6))
+      .orderBy("label", "source")
+  }
+
+  /** Per-document "all chunks in the same cluster" rollup
+    * (analisis-informe.ipynb:527-537: nunique per doc → flag → counts). */
+  def qSameClusterDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.chunks(spark, dir)
+      .groupBy(col("document_id"))
+      .agg(countDistinct(col("label")).as("n_labels"))
+      .withColumn("all_same", col("n_labels") === 1)
+      .groupBy(col("all_same"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("all_same")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_category" -> (qClusterCategory _),
+    "q_same_cluster_docs" -> (qSameClusterDocs _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
     "q_join_agg" -> (qJoinAgg _),
@@ -151,6 +180,19 @@ object AnalyticsQueries extends QueryModule {
     "q_events_window" -> (qEventsWindow _))
 
   override def oracles: Map[String, String] = Map(
+    "q_cluster_category" ->
+      """SELECT label, source, n_chunks,
+        |  round(CAST(n_chunks AS DOUBLE) / sum(n_chunks) OVER (PARTITION BY label), 6) AS share
+        |FROM (
+        |  SELECT e.label, d.source, count(*) AS n_chunks
+        |  FROM embeddings e JOIN documents d ON e.vec_id // 8 = d.doc_id
+        |  GROUP BY e.label, d.source)
+        |ORDER BY label, source""".stripMargin,
+    "q_same_cluster_docs" ->
+      """SELECT n_labels = 1 AS all_same, count(*) AS n_docs
+        |FROM (SELECT vec_id // 8 AS document_id, count(DISTINCT label) AS n_labels
+        |      FROM embeddings GROUP BY 1)
+        |GROUP BY 1 ORDER BY all_same""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -29,8 +29,19 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings feed pair-producing operators (self-joins over
+    * blocks); the testdata parquet is a single row group → a single scan
+    * partition, which would serialize every downstream pair kernel. These
+    * tables are dimension-sized, so an up-front round-robin repartition is
+    * ~free and restores the parallelism a multi-file production table has
+    * naturally. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
 
   /** Chunks per synthetic document — the reference's chunk table has
     * (document_id, chunk_id, content_vector); the embeddings table plays

@@ -18,11 +18,11 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
   override def dataType: DataType = LongType
 
   @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
-  @transient private lazy val get: VecUtil.Getter = VecUtil.getter(child.dataType)
+  @transient private lazy val get = VecUtil.toDoubles(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val d = a.numElements()
+    val a = get(v.asInstanceOf[ArrayData])
+    val d = a.length
     var sig = 0L
     var p = 0
     while (p < mat.length) {
@@ -30,7 +30,7 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
       val n = math.min(d, plane.length)
       var s = 0.0
       var i = 0
-      while (i < n) { s += get(a, i) * plane(i); i += 1 }
+      while (i < n) { s += a(i) * plane(i); i += 1 }
       if (s > 0) sig |= (1L << p)
       p += 1
     }

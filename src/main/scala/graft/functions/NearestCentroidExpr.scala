@@ -30,11 +30,11 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     StructField("dist", DoubleType, nullable = false)))
 
   @transient private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
-  @transient private lazy val get: VecUtil.Getter = VecUtil.getter(child.dataType)
+  @transient private lazy val get = VecUtil.toDoubles(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val d = a.numElements()
+    val a = get(v.asInstanceOf[ArrayData])
+    val d = a.length
     var best = -1
     var bestDist = Double.PositiveInfinity
     var k = 0
@@ -43,7 +43,7 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
       val n = math.min(d, c.length)
       var s = 0.0
       var i = 0
-      while (i < n) { val diff = get(a, i) - c(i); s += diff * diff; i += 1 }
+      while (i < n) { val diff = a(i) - c(i); s += diff * diff; i += 1 }
       val dist = math.sqrt(s)
       if (dist < bestDist) { bestDist = dist; best = k }
       k += 1

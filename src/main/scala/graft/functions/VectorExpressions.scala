@@ -13,45 +13,70 @@ import org.apache.spark.sql.types._
   * numpy/sklearn (`normalizar_vector`, `cdist`, `cosine_similarity` in
   * chunk_similarities.ipynb:72-107, nuevo-kmeans-pre.ipynb cells); in Spark
   * the idiomatic equivalent is a scalar expression evaluated inside the
-  * operator pipeline — a tight primitive loop over [[ArrayData]], no boxing
-  * per element, no Scala UDF serialization. All accumulate sequentially in
-  * Double (index order), which keeps results bit-comparable with
-  * single-threaded oracles.
+  * operator pipeline. Each eval bulk-copies the array to a primitive
+  * buffer (`toFloatArray` is a single Platform.copyMemory for
+  * UnsafeArrayData) and runs a branch-free JIT-friendly loop — no per
+  * element virtual calls, no boxing. Accumulation is sequential in Double
+  * (index order), keeping results bit-comparable with single-threaded
+  * oracles.
   */
 object VecUtil {
   type Getter = (ArrayData, Int) => Double
 
+  /** Per-element getter — kept for consumers that embed constant matrices
+    * ([[NearestCentroid]], [[HyperplaneSig]]) where the other operand is
+    * already primitive. */
   def getter(dt: DataType): Getter = dt match {
-    case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
-    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
     case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
-    case ArrayType(LongType, _)   => (a, i) => a.getLong(i).toDouble
+    case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
     case other => throw new IllegalArgumentException(
       s"vector op expects array<float|double|int|long>, got $other")
+  }
+
+  /** Bulk-extract to double[] (sequential copy; element order preserved). */
+  def toDoubles(dt: DataType): ArrayData => Array[Double] = dt match {
+    case ArrayType(DoubleType, _) => a => a.toDoubleArray()
+    case ArrayType(FloatType, _) => a => {
+      val f = a.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i); i += 1 }
+      out
+    }
+    case other =>
+      val g = getter(other)
+      a => {
+        val n = a.numElements()
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = g(a, i); i += 1 }
+        out
+      }
   }
 }
 
 abstract class BinaryVectorReduce extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
-  @transient protected lazy val lGet: VecUtil.Getter = VecUtil.getter(left.dataType)
-  @transient protected lazy val rGet: VecUtil.Getter = VecUtil.getter(right.dataType)
+  @transient private lazy val lGet = VecUtil.toDoubles(left.dataType)
+  @transient private lazy val rGet = VecUtil.toDoubles(right.dataType)
 
-  protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double
+  protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    reduce(a, b, n)
+    val a = lGet(l.asInstanceOf[ArrayData])
+    val b = rGet(r.asInstanceOf[ArrayData])
+    reduce(a, b, math.min(a.length, b.length))
   }
 }
 
 /** Inner product; reference: np.dot / list_inner_product semantics. */
 case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduce {
   override def prettyName: String = "vec_dot"
-  override protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double = {
+  override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { s += lGet(a, i) * rGet(b, i); i += 1 }
+    while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -61,10 +86,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduc
   * cosine_similarity). dot/(|a||b|); NaN when either norm is 0. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryVectorReduce {
   override def prettyName: String = "vec_cosine"
-  override protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double = {
+  override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = lGet(a, i); val y = rGet(b, i)
+      val x = a(i); val y = b(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / math.sqrt(na * nb)
@@ -76,9 +101,9 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryVectorRe
   * difference), scipy cdist 'euclidean'. */
 case class VecEuclidean(left: Expression, right: Expression) extends BinaryVectorReduce {
   override def prettyName: String = "vec_euclidean"
-  override protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double = {
+  override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { val d = lGet(a, i) - rGet(b, i); s += d * d; i += 1 }
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -88,9 +113,9 @@ case class VecEuclidean(left: Expression, right: Expression) extends BinaryVecto
   * (chunk_similarities.ipynb:9). */
 case class VecManhattan(left: Expression, right: Expression) extends BinaryVectorReduce {
   override def prettyName: String = "vec_manhattan"
-  override protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double = {
+  override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { s += math.abs(lGet(a, i) - rGet(b, i)); i += 1 }
+    while (i < n) { s += math.abs(a(i) - b(i)); i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -100,9 +125,9 @@ case class VecManhattan(left: Expression, right: Expression) extends BinaryVecto
   * the monotone transform doesn't change the winner (kmeans assign, knn). */
 case class VecEuclideanSq(left: Expression, right: Expression) extends BinaryVectorReduce {
   override def prettyName: String = "vec_euclidean_sq"
-  override protected def reduce(a: ArrayData, b: ArrayData, n: Int): Double = {
+  override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
-    while (i < n) { val d = lGet(a, i) - rGet(b, i); s += d * d; i += 1 }
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
@@ -112,12 +137,11 @@ case class VecEuclideanSq(left: Expression, right: Expression) extends BinaryVec
 case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "vec_norm"
   override def dataType: DataType = DoubleType
-  @transient private lazy val get: VecUtil.Getter = VecUtil.getter(child.dataType)
+  @transient private lazy val get = VecUtil.toDoubles(child.dataType)
   override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
+    val a = get(v.asInstanceOf[ArrayData])
     var s = 0.0; var i = 0
-    while (i < n) { val x = get(a, i); s += x * x; i += 1 }
+    while (i < a.length) { val x = a(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
@@ -128,18 +152,16 @@ case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallba
 case class VecNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "vec_normalize"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  @transient private lazy val get: VecUtil.Getter = VecUtil.getter(child.dataType)
+  @transient private lazy val get = VecUtil.toDoubles(child.dataType)
   override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
+    val a = get(v.asInstanceOf[ArrayData])
     var s = 0.0; var i = 0
-    while (i < n) { val x = get(a, i); s += x * x; i += 1 }
+    while (i < a.length) { val x = a(i); s += x * x; i += 1 }
     val norm = math.sqrt(s)
-    val out = new Array[Double](n)
     val inv = if (norm == 0.0) 1.0 else 1.0 / norm
     i = 0
-    while (i < n) { out(i) = get(a, i) * inv; i += 1 }
-    new GenericArrayData(out)
+    while (i < a.length) { a(i) = a(i) * inv; i += 1 }
+    new GenericArrayData(a)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

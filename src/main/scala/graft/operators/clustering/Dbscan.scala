@@ -37,22 +37,20 @@ object Dbscan {
     val coreEdges = pairs
       .join(core.select(col("i")), Seq("i"))
       .join(core.select(col("i").as("j")), Seq("j"))
+    // connected components of the core graph via GraphX Pregel — indexed
+    // vertex joins + internal caching beat a hand-rolled DataFrame
+    // label-propagation loop; component id = min core vec_id (deterministic)
+    val spark = points.sparkSession
+    val edgeRdd = coreEdges.select(col("i"), col("j")).rdd
+      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val isolatedCores = core // cores with no core neighbor form singleton clusters
+    val graph = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+    val ccDf = spark.createDataFrame(
+      graph.connectedComponents(maxIter).vertices.map(v => (v._1, v._2)))
+      .toDF("i", "cl")
+    val labels = isolatedCores.join(ccDf, Seq("i"), "left")
+      .select(col("i"), coalesce(col("cl"), col("i")).as("cl"))
       .cache()
-    // label propagation to the component minimum
-    var labels = core.select(col("i"), col("i").as("cl"))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbMin = coreEdges.join(labels.select(col("i").as("j"), col("cl").as("nb_cl")), Seq("j"))
-        .groupBy(col("i")).agg(min(col("nb_cl")).as("nb_min"))
-      val next = labels.join(nbMin, Seq("i"), "left")
-        .select(col("i"), least(col("cl"), coalesce(col("nb_min"), col("cl"))).as("cl"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cl", "old"), Seq("i"))
-        .filter(col("cl") =!= col("old")).count()
-      labels = next
-      it += 1
-    }
     // border assignment: smallest core-neighbor's cluster
     val borderLabels = pairs
       .join(core.select(col("i").as("j")), Seq("j")) // j is a core neighbor of i
@@ -64,7 +62,9 @@ object Dbscan {
       .select(col("i").as(idCol),
         coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"),
         col("core_cl").isNotNull.as("is_core"))
-    pairs.unpersist(); core.unpersist(); coreEdges.unpersist()
+    // NOTE: pairs/core/labels stay cached — the returned plan is lazy, so
+    // an eager unpersist here would drop them before execution and force
+    // full recomputation of every branch. Spark evicts them LRU.
     out
   }
 }

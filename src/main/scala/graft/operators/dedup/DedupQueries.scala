@@ -34,11 +34,18 @@ object DedupQueries extends QueryModule {
 
   /** N-gram Jaccard over adjacent-doc pairs: |A∩B| / |A∪B| on distinct
     * 3-gram shingle sets. Symmetric inter/union formula mirrored in the
-    * oracle so both engines agree on set semantics. */
+    * oracle so both engines agree on set semantics.
+    *
+    * Perf: shingle sets are built once and persisted (both join sides read
+    * the same branch), and intersected as xxhash64 longs, not strings —
+    * identical counts modulo 2^-64 collisions. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val a = d.select(col("doc_id"), shingles(col("text")).as("sh_a"))
-    val b = d.select((col("doc_id") - 1).as("doc_id"), shingles(col("text")).as("sh_b"))
+    val sh = d.select(col("doc_id"),
+      array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("sh"))
+      .persist()
+    val a = sh.select(col("doc_id"), col("sh").as("sh_a"))
+    val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh_b"))
     a.join(b, "doc_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))

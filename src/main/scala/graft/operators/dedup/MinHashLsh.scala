@@ -47,9 +47,15 @@ object MinHashLsh extends QueryModule {
     shingleHashes(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard. */
+  /** Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard.
+    * The exploded (doc, shingle-hash) frame is computed once and persisted:
+    * signatures aggregate it, verification re-groups it into sets. */
   def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sigs = signatures(docs)
+    val hashed = shingleHashes(docs).persist()
+    val mins: Seq[org.apache.spark.sql.Column] = (0 until NumHashes).map { i =>
+      min((col("x") * coefA(i) + coefB(i)) % P).as(s"sig_$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
@@ -60,8 +66,7 @@ object MinHashLsh extends QueryModule {
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      array_distinct(DedupQueries.shingles(col("text"))).as("s"))
+    val sets = hashed.groupBy(col("doc_id")).agg(collect_set(col("x")).as("s"))
     cand
       .join(sets.select(col("doc_id").as("d1"), col("s").as("s1")), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))

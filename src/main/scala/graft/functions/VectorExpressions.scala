@@ -57,7 +57,7 @@ object VecUtil {
   }
 }
 
-abstract class BinaryVectorReduce extends BinaryExpression with CodegenFallback {
+abstract class BinaryVectorReduce extends BinaryExpression {
   override def dataType: DataType = DoubleType
   @transient private lazy val lGet = VecUtil.toDoubles(left.dataType)
   @transient private lazy val rGet = VecUtil.toDoubles(right.dataType)
@@ -69,10 +69,61 @@ abstract class BinaryVectorReduce extends BinaryExpression with CodegenFallback 
     val b = rGet(r.asInstanceOf[ArrayData])
     reduce(a, b, math.min(a.length, b.length))
   }
+
+  // ---- whole-stage codegen -----------------------------------------------
+  // The generated loop mirrors nullSafeEval's accumulation order exactly
+  // (sequential, double), so interpreted and compiled paths are
+  // bit-identical. Subclasses supply accumulator decls / update / result.
+
+  /** Java accumulator declarations, e.g. "double s = 0.0;". */
+  protected def cgDecls: String
+  /** Java update statement(s); x and y are double-valued element exprs. */
+  protected def cgUpdate(x: String, y: String): String
+  /** Java double expression producing the final value. */
+  protected def cgResult: String
+
+  private def cgExtract(dt: DataType, term: String, arr: String): Option[String] = dt match {
+    case ArrayType(FloatType, _)   => Some(s"float[] $arr = $term.toFloatArray();")
+    case ArrayType(DoubleType, _)  => Some(s"double[] $arr = $term.toDoubleArray();")
+    case ArrayType(IntegerType, _) => Some(s"int[] $arr = $term.toIntArray();")
+    case ArrayType(LongType, _)    => Some(s"long[] $arr = $term.toLongArray();")
+    case _ => None
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (aTerm, bTerm) => {
+      val aArr = ctx.freshName("aArr")
+      val bArr = ctx.freshName("bArr")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      (cgExtract(left.dataType, aTerm, aArr), cgExtract(right.dataType, bTerm, bArr)) match {
+        case (Some(ea), Some(eb)) =>
+          s"""
+             |$ea
+             |$eb
+             |int $n = Math.min($aArr.length, $bArr.length);
+             |$cgDecls
+             |for (int $i = 0; $i < $n; $i++) {
+             |  ${cgUpdate(s"((double) $aArr[$i])", s"((double) $bArr[$i])")}
+             |}
+             |${ev.value} = $cgResult;
+             |""".stripMargin
+        case _ => // unexpected element type: defer to the interpreted path
+          val expr = ctx.addReferenceObj("thisExpr", this, classOf[BinaryVectorReduce].getName)
+          s"${ev.value} = (Double) $expr.nullSafeEval($aTerm, $bTerm);"
+      }
+    })
 }
 
 /** Inner product; reference: np.dot / list_inner_product semantics. */
 case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduce {
+  override protected def cgDecls: String = "double s = 0.0;"
+  override protected def cgUpdate(x: String, y: String): String =
+    s"s += $x * $y;"
+  override protected def cgResult: String = "s"
   override def prettyName: String = "vec_dot"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -85,6 +136,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduc
 /** Cosine similarity; ref chunk_similarities.ipynb:193 (sklearn
   * cosine_similarity). dot/(|a||b|); NaN when either norm is 0. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryVectorReduce {
+  override protected def cgDecls: String = "double dot = 0.0; double na = 0.0; double nb = 0.0;"
+  override protected def cgUpdate(x: String, y: String): String =
+    s"double x = $x; double y = $y; dot += x * y; na += x * x; nb += y * y;"
+  override protected def cgResult: String = "dot / java.lang.Math.sqrt(na * nb)"
   override def prettyName: String = "vec_cosine"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -100,6 +155,10 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryVectorRe
 /** Euclidean (L2) distance; ref silhouettes.ipynb:99 (np.linalg.norm of
   * difference), scipy cdist 'euclidean'. */
 case class VecEuclidean(left: Expression, right: Expression) extends BinaryVectorReduce {
+  override protected def cgDecls: String = "double s = 0.0;"
+  override protected def cgUpdate(x: String, y: String): String =
+    s"double d = $x - $y; s += d * d;"
+  override protected def cgResult: String = "java.lang.Math.sqrt(s)"
   override def prettyName: String = "vec_euclidean"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -112,6 +171,10 @@ case class VecEuclidean(left: Expression, right: Expression) extends BinaryVecto
 /** Manhattan (L1) distance; ref imports manhattan_distances
   * (chunk_similarities.ipynb:9). */
 case class VecManhattan(left: Expression, right: Expression) extends BinaryVectorReduce {
+  override protected def cgDecls: String = "double s = 0.0;"
+  override protected def cgUpdate(x: String, y: String): String =
+    s"s += java.lang.Math.abs($x - $y);"
+  override protected def cgResult: String = "s"
   override def prettyName: String = "vec_manhattan"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -124,6 +187,10 @@ case class VecManhattan(left: Expression, right: Expression) extends BinaryVecto
 /** Squared L2 distance (no sqrt) — cheaper kernel for argmin searches where
   * the monotone transform doesn't change the winner (kmeans assign, knn). */
 case class VecEuclideanSq(left: Expression, right: Expression) extends BinaryVectorReduce {
+  override protected def cgDecls: String = "double s = 0.0;"
+  override protected def cgUpdate(x: String, y: String): String =
+    s"double d = $x - $y; s += d * d;"
+  override protected def cgResult: String = "s"
   override def prettyName: String = "vec_euclidean_sq"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0

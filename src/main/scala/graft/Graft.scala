@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{NearestCentroid, VectorOps}
+import VectorOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing facade mirroring the reference's API surface, so a user of
+  * CarolinaTorrente/Vector-Search-Optimization can switch method-for-method
+  * (reference name in each scaladoc) while staying DataFrame-native.
+  *
+  * {{{
+  *   import graft.Graft
+  *   val clustered = Graft.executeClustering(chunks, "embedding", k = 37, seed = 42)
+  *   val labeled   = Graft.mergeLabels(documents, "doc_id", docLabels)
+  *   val hits      = Graft.search(corpus, "embedding", queryVec, k = 10)
+  * }}}
+  */
+object Graft {
+
+  /** ClusteringCreator.execute_clustering (cluster_creator.py:44-59):
+    * KMeans with restarts over an embedding column; returns the input with
+    * a `cluster_label` column plus driver-side centroids. */
+  def executeClustering(df: DataFrame, embeddingCol: String, k: Int,
+                        seed: Long = 42L, nInit: Int = 1, maxIter: Int = 25)
+      : (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.withColumn("__features",
+      array_to_vector(vec_normalize(col(embeddingCol)))).cache()
+    val model =
+      try (0 until math.max(1, nInit)).map { s =>
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+          .setFeaturesCol("__features").setPredictionCol("cluster_label").fit(feats)
+      }.minBy(_.summary.trainingCost)
+      finally ()
+    val out = model.transform(feats).drop("__features")
+    feats.unpersist(blocking = false)
+    (out, model.clusterCenters.map(_.toArray))
+  }
+
+  /** classify_embedding (nuevo-kmeans-pre.ipynb:11-17 / cluster_creator):
+    * nearest-centroid id for each row — map-side, no join. */
+  def classify(df: DataFrame, embeddingCol: String,
+               centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cluster_label",
+      NearestCentroid(vec_normalize(col(embeddingCol)), centroids)
+        .getField("centroid_id"))
+
+  /** Azure AI Search top-k vector query equivalent: exact cosine top-k of
+    * the corpus against one query vector (per-partition heaps, no global
+    * sort). */
+  def search(df: DataFrame, embeddingCol: String, query: Seq[Double], k: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val qCol = array(query.map(lit): _*)
+    df.select(col(idCol), round(cosine_sim(col(embeddingCol), qCol), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LabelingChunksProcessor / merge_documents
+    * (ChunkLabelingProcesor.py:24-52): join-update of a label column onto
+    * a base table, leaving unmatched rows untouched. */
+  def mergeLabels(base: DataFrame, idCol: String, labels: DataFrame,
+                  labelIdCol: String = "document_id",
+                  labelCol: String = "etiqueta_cluster"): DataFrame =
+    base.join(labels.select(col(labelIdCol).as("__id"), col(labelCol)),
+      base(idCol) === col("__id"), "left").drop("__id")
+
+  /** chunk_similarities.ipynb `similarity` (lines 177-240): per-group
+    * pairwise-cosine summary with a τ threshold. */
+  def similarityReport(df: DataFrame, groupCol: String, idCol: String,
+                       embeddingCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(groupCol), col(idCol).as("__ida"), col(embeddingCol).as("__ea"))
+    val b = df.select(col(groupCol), col(idCol).as("__idb"), col(embeddingCol).as("__eb"))
+    val pairs = a.join(b, Seq(groupCol)).filter(col("__ida") < col("__idb"))
+      .withColumn("__cos", cosine_sim(col("__ea"), col("__eb")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__cos") > tau, 1L).otherwise(0L)).as(s"n_above"),
+        round(avg(col("__cos")), 6).as("mean_cos"))
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(pairs, Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_pairs", "n_above"))
+  }
+
+  /** num_tokens_from_string / contar_tokens (update-etiquetas.ipynb:108):
+    * BPE-ish token count Column. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(graft.operators.text.TextQueries.TokenRegex), lit(0)))
+}

@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (The Column API in [[graft.functions.VectorOps]] needs no registration.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.EliminateNormalizeUnderCosine)
+  }
 }
 
 object GraftExtensions {

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.EliminateNormalizeUnderCosine)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -16,6 +16,14 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom logical plan (Dataset.ofRows is
+    * `private[sql]`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on an already-built session (sessionState is
     * `private[sql]`; new sessions should prefer `withExtensions`). */
   def registerFunction(

@@ -74,6 +74,24 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("c_mktsegment", "rk")
   }
 
+  /** q_window_topn's semantics through the custom TopKPerGroup physical
+    * operator (graft.plans) — bounded per-group heaps instead of a full
+    * window sort; identical oracle proves the operator's row_number
+    * contract. Descending order is expressed by negating the sort key. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("neg_price", negate(col("o_totalprice")))
+    graft.plans.TopKPerGroup(joined,
+      groupCols = Seq("c_mktsegment"),
+      orderCols = Seq("neg_price", "o_orderkey"),
+      k = 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
   /** Documents per source — chunks-per-content_type analog
     * (main-script1.ipynb:120-124). */
   def qChunksPerType(spark: SparkSession, dir: String): DataFrame =
@@ -169,6 +187,7 @@ object AnalyticsQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cluster_category" -> (qClusterCategory _),
     "q_same_cluster_docs" -> (qSameClusterDocs _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
     "q_join_agg" -> (qJoinAgg _),
@@ -180,6 +199,12 @@ object AnalyticsQueries extends QueryModule {
     "q_events_window" -> (qEventsWindow _))
 
   override def oracles: Map[String, String] = Map(
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "q_cluster_category" ->
       """SELECT label, source, n_chunks,
         |  round(CAST(n_chunks AS DOUBLE) / sum(n_chunks) OVER (PARTITION BY label), 6) AS share

@@ -60,15 +60,14 @@ object ClusteringQueries extends QueryModule {
   }
 
   /** Top-3 nearest-to-centroid exemplars per cluster — the reference samples
-    * these as LLM labeling prompts (update-etiquetas.ipynb:228). */
-  def qClusterExemplars(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("centroid_id")).orderBy(col("dist"), col("vec_id"))
-    assigned(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    * these as LLM labeling prompts (update-etiquetas.ipynb:228). Uses the
+    * custom TopKPerGroup operator (bounded heaps, no window sort). */
+  def qClusterExemplars(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      assigned(spark, dir).select(col("centroid_id"), col("vec_id"), col("dist")),
+      Seq("centroid_id"), Seq("dist", "vec_id"), 3)
       .select(col("centroid_id"), col("rk"), col("vec_id"), round(col("dist"), 6).as("dist"))
       .orderBy("centroid_id", "rk")
-  }
 
   /** Label merge-back (ChunkLabelingProcesor.merge_documents): majority
     * assigned cluster over a document's chunks becomes the document's

@@ -56,18 +56,18 @@ object SearchQueries extends QueryModule {
       .limit(10)
   }
 
-  /** 3 nearest neighbors per vector within its label block (euclidean).
-    * Pair join + window row_number; ties broken on rounded distance then
+  /** 3 nearest neighbors per vector within its label block (euclidean),
+    * via the custom TopKPerGroup operator (bounded heaps, no per-group
+    * sort of the full pair set). Ties broken on rounded distance then
     * neighbor id so both engines pick the same rows. */
   def qKnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("label"), col("vec_id").as("v"), col("embedding").as("emb_a"))
     val b = e.select(col("label"), col("vec_id").as("nb"), col("embedding").as("emb_b"))
-    val w = Window.partitionBy(col("v")).orderBy(col("l2_dist"), col("nb"))
-    a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
+    val pairs = a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
       .withColumn("l2_dist", round(euclidean_dist(col("emb_a"), col("emb_b")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .select(col("v"), col("nb"), col("l2_dist"))
+    graft.plans.TopKPerGroup(pairs, Seq("v"), Seq("l2_dist", "nb"), 3)
       .select(col("v").as("vec_id"), col("rk"), col("nb").as("neighbor"), col("l2_dist"))
       .orderBy("vec_id", "rk")
   }

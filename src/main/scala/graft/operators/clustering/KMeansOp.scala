@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object KMeansOp extends QueryModule {
 
+  /** Features for the iterative fits. Coalesced to a handful of partitions:
+    * each Lloyd iteration is a job over these partitions, and at sample
+    * scale (thousands of rows) 32-way task launch overhead dominates the
+    * actual math. A production-sized input keeps its natural partitioning
+    * upstream of this operator. */
   def features(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(vec_normalize(col("embedding"))))
+      .coalesce(4)
 
   /** Fits are memoized per (dir, k, seed, maxIter) — the "bulk index
     * build" is reused by every query that consumes the same model

@@ -92,6 +92,20 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("c_mktsegment", "rk")
   }
 
+  /** Sketch aggregates — the approximate statistics an OLAP engine leans
+    * on at 100 TB (HLL++ distinct counts, t-digest-style quantiles via
+    * approx_percentile). Approximation is engine-specific → rows-only;
+    * SketchSpec bounds the error against exact values. */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2).as("p50_price"),
+        round(percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)), 2).as("p95_price"))
+      .orderBy("l_returnflag")
+
   /** Documents per source — chunks-per-content_type analog
     * (main-script1.ipynb:120-124). */
   def qChunksPerType(spark: SparkSession, dir: String): DataFrame =
@@ -188,6 +202,7 @@ object AnalyticsQueries extends QueryModule {
     "q_cluster_category" -> (qClusterCategory _),
     "q_same_cluster_docs" -> (qSameClusterDocs _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_sketch_stats" -> (qSketchStats _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
     "q_join_agg" -> (qJoinAgg _),

@@ -1,0 +1,59 @@
+package graft.operators.search
+
+import graft.Tables
+import graft.functions.VectorOps._
+import graft.functions.NearestCentroid
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index (SURVEY §6 "bulk index build"): the corpus is
+  * written `partitionBy(cell)` so a probe is a partition-pruned scan —
+  * only the probed cells' files are opened, which is what makes IVF pay
+  * off at 10^11 vectors. Centroids are stored alongside the data.
+  *
+  * Build: one map-side assignment pass ([[NearestCentroid]]) + one write.
+  * Probe: rank cells against the query on the driver (k×d work), scan
+  * `cell IN (…)` (pruned), exact cosine top-k inside.
+  */
+object IvfIndex {
+
+  /** Build the index from an embedding table. Centroids: deterministic
+    * normalized first-K vectors unless supplied. */
+  def build(spark: SparkSession, dir: String, indexPath: String,
+            centroids: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
+    val cs = centroids.getOrElse(
+      graft.operators.clustering.ClusteringQueries.centroids(spark, dir))
+    Tables.embeddings(spark, dir)
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/data")
+    import spark.implicits._
+    cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    cs
+  }
+
+  /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.
+    * The cell filter prunes partitions — only probed cells are read. */
+  def probe(spark: SparkSession, indexPath: String, query: Seq[Float],
+            k: Int, nprobe: Int = 2): DataFrame = {
+    val cs = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val qNorm = {
+      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
+      if (n == 0) query.map(_.toDouble) else query.map(x => x * (1.0 / n))
+    }
+    val cells = cs.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val qCol = array(query.map(v => lit(v)).toIndexedSeq: _*)
+    spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"),
+        round(cosine_sim(col("embedding"), qCol), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

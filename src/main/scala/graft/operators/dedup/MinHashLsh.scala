@@ -39,7 +39,8 @@ object MinHashLsh extends QueryModule {
       .select(col("doc_id"), (xxhash64(col("sh")).bitwiseAND(lit(0xFFFFFFFFL))).as("x"))
       .distinct()
 
-  /** One row per doc with sig_0..sig_63. */
+  /** One row per doc with sig_0..sig_63 (column form — kept as the
+    * cross-check twin of the sketch aggregate). */
   def signatures(docs: DataFrame): DataFrame = {
     val mins: Seq[Column] = (0 until NumHashes).map { i =>
       min((col("x") * coefA(i) + coefB(i)) % P).as(s"sig_$i")
@@ -47,17 +48,23 @@ object MinHashLsh extends QueryModule {
     shingleHashes(docs).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** One row per doc with the whole signature as array<long>, via the
+    * single-buffer TypedImperativeAggregate (one update loop per row
+    * instead of 64 aggregate slots). */
+  def signatureSketches(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
+        coefB.toIndexedSeq, P).as("sig"))
+
   /** Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard.
     * The exploded (doc, shingle-hash) frame is computed once and persisted:
     * signatures aggregate it, verification re-groups it into sets. */
   def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val hashed = shingleHashes(docs).persist()
-    val mins: Seq[org.apache.spark.sql.Column] = (0 until NumHashes).map { i =>
-      min((col("x") * coefA(i) + coefB(i)) % P).as(s"sig_$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sigs = signatureSketches(hashed)
     val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      val rows = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

@@ -34,6 +34,15 @@ class SketchDedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), "disjoint docs must not pass the hamming filter")
   }
 
+  test("sketch aggregate equals the 64-column signature form") {
+    val viaCols = MinHashLsh.signatures(base).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (1 to MinHashLsh.NumHashes).map(i => r.getLong(i)).toSeq).toMap
+    val viaSketch = MinHashLsh.signatureSketches(MinHashLsh.shingleHashes(base))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaCols == viaSketch)
+  }
+
   test("planted dups on real documents produce candidates") {
     assert(MinHashLsh.qDedupMinhash(spark, SfDir).count() >= 20)
     assert(SimHash.qDedupSimhash(spark, SfDir).count() >= 1)

@@ -33,11 +33,15 @@ object MinHashLsh extends QueryModule {
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc_id, x32) distinct shingle hashes. */
+  /** (doc_id, x32) shingle hashes via the one-pass byte-level
+    * [[graft.functions.ShingleHashes]] expression (no intermediate shingle
+    * strings). NOT deduplicated: every consumer is duplicate-insensitive
+    * (`min` for signatures, `collect_set` for the Jaccard sets), so the
+    * global distinct shuffle of the widest intermediate in the pipeline is
+    * pure cost. */
   def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(DedupQueries.shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), (xxhash64(col("sh")).bitwiseAND(lit(0xFFFFFFFFL))).as("x"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), 3)).as("x"))
 
   /** One row per doc with sig_0..sig_63 (column form — kept as the
     * cross-check twin of the sketch aggregate). */
@@ -57,25 +61,35 @@ object MinHashLsh extends QueryModule {
         coefB.toIndexedSeq, P).as("sig"))
 
   /** Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard.
-    * The exploded (doc, shingle-hash) frame is computed once and persisted:
-    * signatures aggregate it, verification re-groups it into sets. */
+    *
+    * Shuffle budget: the wide exploded (doc, shingle-hash) frame is
+    * aggregated ONCE — signature sketch and Jaccard set come out of the
+    * same groupBy — and only the compact per-doc result (~2 KB/doc) is
+    * persisted for reuse by banding and verification. */
   def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val hashed = shingleHashes(docs).persist()
-    val sigs = signatureSketches(hashed)
+    val perDoc = shingleHashes(docs).groupBy(col("doc_id"))
+      .agg(
+        graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
+          coefB.toIndexedSeq, P).as("sig"),
+        collect_set(col("x")).as("s"))
+      .persist()
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val banded = perDoc.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val cand = banded.alias("l").join(banded.alias("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
-    val sets = hashed.groupBy(col("doc_id")).agg(collect_set(col("x")).as("s"))
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("s").as("s1")), Seq("d1"))
+    // Candidate pairs are LSH-bounded (orders of magnitude smaller than the
+    // corpus): broadcast them so the doc→set frame streams through two
+    // broadcast joins instead of shuffling on d1 then d2.
+    val sets = perDoc.select(col("doc_id"), col("s"))
+    sets.select(col("doc_id").as("d1"), col("s").as("s1"))
+      .join(broadcast(cand), Seq("d1"))
       .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
       .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))

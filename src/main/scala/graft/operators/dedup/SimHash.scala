@@ -19,8 +19,18 @@ object SimHash extends QueryModule {
   val NumBands = 4
   val MaxHamming = 3
 
-  /** (doc_id, simhash) — bit b set iff Σ±1 votes over words > 0. */
-  def simhashes(docs: DataFrame): DataFrame = {
+  /** (doc_id, simhash) — bit b set iff Σ±1 votes over words > 0.
+    * Votes are one graft.functions.SimHashSketch buffer per doc (a single
+    * update loop per word) rather than 64 separate sum(when(...)) slots. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashSketch(col("h")).as("simhash"))
+
+  /** Column-form twin of [[simhashes]] kept for the spec cross-check. */
+  def simhashesViaColumns(docs: DataFrame): DataFrame = {
     val withH = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))

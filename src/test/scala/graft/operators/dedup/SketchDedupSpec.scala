@@ -43,6 +43,14 @@ class SketchDedupSpec extends SparkSpec {
     assert(viaCols == viaSketch)
   }
 
+  test("simhash sketch aggregate equals the 64-column vote form") {
+    val viaCols = SimHash.simhashesViaColumns(base).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSketch = SimHash.simhashes(base).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCols == viaSketch)
+  }
+
   test("planted dups on real documents produce candidates") {
     assert(MinHashLsh.qDedupMinhash(spark, SfDir).count() >= 20)
     assert(SimHash.qDedupSimhash(spark, SfDir).count() >= 1)

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *     path swaps in an LSH/cell prefilter for candidate pairs (identical
   *     downstream);
   *  2. core points = neighbor count (incl. self) ≥ minPts;
-  *  3. clusters = connected components of the core-core graph via iterative
-  *     min-id label propagation (converges in graph-diameter rounds; lineage
-  *     cut with localCheckpoint per round);
+  *  3. clusters = connected components of the core-core graph
+  *     ([[ConnectedComponents]]: partition-local union-find contraction +
+  *     alternating star rounds);
   *  4. border points adopt the smallest cluster among their core neighbors;
   *     everything else is noise (cluster -1).
   *
@@ -37,17 +37,12 @@ object Dbscan {
     val coreEdges = pairs
       .join(core.select(col("i")), Seq("i"))
       .join(core.select(col("i").as("j")), Seq("j"))
-    // connected components of the core graph via GraphX Pregel — indexed
-    // vertex joins + internal caching beat a hand-rolled DataFrame
-    // label-propagation loop; component id = min core vec_id (deterministic)
-    val spark = points.sparkSession
-    val edgeRdd = coreEdges.select(col("i"), col("j")).rdd
-      .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    // connected components of the core graph — DataFrame-native contraction
+    // + star rounds (see ConnectedComponents); component id = min core
+    // vec_id (deterministic)
     val isolatedCores = core // cores with no core neighbor form singleton clusters
-    val graph = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
-    val ccDf = spark.createDataFrame(
-      graph.connectedComponents(maxIter).vertices.map(v => (v._1, v._2)))
-      .toDF("i", "cl")
+    val ccDf = ConnectedComponents.run(coreEdges, "i", "j", maxRounds = maxIter)
+      .select(col("id").as("i"), col("component").as("cl"))
     val labels = isolatedCores.join(ccDf, Seq("i"), "left")
       .select(col("i"), coalesce(col("cl"), col("i")).as("cl"))
       .cache()

@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
+      // tried and reverted: AQE coalesces small cached frames (embeddings,
+      // ε-pairs) to 1 partition, serializing every downstream pair join —
+      // the same single-partition trap as the one-row-group testdata scans.
       .withExtensions(new GraftExtensions)
       .getOrCreate()
 }

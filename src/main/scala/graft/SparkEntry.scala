@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,
     graft.operators.multimodal.MediaQueries,
+    graft.operators.analytics.Mahalanobis,
     graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,129 @@
+package graft.operators.analytics
+
+import graft.{QueryModule, Tables}
+import graft.functions.MahalanobisSq
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Covariance-based (Mahalanobis) outlier scoring — the distributed
+  * re-expression of analisis-informe.ipynb's MinCovDet / EllipticEnvelope
+  * study (robust covariance → Mahalanobis distance → outlier cut).
+  *
+  * Two stages:
+  *  1. moment estimation: ONE `treeAggregate` pass accumulates n, Σx, and
+  *     the upper triangle of Σxxᵀ (O(d²) per partition, nothing scales with
+  *     n on the driver);
+  *  2. driver-side Cholesky inversion of the d×d covariance (d = embedding
+  *     dim, driver-sized by construction) with a small ridge for numerical
+  *     safety — MinCovDet's subset-reweighting is not distributable
+  *     faithfully; the classical estimator is the documented substitute
+  *     (SURVEY §2).
+  *
+  * Scoring is then a map-side O(d²) expression ([[MahalanobisSq]]) — the
+  * same shape nearest-centroid uses: plan-constant model, no join.
+  */
+object Mahalanobis extends QueryModule {
+
+  /** (mean, inverse covariance) of `vecCol` (array<float>). */
+  def fitInverse(points: DataFrame, vecCol: String,
+                 ridge: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val data = points.select(col(vecCol).cast("array<float>")).as[Array[Float]].rdd
+    val first = data.take(1).headOption.getOrElse(
+      throw new IllegalArgumentException("Mahalanobis.fitInverse: empty input"))
+    val d = first.length
+    val tri = d * (d + 1) / 2
+    val zero = (0L, new Array[Double](d), new Array[Double](tri))
+    val (n, s, ss) = data.treeAggregate(zero)(
+      seqOp = (acc, x) => {
+        val (cnt, sum, outer) = acc
+        var i = 0
+        while (i < d) {
+          val xi = x(i).toDouble
+          sum(i) += xi
+          // upper-triangle row offset: i*d - i*(i-1)/2, col j>=i
+          val off = i * d - i * (i - 1) / 2 - i
+          var j = i
+          while (j < d) { outer(off + j) += xi * x(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1, sum, outer)
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < d) { a._2(i) += b._2(i); i += 1 }
+        var t = 0
+        while (t < tri) { a._3(t) += b._3(t); t += 1 }
+        (a._1 + b._1, a._2, a._3)
+      })
+    require(n > 1, "Mahalanobis.fitInverse: need at least 2 rows")
+    val mu = s.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d) {
+      val off = i * d - i * (i - 1) / 2 - i
+      for (j <- i until d) {
+        val c = (ss(off + j) - n * mu(i) * mu(j)) / (n - 1)
+        cov(i)(j) = c
+        cov(j)(i) = c
+      }
+      cov(i)(i) += ridge
+    }
+    (mu, invertSpd(cov))
+  }
+
+  /** Inverse of a symmetric positive-definite matrix via Cholesky
+    * (LLᵀ = A; A⁻¹ = L⁻ᵀ L⁻¹). Deterministic, no external solver. */
+  private[analytics] def invertSpd(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    val l = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var s = a(i)(j)
+      var k = 0
+      while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+      if (i == j) {
+        require(s > 0, s"covariance not positive definite at $i (pivot $s)")
+        l(i)(i) = math.sqrt(s)
+      } else l(i)(j) = s / l(j)(j)
+    }
+    // columns of L⁻¹ by forward substitution
+    val linv = Array.ofDim[Double](d, d)
+    for (c <- 0 until d) {
+      linv(c)(c) = 1.0 / l(c)(c)
+      for (i <- c + 1 until d) {
+        var s = 0.0
+        var k = c
+        while (k < i) { s -= l(i)(k) * linv(k)(c); k += 1 }
+        linv(i)(c) = s / l(i)(i)
+      }
+    }
+    // A⁻¹ = L⁻ᵀ L⁻¹  (sum over rows k ≥ max(i,j))
+    val out = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      var s = 0.0
+      var k = j
+      while (k < d) { s += linv(k)(i) * linv(k)(j); k += 1 }
+      out(i)(j) = s
+      out(j)(i) = s
+    }
+    out
+  }
+
+  /** Top-20 Mahalanobis outliers of the embedding corpus. */
+  def qMahalanobis(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (mu, inv) = fitInverse(e, "embedding")
+    e.select(col("vec_id"),
+      round(MahalanobisSq(col("embedding"), mu.toIndexedSeq,
+        inv.map(_.toIndexedSeq).toIndexedSeq), 4).as("maha_sq"))
+      .orderBy(col("maha_sq").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mahalanobis" -> (qMahalanobis _))
+
+  /** Matrix inversion is not SQL-expressible — rows-only; invariants in
+    * MahalanobisSpec. */
+  override def oracles: Map[String, String] = Map.empty
+}

@@ -30,7 +30,14 @@ object Dbscan {
     val pairs = a.join(b, col("i") =!= col("j"))
       .filter(euclidean_dist(col("va"), col("vb")) <= eps)
       .select(col("i"), col("j"))
-      .cache()
+    label(points, pairs, idCol, minPts, maxIter)
+  }
+
+  /** Stages 2-4 given the ε-neighbor pairs (shared by [[run]] and
+    * [[sweep]]). */
+  private def label(points: DataFrame, pairs0: DataFrame, idCol: String,
+                    minPts: Int, maxIter: Int): DataFrame = {
+    val pairs = pairs0.cache()
     val counts = pairs.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
     val core = counts.filter(col("n_nb") >= minPts).select(col("i")).cache()
     // core-core edges (symmetric)
@@ -62,6 +69,33 @@ object Dbscan {
     // full recomputation of every branch. Spark evicts them LRU.
     out
   }
+
+  /** Hyperparameter sweep (reference: silhouettes.ipynb:264-310 sweeps
+    * sklearn DBSCAN over eps). The O(n²)-bounded ε-pair join — the expensive
+    * stage — runs ONCE at max(eps) keeping the distance; each eps then
+    * re-labels from the cached filtered pairs. Returns one summary row per
+    * eps: cluster / core / border / noise counts. */
+  def sweep(points: DataFrame, idCol: String, vecCol: String,
+            epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
+    val a = points.select(col(idCol).as("i"), col(vecCol).as("va"))
+    val b = points.select(col(idCol).as("j"), col(vecCol).as("vb"))
+    val distPairs = a.join(b, col("i") =!= col("j"))
+      .withColumn("dist", euclidean_dist(col("va"), col("vb")))
+      .filter(col("dist") <= epsList.max)
+      .select(col("i"), col("j"), col("dist"))
+      .cache()
+    epsList.sorted.map { eps =>
+      val l = label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
+        idCol, minPts, maxIter)
+      l.agg(
+        countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
+        sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+        sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
+        sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
+        .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
+          col("n_border"), col("n_noise"))
+    }.reduce(_ unionByName _).orderBy("eps")
+  }
 }
 
 object DbscanQueries extends QueryModule {
@@ -74,7 +108,15 @@ object DbscanQueries extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster", "is_core")
 
+  /** ε-sweep up to the 5th-percentile distance (denser ε-graphs grow the
+    * edge set super-linearly — sweep below the operating point, as the
+    * reference's sweep does). */
+  def qDbscanSweep(spark: SparkSession, dir: String): DataFrame =
+    Dbscan.sweep(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      epsList = Seq(1.20, 1.26), minPts = 4)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dbscan" -> (qDbscan _))
+    "q_dbscan" -> (qDbscan _),
+    "q_dbscan_sweep" -> (qDbscanSweep _))
   override def oracles: Map[String, String] = Map.empty
 }

@@ -3,7 +3,6 @@ package graft.operators.clustering
 import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -29,6 +28,12 @@ object KMeansOp extends QueryModule {
   def features(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .withColumn("features", array_to_vector(vec_normalize(col("embedding"))))
+      .coalesce(4)
+
+  /** Raw float features for the shared-scan operators ([[MultiKMeans]]). */
+  def rawFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(vec_normalize(col("embedding")).cast("array<float>").as("v"))
       .coalesce(4)
 
   /** Fits are memoized per (dir, k, seed, maxIter) — the "bulk index
@@ -65,31 +70,35 @@ object KMeansOp extends QueryModule {
         .orderBy(col("size").desc, col("cluster"))).as("size_rank"), col("size"))
   }
 
-  /** Inertia (WSSSE) for the k=10 fit — reference tracks kmeans.inertia_. */
+  /** Inertia (WSSSE) for the k=10 fit — reference tracks kmeans.inertia_.
+    * Silhouette via [[MultiKMeans.evaluate]]'s closed-form shared scans (a
+    * converged model's prediction IS nearest-centroid) instead of
+    * ClusteringEvaluator's per-model pipeline. */
   def qKmeansInertia(spark: SparkSession, dir: String): DataFrame = {
     val m = fit(spark, dir, k = 10)
-    val sil = new ClusteringEvaluator().setFeaturesCol("features")
-      .setPredictionCol("cluster").setMetricName("silhouette")
-      .setDistanceMeasure("squaredEuclidean").evaluate(m.summary.predictions)
     import spark.implicits._
+    val dim = m.clusterCenters.head.size
+    val flat = new Array[Double](m.clusterCenters.length * dim)
+    m.clusterCenters.zipWithIndex.foreach { case (v, c) =>
+      v.foreachActive((d, x) => flat(c * dim + d) = x)
+    }
+    val data = rawFeatures(spark, dir).as[Array[Float]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sil = try MultiKMeans.evaluate(data, Array(10), Array(flat), dim)._2(0)
+    finally { data.unpersist(blocking = false); () }
     Seq((10, math.rint(m.summary.trainingCost * 1e4) / 1e4,
       math.rint(sil * 1e4) / 1e4)).toDF("k", "inertia", "silhouette")
   }
 
-  /** k-sweep: (k, inertia, silhouette) — silhouettes.ipynb:146-186. */
+  /** k-sweep: (k, inertia, silhouette) — silhouettes.ipynb:146-186. All k
+    * fitted concurrently by [[MultiKMeans]], one shared scan per Lloyd
+    * iteration instead of a serial fit + evaluate per k. */
   def qKsweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val df = features(spark, dir).cache()
-    val ev = new ClusteringEvaluator().setFeaturesCol("features")
-      .setPredictionCol("cluster").setMetricName("silhouette")
-      .setDistanceMeasure("squaredEuclidean")
-    val rows = try (2 to 8).map { k =>
-      val m = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cluster").fit(df)
-      (k, math.rint(m.summary.trainingCost * 1e4) / 1e4,
-        math.rint(ev.evaluate(m.summary.predictions) * 1e4) / 1e4)
-    } finally df.unpersist()
-    rows.toDF("k", "inertia", "silhouette")
+    MultiKMeans.sweep(rawFeatures(spark, dir), "v", 2 to 8, seed = 42L, maxIter = 10)
+      .map(r => (r.k, math.rint(r.inertia * 1e4) / 1e4,
+        math.rint(r.silhouette * 1e4) / 1e4))
+      .toDF("k", "inertia", "silhouette")
   }
 
   /** PCA projection to 3 components of the normalized embeddings —

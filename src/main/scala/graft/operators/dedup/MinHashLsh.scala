@@ -109,8 +109,23 @@ object MinHashLsh extends QueryModule {
     nearDupPairs(withPlantedDups(Tables.documents(spark, dir)), minJaccard = 0.5)
       .orderBy("d1", "d2")
 
+  /** Near-duplicate GROUPS — the keep-one-representative pass of a training
+    * pipeline: verified LSH pairs → connected components
+    * ([[graft.operators.clustering.ConnectedComponents]]) → one row per
+    * duplicate cluster with its canonical (min-id) document. Transitive:
+    * A~B, B~C groups {A,B,C} even if A,C never paired. */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(withPlantedDups(Tables.documents(spark, dir)),
+      minJaccard = 0.5)
+    graft.operators.clustering.ConnectedComponents.run(pairs, "d1", "d2")
+      .groupBy(col("component").as("canonical_doc"))
+      .agg(count(lit(1)).as("group_size"))
+      .orderBy("canonical_doc")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_minhash" -> (qDedupMinhash _))
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_groups" -> (qDedupGroups _))
 
   /** MinHash permutations are engine-specific (xxhash64) — rows-only. */
   override def oracles: Map[String, String] = Map.empty

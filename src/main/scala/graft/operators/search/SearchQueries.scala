@@ -72,10 +72,30 @@ object SearchQueries extends QueryModule {
       .orderBy("vec_id", "rk")
   }
 
+  /** kth-NN-distance outliers — the reference's NearestNeighbors outlier
+    * study (analisis-informe.ipynb): a point whose 3rd-nearest neighbor is
+    * far away sits in a sparse region. Reuses the blocked kNN pair join +
+    * TopKPerGroup; the global top-20 compiles to TakeOrderedAndProject
+    * (per-partition heaps, no full sort). */
+  def qKnnOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("v"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("nb"), col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
+      .withColumn("l2_dist", round(euclidean_dist(col("emb_a"), col("emb_b")), 6))
+      .select(col("v"), col("nb"), col("l2_dist"))
+    graft.plans.TopKPerGroup(pairs, Seq("v"), Seq("l2_dist", "nb"), 3)
+      .filter(col("rk") === 3)
+      .select(col("v").as("vec_id"), col("l2_dist").as("knn_dist"))
+      .orderBy(col("knn_dist").desc, col("vec_id"))
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_sim_stats" -> (qChunkSimStats _),
     "q_topk_bruteforce" -> (qTopkBruteforce _),
-    "q_knn" -> (qKnn _))
+    "q_knn" -> (qKnn _),
+    "q_knn_outlier" -> (qKnnOutlier _))
 
   override def oracles: Map[String, String] = Map(
     "q_chunk_sim_stats" ->
@@ -105,5 +125,13 @@ object SearchQueries extends QueryModule {
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), b.vec_id) AS rk
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id)
-        |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin)
+        |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_knn_outlier" ->
+      """SELECT vec_id, l2_dist AS knn_dist FROM (
+        |  SELECT a.vec_id AS vec_id,
+        |    round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS l2_dist,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), b.vec_id) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |WHERE rk = 3 ORDER BY knn_dist DESC, vec_id LIMIT 20""".stripMargin)
 }

@@ -42,4 +42,24 @@ class DbscanSpec extends SparkSpec {
     val n = out.agg(sum("n")).head().getLong(0)
     assert(n == graft.Tables.embeddings(spark, SfDir).count())
   }
+
+  test("eps sweep: each row partitions n, looser eps never shrinks clusters' reach") {
+    // blob spacing is 0.01: eps below it isolates everything
+    val r = Dbscan.sweep(blobs, "id", "vec", epsList = Seq(0.005, 0.5, 100.0),
+      minPts = 3).orderBy("eps").collect()
+    assert(r.length == 3)
+    val n = blobs.count()
+    r.foreach { row =>
+      val total = row.getAs[Long]("n_core") + row.getAs[Long]("n_border") +
+        row.getAs[Long]("n_noise")
+      assert(total == n, s"partition broken at eps=${row.getAs[Double]("eps")}")
+    }
+    // eps=0.05: nothing reaches minPts → all noise; eps=100: one giant cluster
+    assert(r.head.getAs[Long]("n_noise") == n)
+    assert(r.last.getAs[Long]("n_clusters") == 1 && r.last.getAs[Long]("n_noise") == 0)
+    // at the matched run parameters the sweep row equals a standalone run
+    val single = Dbscan.run(blobs, "id", "vec", eps = 0.5, minPts = 3)
+    val noise = single.filter(col("cluster") === -1).count()
+    assert(r(1).getAs[Long]("n_noise") == noise)
+  }
 }

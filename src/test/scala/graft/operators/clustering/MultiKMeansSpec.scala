@@ -1,0 +1,47 @@
+package graft.operators.clustering
+
+import graft.SparkSpec
+
+class MultiKMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 well-separated blobs around (0,0), (10,0), (0,10), 30 points each. */
+  private def blobs = {
+    val rnd = new scala.util.Random(1)
+    val centers = Seq(Array(0f, 0f), Array(10f, 0f), Array(0f, 10f))
+    centers.flatMap(c => Seq.fill(30)(
+      Array(c(0) + rnd.nextFloat() * 0.5f, c(1) + rnd.nextFloat() * 0.5f)))
+  }
+
+  test("sweep recovers separated blobs at k=3 with high silhouette") {
+    val df = blobs.toDF("v")
+    val out = MultiKMeans.sweep(df, "v", ks = Seq(2, 3, 4), seed = 7L, maxIter = 20)
+    val byK = out.map(m => m.k -> m).toMap
+    // at the true k the fit is near-perfect
+    assert(byK(3).silhouette > 0.9, s"sil=${byK(3).silhouette}")
+    assert(byK(3).inertia < byK(2).inertia)
+    // each blob contributes ~30·(intra-blob variance); inertia tiny vs k=2
+    assert(byK(3).inertia < byK(2).inertia / 10)
+    assert(out.forall(m => m.silhouette >= -1 && m.silhouette <= 1))
+    assert(out.forall(m => m.centroids.length == m.k))
+  }
+
+  test("sweep is deterministic under a fixed seed (up to float combine order)") {
+    val df = blobs.toDF("v")
+    val a = MultiKMeans.sweep(df, "v", Seq(3), seed = 7L, maxIter = 20).head
+    val b = MultiKMeans.sweep(df, "v", Seq(3), seed = 7L, maxIter = 20).head
+    // treeAggregate combine order jitters double sums run-to-run
+    assert(approx(a.inertia, b.inertia, 1e-6 * math.max(1.0, a.inertia)))
+    assert(approx(a.silhouette, b.silhouette, 1e-9))
+  }
+
+  test("evaluate at fixed centroids matches the sweep's own metrics") {
+    val df = blobs.toDF("v")
+    val m = MultiKMeans.sweep(df, "v", Seq(3), seed = 7L, maxIter = 20).head
+    val data = df.as[Array[Float]].rdd
+    val flat = m.centroids.flatten
+    val (in, sil) = MultiKMeans.evaluate(data, Array(3), Array(flat), 2)
+    assert(approx(in(0), m.inertia, 1e-6))
+    assert(approx(sil(0), m.silhouette, 1e-6))
+  }
+}

@@ -19,6 +19,20 @@ class SketchDedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("dedup groups are transitive with a min-id canonical doc") {
+    // 1~2 and 2~5 near-dups but 1~5 may never pair directly: one group {1,2,5}
+    val chained = base.unionByName(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again yesterday")
+    ).toDF("doc_id", "text"))
+    val pairs = MinHashLsh.nearDupPairs(chained, minJaccard = 0.5)
+    val groups = graft.operators.clustering.ConnectedComponents
+      .run(pairs, "d1", "d2")
+      .groupBy(col("component")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 3L), s"expected one group {1,2,5}: $groups")
+    assert(MinHashLsh.qDedupGroups(spark, SfDir).count() >= 20)
+  }
+
   test("minhash signature is deterministic") {
     val s1 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)
     val s2 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)

@@ -5,10 +5,7 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = GraftSession.build("8") // registers GraftExtensions (TopKPerGroup etc.)
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join_agg", "q_topk_bruteforce", "q_chunk_sim_stats", "q_nearest_centroid")

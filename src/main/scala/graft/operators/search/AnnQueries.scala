@@ -76,8 +76,21 @@ object AnnQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Recall@10 of the IVF probe against exact brute-force ground truth —
+    * the accuracy/latency trade-off the reference thesis studies when
+    * tuning its vector index. Both sides are existing top-10 plans
+    * (driver-sized), so the metric join is a broadcast of 10 rows. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = SearchQueries.qTopkBruteforce(spark, dir).select("vec_id")
+    val ivf = qAnnIvf(spark, dir).select("vec_id")
+    exact.join(ivf, Seq("vec_id"))
+      .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
+      .select(lit(10).as("k"), col("recall"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_lof" -> (qLof _))
 
   private val AsgCte =
@@ -103,6 +116,18 @@ object AnnQueries extends QueryModule {
          |  round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) AS cos_sim
          |FROM asg WHERE vec_id > 0 AND cell IN (SELECT cid FROM probe)
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH $AsgCte,
+         |ivf AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY
+         |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+         |  FROM asg WHERE vec_id > 0 AND cell IN (SELECT cid FROM probe)) WHERE rn <= 10),
+         |exact AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY
+         |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+         |  FROM asg WHERE vec_id > 0) WHERE rn <= 10)
+         |SELECT 10 AS k, round(count(*) / 10.0, 6) AS recall
+         |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
     "q_lof" ->
       """WITH knn AS (
         |  SELECT i, j, d FROM (

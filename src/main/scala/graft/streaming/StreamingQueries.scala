@@ -121,10 +121,29 @@ object StreamingQueries extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Stream-static enrichment: each event joins its user's market segment
+    * from the static customer dim (broadcast — the stream side never
+    * shuffles), then rolls up per (segment, type). This is the online
+    * serving shape for decorating a live stream with reference data. */
+  def qEventsEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nCust = cust.count()
+    val dim = broadcast(cust.select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(spark, dir)
+      .withColumn("c_custkey", (col("user_id") % nCust) + 1L)
+      .join(dim, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+    runToTable(spark, agg, "events_enrich_stream", OutputMode.Complete())
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stream" -> (qEventsWindowStream _),
     "q_sessionize" -> (qSessionize _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_events_enrich_stream" -> (qEventsEnrichStream _))
 
   override def oracles: Map[String, String] = Map(
     "q_events_window_stream" ->
@@ -147,5 +166,11 @@ object StreamingQueries extends QueryModule {
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_enrich_stream" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c
+        |  ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)
 }

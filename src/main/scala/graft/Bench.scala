@@ -33,7 +33,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop this query's cached/checkpointed blocks so later queries don't
+      // inherit LRU-eviction churn from 50+ accumulated intermediates
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -115,9 +115,23 @@ object KMeansOp extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Best-of-8 seeded restarts at k=10 — the reference's n_init
+    * (cluster_creator.py:18), all restarts sharing one scan per Lloyd
+    * iteration via [[MultiKMeans.restarts]] instead of 8 serial fits. */
+  def qKmeansRestarts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val models = MultiKMeans.restarts(rawFeatures(spark, dir), "v", k = 10,
+      seeds = (0 until 8).map(42L + _), maxIter = 10)
+    val best = models.minBy(_.inertia)
+    Seq((models.size, 10, math.rint(best.inertia * 1e4) / 1e4,
+      math.rint(best.silhouette * 1e4) / 1e4))
+      .toDF("n_init", "k", "best_inertia", "silhouette")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_sizes" -> (qKmeansSizes _),
     "q_kmeans_inertia" -> (qKmeansInertia _),
+    "q_kmeans_restarts" -> (qKmeansRestarts _),
     "q_ksweep" -> (qKsweep _),
     "q_pca" -> (qPca _))
 

@@ -35,19 +35,32 @@ object MultiKMeans {
     * @param ks      the k values to fit (e.g. 2 to 8)
     */
   def sweep(points: DataFrame, vecCol: String, ks: Seq[Int], seed: Long = 42L,
-            maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] = {
+            maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] =
+    sweepConfigs(points, vecCol, ks.map(k => (k, seed + k)), maxIter, tol)
+
+  /** Restart form: the same k fitted from `seeds.size` different seeded
+    * inits, all in the shared scans — the reference's sklearn `n_init`
+    * (cluster_creator.py:18 N_ITER_KMEANS) without n_init serial fits. */
+  def restarts(points: DataFrame, vecCol: String, k: Int, seeds: Seq[Long],
+               maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] =
+    sweepConfigs(points, vecCol, seeds.map(s => (k, s)), maxIter, tol)
+
+  /** General form: one (k, init-seed) pair per concurrently-fitted model. */
+  def sweepConfigs(points: DataFrame, vecCol: String, configs: Seq[(Int, Long)],
+                   maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] = {
     val spark = points.sparkSession
     import spark.implicits._
     val data = points.select(vecCol).as[Array[Float]].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val sample = data.takeSample(withReplacement = false, num = 1000, seed)
-      require(sample.nonEmpty, "MultiKMeans.sweep: empty input")
+      val sample = data.takeSample(withReplacement = false, num = 1000,
+        configs.head._2)
+      require(sample.nonEmpty, "MultiKMeans: empty input")
       val dim = sample.head.length
-      val kArr = ks.toArray
+      val kArr = configs.map(_._1).toArray
       // k-means++ init per model from the shared sample (driver-side, seeded)
-      val centroids: Array[Array[Double]] = kArr.map(k =>
-        kppInit(sample, k, dim, new scala.util.Random(seed + k)))
+      val centroids: Array[Array[Double]] = configs.toArray.map { case (k, s) =>
+        kppInit(sample, k, dim, new scala.util.Random(s)) }
       val active = Array.fill(kArr.length)(true)
       val iters = Array.fill(kArr.length)(0)
       var iter = 0

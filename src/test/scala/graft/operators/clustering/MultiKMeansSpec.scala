@@ -35,6 +35,14 @@ class MultiKMeansSpec extends SparkSpec {
     assert(approx(a.silhouette, b.silhouette, 1e-9))
   }
 
+  test("restarts: best-of-n never worse than the first seed alone") {
+    val df = blobs.toDF("v")
+    val many = MultiKMeans.restarts(df, "v", k = 4, seeds = (0 until 5).map(11L + _))
+    val one = MultiKMeans.restarts(df, "v", k = 4, seeds = Seq(11L))
+    assert(many.map(_.inertia).min <= one.head.inertia * 1.0001)
+    assert(many.forall(_.k == 4))
+  }
+
   test("evaluate at fixed centroids matches the sweep's own metrics") {
     val df = blobs.toDF("v")
     val m = MultiKMeans.sweep(df, "v", Seq(3), seed = 7L, maxIter = 20).head

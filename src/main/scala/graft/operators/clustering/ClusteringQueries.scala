@@ -59,6 +59,16 @@ object ClusteringQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster distance-to-centroid histogram (0.1-wide buckets) — the
+    * distribution behind nuevo-kmeans-pre.ipynb's
+    * plot_histograms_and_identify_outliers; one shuffle on
+    * (centroid_id, bucket) after the map-side assignment. */
+  def qCentroidHist(spark: SparkSession, dir: String): DataFrame =
+    assigned(spark, dir)
+      .groupBy(col("centroid_id"), floor(col("dist") * 10).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("centroid_id", "bucket")
+
   /** Top-3 nearest-to-centroid exemplars per cluster — the reference samples
     * these as LLM labeling prompts (update-etiquetas.ipynb:228). Uses the
     * custom TopKPerGroup operator (bounded heaps, no window sort). */
@@ -116,6 +126,7 @@ object ClusteringQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nearest_centroid" -> (qNearestCentroid _),
     "q_centroid_outliers" -> (qCentroidOutliers _),
+    "q_centroid_hist" -> (qCentroidHist _),
     "q_cluster_exemplars" -> (qClusterExemplars _),
     "q_label_merge" -> (qLabelMerge _),
     "q_silhouette_exact" -> (qSilhouetteExact _))
@@ -147,6 +158,10 @@ object ClusteringQueries extends QueryModule {
          |    stddev_samp(dist) OVER (PARTITION BY centroid_id) AS std_d
          |  FROM asg)
          |WHERE dist > mean_d + 1.0 * std_d ORDER BY vec_id""".stripMargin,
+    "q_centroid_hist" ->
+      s"""WITH $NrmCte
+         |SELECT centroid_id, CAST(floor(dist * 10) AS BIGINT) AS bucket, count(*) AS n
+         |FROM asg GROUP BY 1, 2 ORDER BY centroid_id, bucket""".stripMargin,
     "q_cluster_exemplars" ->
       s"""WITH $NrmCte
          |SELECT centroid_id, rk, vec_id, round(dist, 6) AS dist FROM (

@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.clustering.KMeansOp,
     graft.operators.clustering.DbscanQueries,
     graft.operators.search.AnnQueries,
+    graft.operators.search.KeywordSearch,
     graft.operators.search.LshAnn,
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,

@@ -1,0 +1,150 @@
+package graft.operators.search
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance — the lexical half of the reference's hybrid
+  * index (Azure AI Search scores keyword queries with BM25 alongside vector
+  * similarity; the thesis's corpus lives in exactly such an index).
+  *
+  * Shape: tokenize → per-doc term frequencies for the query terms only
+  * (the filter lands BEFORE the shuffle, so the aggregated frame is
+  * O(docs × query_terms), not O(total tokens)) → document frequencies
+  * (query_terms rows, broadcast) → per-(doc, term) BM25 partial → fixed
+  * per-term sum. The per-term sum is written as one conditional max per
+  * query term added in a FIXED order, so the double addition is
+  * order-deterministic and the DuckDB oracle matches bit-for-bit.
+  */
+object KeywordSearch extends QueryModule {
+
+  val K1 = 1.2
+  val B = 0.75
+  /** Query terms for the oracle-checked query (fixed order — the score sum
+    * adds them in this order on both engines). */
+  val Query: Seq[String] = Seq("vector", "spark", "merge")
+
+  /** Top-k BM25 search over `docs(idCol, textCol)` for `terms`. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tokens.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+    val termSum: Column = terms
+      .map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy("doc_id")
+      .agg(round(termSum, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(spark, dir), "doc_id", "text", Query, 10)
+
+  /** Hybrid keyword+vector retrieval fused with reciprocal-rank fusion —
+    * the reference index's hybrid mode (Azure AI Search fuses its BM25 and
+    * vector rankings with RRF at k=60). Doc-level vector rank = best chunk
+    * cosine to the query vector (vec 0); both candidate lists are top-50;
+    * rrf = Σ 1/(60+rank) over the lists a doc appears in. Rank-based, so
+    * fusion is float-order-proof and the oracle matches exactly. */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 50
+    val kw = bm25TopK(Tables.documents(spark, dir), "doc_id", "text", Query, n)
+      .withColumn("rk_kw", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk_kw"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
+    val vec = e
+      .select(expr("vec_id DIV 8").as("doc_id"),
+        graft.functions.VectorOps.cosine_sim(col("embedding"), qCol).as("cos"))
+      .groupBy("doc_id").agg(round(max(col("cos")), 6).as("best_cos"))
+      .orderBy(col("best_cos").desc, col("doc_id")).limit(n)
+      .withColumn("rk_vec", row_number().over(
+        Window.orderBy(col("best_cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rk_vec"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(60) + col("rk_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_hybrid_rrf" -> (qHybridRrf _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('vector', 'spark', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, round(
+        |    coalesce(max(CASE WHEN term = 'vector' THEN s END), 0) +
+        |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0) +
+        |    coalesce(max(CASE WHEN term = 'merge' THEN s END), 0), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('vector', 'spark', 'merge') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (
+        |  SELECT doc_id, round(
+        |      coalesce(max(CASE WHEN term = 'vector' THEN s END), 0) +
+        |      coalesce(max(CASE WHEN term = 'spark' THEN s END), 0) +
+        |      coalesce(max(CASE WHEN term = 'merge' THEN s END), 0), 6) AS score
+        |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |kw AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk_kw FROM bm),
+        |vecs AS (
+        |  SELECT vec_id // 8 AS doc_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+        |  FROM embeddings),
+        |bestv AS (SELECT doc_id, round(max(cos), 6) AS best_cos FROM vecs
+        |  GROUP BY doc_id ORDER BY best_cos DESC, doc_id LIMIT 50),
+        |vec AS (SELECT doc_id, row_number() OVER (ORDER BY best_cos DESC, doc_id) AS rk_vec FROM bestv)
+        |SELECT doc_id, round(
+        |    coalesce(1.0 / (60 + rk_kw), 0) + coalesce(1.0 / (60 + rk_vec), 0), 6) AS rrf
+        |FROM kw FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+}

@@ -89,4 +89,65 @@ object Graft {
     * BPE-ish token count Column. */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(graft.operators.text.TextQueries.TokenRegex), lit(0)))
+
+  // ---- extended surface (training-pipeline + hybrid-index operators) ----
+
+  /** BM25 keyword top-k — the lexical half of the reference's hybrid index. */
+  def keywordSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): DataFrame =
+    operators.search.KeywordSearch.bm25TopK(docs, idCol, textCol, terms, k)
+
+  /** Reciprocal-rank fusion (Azure AI Search's hybrid fusion, k=60): each
+    * input is an (id, score) frame; ranks are taken by score desc, ties by
+    * id; a doc scores Σ 1/(rrfK + rank) over the lists it appears in. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, rkName: String) = {
+      val score = df.columns.filter(_ != idCol).head
+      df.withColumn(rkName, row_number().over(
+        Window.orderBy(col(score).desc, col(idCol))))
+        .select(col(idCol), col(rkName))
+    }
+    ranked(a, "__rka").join(ranked(b, "__rkb"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("__rka")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rkb")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate groups: MinHash-LSH candidate pairs (verified by exact
+    * Jaccard) → connected components → (id, canonical_id) mapping. Keep
+    * rows where id == canonical_id to deduplicate a corpus. */
+  def dedupGroups(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double): DataFrame = {
+    val pairs = operators.dedup.MinHashLsh.nearDupPairs(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), minJaccard)
+    operators.clustering.ConnectedComponents.run(pairs, "d1", "d2")
+      .select(col("id").as(idCol), col("component").as("canonical_id"))
+  }
+
+  /** silhouettes.ipynb k-sweep: every k fitted in shared scans; returns
+    * (k, inertia, silhouette) models with centroids. */
+  def kmeansSweep(df: DataFrame, embeddingCol: String, ks: Seq[Int],
+                  seed: Long = 42L, maxIter: Int = 10)
+      : Seq[operators.clustering.MultiKMeans.SweepModel] =
+    operators.clustering.MultiKMeans.sweep(
+      df.select(vec_normalize(col(embeddingCol)).cast("array<float>").as("__v")),
+      "__v", ks, seed, maxIter)
+
+  /** silhouettes.ipynb DBSCAN: (id, cluster, is_core); cluster -1 = noise. */
+  def dbscan(df: DataFrame, idCol: String, embeddingCol: String,
+             eps: Double, minPts: Int): DataFrame =
+    operators.clustering.Dbscan.run(df, idCol, embeddingCol, eps, minPts)
+
+  /** analisis-informe.ipynb MinCovDet study (classical-covariance
+    * substitute): squared Mahalanobis score per row. */
+  def mahalanobisScores(df: DataFrame, idCol: String,
+                        embeddingCol: String): DataFrame = {
+    val (mu, inv) = operators.analytics.Mahalanobis.fitInverse(df, embeddingCol)
+    df.select(col(idCol),
+      graft.functions.MahalanobisSq(col(embeddingCol), mu.toIndexedSeq,
+        inv.map(_.toIndexedSeq).toIndexedSeq).as("maha_sq"))
+  }
 }

@@ -43,6 +43,35 @@ class GraftFacadeSpec extends SparkSpec {
     assert(merged(1L).contains(7) && merged(2L).isEmpty && merged(3L).contains(9))
   }
 
+  test("rrfFuse ranks a doc present in both lists above single-list docs") {
+    import spark.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "s")
+    val b = Seq((2L, 0.99), (4L, 0.5)).toDF("id", "s")
+    val fused = Graft.rrfFuse(a, b, "id", k = 4).collect()
+    assert(fused.head.getLong(0) == 2L) // in both lists
+    assert(fused.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("dedupGroups maps near-dup chains to one canonical id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely unrelated text about spark catalyst expressions and shuffles here")
+    ).toDF("id", "body")
+    val g = Graft.dedupGroups(docs, "id", "body", minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("kmeansSweep and mahalanobisScores run on the embeddings table") {
+    val e = Tables.embeddings(spark, SfDir)
+    val sweep = Graft.kmeansSweep(e, "embedding", Seq(2, 3))
+    assert(sweep.map(_.k) == Seq(2, 3) && sweep.forall(_.inertia > 0))
+    val m = Graft.mahalanobisScores(e, "vec_id", "embedding")
+    assert(m.filter(col("maha_sq") < 0).count() == 0)
+  }
+
   test("SQL functions available via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -97,9 +97,43 @@ object MediaQueries extends QueryModule {
       .orderBy("media_type")
   }
 
+  /** Thumbnail resize to 64×64: payload scaled by the area ratio (STUB
+    * content transform — a real codec would re-encode pixels; the byte-
+    * length arithmetic, schema, and scan shape are real and
+    * oracle-checked). Declarative substring over binary — no UDF, stays in
+    * whole-stage codegen. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("out_len",
+        greatest(lit(1L),
+          floor(length(col("media_bytes")) * lit(4096.0) /
+            (col("width") * col("height")))))
+      .withColumn("resized",
+        expr("substring(media_bytes, 1, cast(out_len AS int))"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("resized")).cast("long")).as("sum_resized_bytes"))
+      .orderBy("media_type")
+
+  /** Frame sampling: every 10th 256-byte "frame" of each video payload
+    * (last frame partial). explode(sequence(...)) + substring — the frame
+    * fan-out is a declarative generator the optimizer sees, not opaque
+    * per-row code. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .withColumn("n_frames", expr("(length(media_bytes) + 255) DIV 256"))
+      .withColumn("idx", explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))))
+      .withColumn("frame", expr("substring(media_bytes, cast(idx*256+1 AS int), 256)"))
+      .agg(countDistinct(col("doc_id")).as("n_videos"),
+        count(lit(1)).as("n_frames_sampled"),
+        sum(length(col("frame")).cast("long")).as("sum_frame_bytes"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (qMediaMeta _),
-    "q_media_features" -> (qMediaFeatures _))
+    "q_media_features" -> (qMediaFeatures _),
+    "q_media_resize" -> (qMediaResize _),
+    "q_frame_sample" -> (qFrameSample _))
 
   override def oracles: Map[String, String] = Map(
     "q_media_meta" ->
@@ -110,5 +144,20 @@ object MediaQueries extends QueryModule {
         |FROM (SELECT doc_id, n_chars,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type
         |  FROM documents)
-        |GROUP BY media_type ORDER BY media_type""".stripMargin)
+        |GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q_media_resize" ->
+      """SELECT media_type, count(*) AS n,
+        |  sum(least(greatest(1, CAST(floor(n_chars * 4096.0 / (width * height)) AS BIGINT)),
+        |            n_chars)) AS sum_resized_bytes
+        |FROM (SELECT doc_id, n_chars,
+        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        |    64 + (doc_id % 8) * 16 AS width, 64 + (doc_id % 4) * 32 AS height
+        |  FROM documents)
+        |GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT count(DISTINCT doc_id) AS n_videos, count(*) AS n_frames_sampled,
+        |  sum(least(256, n_chars - idx * 256)) AS sum_frame_bytes
+        |FROM (
+        |  SELECT doc_id, n_chars, unnest(range(0, (n_chars + 255) // 256, 10)) AS idx
+        |  FROM documents WHERE doc_id % 3 = 2)""".stripMargin)
 }

@@ -24,31 +24,39 @@ object KeywordSearch extends QueryModule {
     * adds them in this order on both engines). */
   val Query: Seq[String] = Seq("vector", "spark", "merge")
 
-  /** Top-k BM25 search over `docs(idCol, textCol)` for `terms`. */
+  /** Top-k BM25 search over `docs(idCol, textCol)` for `terms`.
+    *
+    * ONE tokenize + ONE groupBy: per-doc length and per-term tf come out of
+    * the same aggregation (conditional sums — the term list is query-sized),
+    * and corpus stats (n_docs, avgdl, per-term df) reduce the doc-sized
+    * frame to one broadcast row. The token stream is scanned once — the
+    * count that actually matters at 100 TB. Per-term score contributions
+    * are added in fixed term order, keeping the double sum
+    * engine-deterministic (oracle matches bit-for-bit). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
-    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = tokens.filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), Seq("term"))
-      .join(docLen, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (K1 + 1.0)) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
-    val termSum: Column = terms
-      .map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
-      .reduce(_ + _)
-    scored.groupBy("doc_id")
-      .agg(round(termSum, 6).as("score"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .cache()
+    val statAggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val termScore: Seq[Column] = terms.indices.map { i =>
+      when(col(s"tf_$i") > 0,
+        log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0) *
+          (col(s"tf_$i") * (K1 + 1.0)) /
+          (col(s"tf_$i") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(termScore.reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

@@ -74,6 +74,47 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation funnel — the composite training-data pipeline:
+    * language filter (pred_lang = en) → quality cut (score ≥ 0.7) → exact
+    * dedup (md5, keep min doc_id) → token budget of the surviving corpus.
+    * ONE scan with conditional stage flags, one window for the dedup rank,
+    * one aggregate — the funnel costs a single pass however many stages it
+    * composes. Returns one row of per-stage counts. */
+  def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(lower(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(words(col("text"))).as("n_tok"),
+        stopHits(ws, StopDe).as("s_de"), stopHits(ws, StopEn).as("s_en"),
+        stopHits(ws, StopEs).as("s_es"), stopHits(ws, StopFr).as("s_fr"),
+        size(ws).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"),
+        stopHits(ws, StopEn).cast("double").as("n_stop"))
+      .withColumn("pred_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .withColumn("q",
+        lit(0.4) * least(lit(1.0), col("n_words") / lit(50.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m"))
+          + lit(0.3) * (col("n_stop") / col("n_words")))
+      .withColumn("is_en", col("pred_lang") === "en")
+      .withColumn("is_good", col("pred_lang") === "en" && col("q") >= 0.7)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("is_good"), md5(col("text"))).orderBy(col("doc_id"))))
+      .withColumn("is_uniq", col("is_good") && col("rn") === 1)
+    scored.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("is_good"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("is_uniq"), 1L).otherwise(0L)).as("n_unique"),
+      sum(when(col("is_uniq"), col("n_tok").cast("long"))).as("total_tokens"),
+      round(avg(when(col("is_uniq"), col("q"))), 6).as("avg_quality"))
+  }
+
   /** Whole-document fingerprint (md5 — identical hex in both engines).
     * The winnowing/rolling-hash variant lives in RollingHash (rows-only). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -109,7 +150,8 @@ object TextQueries extends QueryModule {
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
-    "q_chunking" -> (qChunking _))
+    "q_chunking" -> (qChunking _),
+    "q_corpus_curation" -> (qCorpusCuration _))
 
   private def inList(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
   private def scoreSql(alias: String, stops: Seq[String]) =
@@ -150,6 +192,44 @@ object TextQueries extends QueryModule {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_curation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    ${scoreSql("s_de", StopDe)},
+         |    ${scoreSql("s_en", StopEn)},
+         |    ${scoreSql("s_es", StopEs)},
+         |    ${scoreSql("s_fr", StopFr)},
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |         w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
+         |  FROM documents),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |    0.4 * least(1.0, n_words / 50.0)
+         |      + 0.3 * (1.0 - n_punct / n_chars_m)
+         |      + 0.3 * (n_stop / n_words) AS q
+         |  FROM scored),
+         |staged AS (
+         |  SELECT *,
+         |    (pred_lang = 'en') AS is_en,
+         |    (pred_lang = 'en' AND q >= 0.7) AS is_good
+         |  FROM flagged),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY is_good, md5(text) ORDER BY doc_id) AS rn
+         |  FROM staged)
+         |SELECT count(*) AS n_input,
+         |  sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_lang,
+         |  sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS n_quality,
+         |  sum(CASE WHEN is_good AND rn = 1 THEN 1 ELSE 0 END) AS n_unique,
+         |  sum(CASE WHEN is_good AND rn = 1 THEN n_tok END) AS total_tokens,
+         |  round(avg(CASE WHEN is_good AND rn = 1 THEN q END), 6) AS avg_quality
+         |FROM ranked""".stripMargin,
     "q_chunking" ->
       """SELECT doc_id, start // 32 AS chunk_idx,
         |  substring(text, CAST(start AS INT) + 1, 48) AS chunk_text,

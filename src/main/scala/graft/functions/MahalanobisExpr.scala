@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 case class MahalanobisSq(child: Expression, mean: Seq[Double],
                          invCov: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "mahalanobis_sq"
   override def dataType: DataType = DoubleType
@@ -46,6 +46,52 @@ case class MahalanobisSq(child: Expression, mean: Seq[Double],
       i += 1
     }
     s
+  }
+
+  // Codegen mirrors nullSafeEval exactly (same loop order/symmetry trick) —
+  // bit-identical paths; μ and the flattened Σ⁻¹ ride as reference objects.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val extract: Option[String => String] = child.dataType match {
+      case ArrayType(FloatType, _)  => Some(c => s"$c.toFloatArray()")
+      case ArrayType(DoubleType, _) => Some(c => s"$c.toDoubleArray()")
+      case _                        => None
+    }
+    nullSafeCodeGen(ctx, ev, c => extract match {
+      case Some(ex) =>
+        val muTerm = ctx.addReferenceObj("muArr", mu, "double[]")
+        val mTerm = ctx.addReferenceObj("invCovFlat", m, "double[]")
+        val elemJava = child.dataType match {
+          case ArrayType(FloatType, _) => "float"
+          case _                       => "double"
+        }
+        val arr = ctx.freshName("arr")
+        val z = ctx.freshName("z")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        s"""
+           |$elemJava[] $arr = ${ex(c)};
+           |int $d = Math.min($arr.length, $muTerm.length);
+           |double[] $z = new double[$d];
+           |for (int $i = 0; $i < $d; $i++) { $z[$i] = ((double) $arr[$i]) - $muTerm[$i]; }
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $d; $i++) {
+           |  double zi = $z[$i];
+           |  $acc += $mTerm[$i * $d + $i] * zi * zi;
+           |  double t = 0.0;
+           |  for (int $j = $i + 1; $j < $d; $j++) { t += $mTerm[$i * $d + $j] * $z[$j]; }
+           |  $acc += 2.0 * zi * t;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      case None =>
+        val expr = ctx.addReferenceObj("thisExpr", this, classOf[MahalanobisSq].getName)
+        s"${ev.value} = (Double) $expr.nullSafeEval($c);"
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

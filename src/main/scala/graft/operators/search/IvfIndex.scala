@@ -56,4 +56,33 @@ object IvfIndex {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Batched serving: top-k for EVERY query in one plan. Queries rank the
+    * centroid table (broadcast, k×d rows) per query via TopKPerGroup →
+    * (query, cell) probe set; joining it against the index on the `cell`
+    * partition column lets dynamic partition pruning skip unprobed cells'
+    * files; per-query exact top-k again via TopKPerGroup. Nothing is
+    * collected to the driver — this is the 10^5-queries/batch shape. */
+  def probeBatch(spark: SparkSession, indexPath: String, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cenDf = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell"), col("centroid").cast("array<float>").as("cvec"))
+    val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qnorm", vec_normalize(col("qv")).cast("array<float>"))
+    val ranked = qn.crossJoin(broadcast(cenDf))
+      .select(col("qid"), col("qv"), col("cell"),
+        round(euclidean_dist(col("qnorm"), col("cvec")), 9).as("cell_dist"))
+    val probes = graft.plans.TopKPerGroup(ranked, Seq("qid"),
+      Seq("cell_dist", "cell"), nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val hits = spark.read.parquet(s"$indexPath/data")
+      .join(probes, Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .withColumn("neg_sim", -col("cos_sim"))
+    graft.plans.TopKPerGroup(hits, Seq("qid"), Seq("neg_sim", "vec_id"), k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("cos_sim"))
+  }
 }

@@ -118,5 +118,55 @@ object DbscanQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dbscan" -> (qDbscan _),
     "q_dbscan_sweep" -> (qDbscanSweep _))
-  override def oracles: Map[String, String] = Map.empty
+
+  /** DBSCAN is oracle-checkable: DuckDB replays the exact semantics —
+    * ε-pairs, core = |N(i)|+1 ≥ minPts, clusters = transitive closure of
+    * the core graph (recursive CTE) labeled by min core id, borders adopt
+    * the smallest core-neighbor's cluster, rest is noise. Tractable at
+    * oracle scale (closure is bounded by n·|component|). */
+  private def dbscanCtes(eps: String, minPts: Int, s: String): String =
+    s"""pairs$s AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) <= $eps),
+       |core$s AS (SELECT i FROM pairs$s GROUP BY i HAVING count(*) + 1 >= $minPts),
+       |ce$s AS (SELECT p.i, p.j FROM pairs$s p
+       |       JOIN core$s c1 ON p.i = c1.i JOIN core$s c2 ON p.j = c2.i),
+       |reach$s AS (
+       |  SELECT i, i AS j FROM core$s
+       |  UNION
+       |  SELECT r.i, c.j FROM reach$s r JOIN ce$s c ON r.j = c.i),
+       |corelbl$s AS (SELECT i, min(j) AS cl FROM reach$s GROUP BY i),
+       |borderlbl$s AS (
+       |  SELECT p.i, min(l.cl) AS cl
+       |  FROM pairs$s p JOIN corelbl$s l ON p.j = l.i
+       |  WHERE p.i NOT IN (SELECT i FROM core$s)
+       |  GROUP BY p.i),
+       |lbl$s AS (
+       |  SELECT e.vec_id,
+       |    coalesce(c.cl, b.cl, -1) AS cluster,
+       |    (c.cl IS NOT NULL) AS is_core
+       |  FROM embeddings e
+       |  LEFT JOIN corelbl$s c ON e.vec_id = c.i
+       |  LEFT JOIN borderlbl$s b ON e.vec_id = b.i)""".stripMargin
+
+  private def sweepRowSql(eps: String, s: String): String =
+    s"""SELECT $eps AS eps,
+       |  count(DISTINCT CASE WHEN cluster >= 0 THEN cluster END) AS n_clusters,
+       |  sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS n_core,
+       |  sum(CASE WHEN NOT is_core AND cluster >= 0 THEN 1 ELSE 0 END) AS n_border,
+       |  sum(CASE WHEN cluster = -1 THEN 1 ELSE 0 END) AS n_noise
+       |FROM lbl$s""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_dbscan" ->
+      s"""WITH RECURSIVE ${dbscanCtes("1.26", 4, "")}
+         |SELECT cluster, is_core, count(*) AS n FROM lbl
+         |GROUP BY cluster, is_core ORDER BY cluster, is_core""".stripMargin,
+    "q_dbscan_sweep" ->
+      s"""WITH RECURSIVE ${dbscanCtes("1.20", 4, "a")}, ${dbscanCtes("1.26", 4, "b")}
+         |${sweepRowSql("1.20", "a")}
+         |UNION ALL
+         |${sweepRowSql("1.26", "b")}
+         |ORDER BY eps""".stripMargin)
 }

@@ -72,11 +72,17 @@ object ConnectedComponents {
       cur.as[(Long, Long)].coalesce(1)
         .mapPartitions(localStars(_, withRoots = true))
         .toDF("id", "component")
-    } else {
+    } else if (converged) {
       // Star-round fixpoint: every edge is (node, root-of-component).
       cur.select($"u".as("id"), $"v".as("component"))
         .union(cur.select($"v".as("id"), $"v".as("component")))
         .distinct()
+    } else {
+      // maxRounds exhausted above the single-task threshold: emitting the
+      // unconverged star set would silently mislabel — fail loudly instead.
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxRounds rounds " +
+          s"(${prev._1} edges remain); raise maxRounds or localFinishThreshold")
     }
   }
 

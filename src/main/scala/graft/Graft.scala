@@ -101,24 +101,14 @@ object Graft {
     * input is an (id, score) frame; ranks are taken by score desc, ties by
     * id; a doc scores Σ 1/(rrfK + rank) over the lists it appears in. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
-              rrfK: Int = 60): DataFrame = {
-    def ranked(df: DataFrame, rkName: String) = {
-      val score = df.columns.filter(_ != idCol).head
-      df.withColumn(rkName, row_number().over(
-        Window.orderBy(col(score).desc, col(idCol))))
-        .select(col(idCol), col(rkName))
-    }
-    ranked(a, "__rka").join(ranked(b, "__rkb"), Seq(idCol), "full_outer")
-      .select(col(idCol),
-        round(coalesce(lit(1.0) / (lit(rrfK) + col("__rka")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("__rkb")), lit(0.0)), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col(idCol))
-      .limit(k)
-  }
+              rrfK: Int = 60): DataFrame =
+    operators.search.KeywordSearch.rrfFuse(a, b, idCol, k, rrfK)
 
   /** Near-duplicate groups: MinHash-LSH candidate pairs (verified by exact
-    * Jaccard) → connected components → (id, canonical_id) mapping. Keep
-    * rows where id == canonical_id to deduplicate a corpus. */
+    * Jaccard) → connected components → (id, canonical_id) mapping. The
+    * mapping covers ONLY docs in some near-dup group — documents with no
+    * near-duplicate are absent. To deduplicate a corpus, left-join this
+    * mapping and keep rows where canonical_id is null OR equals the id. */
   def dedupGroups(docs: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double): DataFrame = {
     val pairs = operators.dedup.MinHashLsh.nearDupPairs(

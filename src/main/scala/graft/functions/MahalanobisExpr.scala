@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types._
@@ -29,7 +28,10 @@ case class MahalanobisSq(child: Expression, mean: Seq[Double],
 
   override def nullSafeEval(v: Any): Any = {
     val a = get(v.asInstanceOf[ArrayData])
-    val d = math.min(a.length, mu.length)
+    // stride of the flattened matrix is ALWAYS mu.length — a shorter input
+    // vector only shortens the loops, never the row stride
+    val dim = mu.length
+    val d = math.min(a.length, dim)
     val z = new Array[Double](d)
     var i = 0
     while (i < d) { z(i) = a(i) - mu(i); i += 1 }
@@ -38,10 +40,10 @@ case class MahalanobisSq(child: Expression, mean: Seq[Double],
     i = 0
     while (i < d) {
       val zi = z(i)
-      s += m(i * d + i) * zi * zi
+      s += m(i * dim + i) * zi * zi
       var j = i + 1
       var t = 0.0
-      while (j < d) { t += m(i * d + j) * z(j); j += 1 }
+      while (j < d) { t += m(i * dim + j) * z(j); j += 1 }
       s += 2.0 * zi * t
       i += 1
     }
@@ -70,20 +72,22 @@ case class MahalanobisSq(child: Expression, mean: Seq[Double],
         val arr = ctx.freshName("arr")
         val z = ctx.freshName("z")
         val d = ctx.freshName("d")
+        val dim = ctx.freshName("dim")
         val acc = ctx.freshName("acc")
         val i = ctx.freshName("i")
         val j = ctx.freshName("j")
         s"""
            |$elemJava[] $arr = ${ex(c)};
-           |int $d = Math.min($arr.length, $muTerm.length);
+           |int $dim = $muTerm.length;
+           |int $d = Math.min($arr.length, $dim);
            |double[] $z = new double[$d];
            |for (int $i = 0; $i < $d; $i++) { $z[$i] = ((double) $arr[$i]) - $muTerm[$i]; }
            |double $acc = 0.0;
            |for (int $i = 0; $i < $d; $i++) {
            |  double zi = $z[$i];
-           |  $acc += $mTerm[$i * $d + $i] * zi * zi;
+           |  $acc += $mTerm[$i * $dim + $i] * zi * zi;
            |  double t = 0.0;
-           |  for (int $j = $i + 1; $j < $d; $j++) { t += $mTerm[$i * $d + $j] * $z[$j]; }
+           |  for (int $j = $i + 1; $j < $d; $j++) { t += $mTerm[$i * $dim + $j] * $z[$j]; }
            |  $acc += 2.0 * zi * t;
            |}
            |${ev.value} = $acc;

@@ -123,6 +123,9 @@ object MediaQueries extends QueryModule {
     mediaTable(spark, dir)
       .filter(col("media_type") === "video")
       .withColumn("n_frames", expr("(length(media_bytes) + 255) DIV 256"))
+      // empty payload → sequence(0,-1) would throw; the oracle's range()
+      // returns empty for the same row, so filter keeps the engines aligned
+      .filter(col("n_frames") > 0)
       .withColumn("idx", explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))))
       .withColumn("frame", expr("substring(media_bytes, cast(idx*256+1 AS int), 256)"))
       .agg(countDistinct(col("doc_id")).as("n_videos"),

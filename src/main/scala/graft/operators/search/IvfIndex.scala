@@ -67,13 +67,16 @@ object IvfIndex {
                  idCol: String, vecCol: String, k: Int,
                  nprobe: Int = 2): DataFrame = {
     import spark.implicits._
+    // cell ranking stays in DOUBLE precision end-to-end, matching probe()'s
+    // driver-side math bit-for-bit (same sequential-sum kernel) — a float
+    // cast here could pick different cells than the single-query path
     val cenDf = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("cell"), col("centroid").cast("array<float>").as("cvec"))
+      .select(col("cell"), col("centroid").as("cvec"))
     val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("qnorm", vec_normalize(col("qv")).cast("array<float>"))
+      .withColumn("qnorm", vec_normalize(col("qv")))
     val ranked = qn.crossJoin(broadcast(cenDf))
       .select(col("qid"), col("qv"), col("cell"),
-        round(euclidean_dist(col("qnorm"), col("cvec")), 9).as("cell_dist"))
+        euclidean_dist(col("qnorm"), col("cvec")).as("cell_dist"))
     val probes = graft.plans.TopKPerGroup(ranked, Seq("qid"),
       Seq("cell_dist", "cell"), nprobe)
       .select(col("qid"), col("qv"), col("cell"))

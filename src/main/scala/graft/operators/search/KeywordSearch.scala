@@ -64,6 +64,27 @@ object KeywordSearch extends QueryModule {
   def qBm25(spark: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.documents(spark, dir), "doc_id", "text", Query, 10)
 
+  /** Reciprocal-rank fusion (Azure AI Search's hybrid fusion): each input
+    * is an (id, score) frame, ranked by score desc with id tie-break; a doc
+    * scores Σ 1/(rrfK + rank) over the lists it appears in. Rank-based, so
+    * the fused double sum is float-order-proof across engines. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rkName: String) = {
+      val score = df.columns.filter(_ != idCol).head
+      df.withColumn(rkName, row_number().over(
+        Window.orderBy(col(score).desc, col(idCol))))
+        .select(col(idCol), col(rkName))
+    }
+    ranked(a, "__rka").join(ranked(b, "__rkb"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("__rka")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rkb")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Hybrid keyword+vector retrieval fused with reciprocal-rank fusion —
     * the reference index's hybrid mode (Azure AI Search fuses its BM25 and
     * vector rankings with RRF at k=60). Doc-level vector rank = best chunk
@@ -71,12 +92,8 @@ object KeywordSearch extends QueryModule {
     * rrf = Σ 1/(60+rank) over the lists a doc appears in. Rank-based, so
     * fusion is float-order-proof and the oracle matches exactly. */
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = 50
     val kw = bm25TopK(Tables.documents(spark, dir), "doc_id", "text", Query, n)
-      .withColumn("rk_kw", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("rk_kw"))
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -86,15 +103,7 @@ object KeywordSearch extends QueryModule {
         graft.functions.VectorOps.cosine_sim(col("embedding"), qCol).as("cos"))
       .groupBy("doc_id").agg(round(max(col("cos")), 6).as("best_cos"))
       .orderBy(col("best_cos").desc, col("doc_id")).limit(n)
-      .withColumn("rk_vec", row_number().over(
-        Window.orderBy(col("best_cos").desc, col("doc_id"))))
-      .select(col("doc_id"), col("rk_vec"))
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(coalesce(lit(1.0) / (lit(60) + col("rk_kw")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rk_vec")), lit(0.0)), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(10)
+    rrfFuse(kw, vec, "doc_id", k = 10)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.clustering.DbscanQueries,
     graft.operators.search.AnnQueries,
     graft.operators.search.KeywordSearch,
+    graft.operators.search.Quantization,
     graft.operators.search.LshAnn,
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,

@@ -131,6 +131,18 @@ object Graft {
              eps: Double, minPts: Int): DataFrame =
     operators.clustering.Dbscan.run(df, idCol, embeddingCol, eps, minPts)
 
+  /** SQ8 scalar quantization of an embedding column (the index-compression
+    * path): returns (withCodes, mins, maxs); reconstruct with
+    * [[operators.search.Quantization.dequantize]]. */
+  def quantizeEmbeddings(df: DataFrame, embeddingCol: String)
+      : (DataFrame, Array[Double], Array[Double]) = {
+    val (mn, mx) = operators.search.Quantization.fitMinMax(df, embeddingCol)
+    (df.withColumn(s"${embeddingCol}_q8",
+      operators.search.Quantization.quantize(
+        col(embeddingCol).cast("array<double>"), mn, mx).cast("array<smallint>")),
+      mn, mx)
+  }
+
   /** analisis-informe.ipynb MinCovDet study (classical-covariance
     * substitute): squared Mahalanobis score per row. */
   def mahalanobisScores(df: DataFrame, idCol: String,

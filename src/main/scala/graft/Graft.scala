@@ -29,14 +29,14 @@ object Graft {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = df.withColumn("__features",
       array_to_vector(vec_normalize(col(embeddingCol)))).cache()
-    val model =
-      try (0 until math.max(1, nInit)).map { s =>
-        new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-          .setFeaturesCol("__features").setPredictionCol("cluster_label").fit(feats)
-      }.minBy(_.summary.trainingCost)
-      finally ()
+    val model = (0 until math.max(1, nInit)).map { s =>
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("__features").setPredictionCol("cluster_label").fit(feats)
+    }.minBy(_.summary.trainingCost)
+    // NOTE: feats stays cached — the returned frame is lazy, so an eager
+    // unpersist here would drop the cache before `out` ever executes and
+    // force recomputation per action. Spark evicts it LRU.
     val out = model.transform(feats).drop("__features")
-    feats.unpersist(blocking = false)
     (out, model.clusterCenters.map(_.toArray))
   }
 
@@ -133,7 +133,9 @@ object Graft {
 
   /** SQ8 scalar quantization of an embedding column (the index-compression
     * path): returns (withCodes, mins, maxs); reconstruct with
-    * [[operators.search.Quantization.dequantize]]. */
+    * [[operators.search.Quantization.dequantize]]. Codes land in a
+    * smallint column (2 bytes/element — Spark's smallest integral type
+    * covering 0..255; pack to binary for the full 4× cut). */
   def quantizeEmbeddings(df: DataFrame, embeddingCol: String)
       : (DataFrame, Array[Double], Array[Double]) = {
     val (mn, mx) = operators.search.Quantization.fitMinMax(df, embeddingCol)

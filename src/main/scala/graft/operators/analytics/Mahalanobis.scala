@@ -38,14 +38,15 @@ object Mahalanobis extends QueryModule {
     val (n, s, ss) = data.treeAggregate(zero)(
       seqOp = (acc, x) => {
         val (cnt, sum, outer) = acc
+        val n = math.min(d, x.length) // guard ragged rows like fitMinMax does
         var i = 0
-        while (i < d) {
+        while (i < n) {
           val xi = x(i).toDouble
           sum(i) += xi
           // upper-triangle row offset: i*d - i*(i-1)/2, col j>=i
           val off = i * d - i * (i - 1) / 2 - i
           var j = i
-          while (j < d) { outer(off + j) += xi * x(j); j += 1 }
+          while (j < n) { outer(off + j) += xi * x(j); j += 1 }
           i += 1
         }
         (cnt + 1, sum, outer)

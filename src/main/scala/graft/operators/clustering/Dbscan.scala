@@ -39,7 +39,11 @@ object Dbscan {
                     minPts: Int, maxIter: Int): DataFrame = {
     val pairs = pairs0.cache()
     val counts = pairs.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
-    val core = counts.filter(col("n_nb") >= minPts).select(col("i")).cache()
+    // minPts <= 1: every point is core (incl. zero-neighbor points absent
+    // from the pairs frame) — matches sklearn min_samples=1 semantics
+    val core =
+      if (minPts <= 1) points.select(col(idCol).as("i")).cache()
+      else counts.filter(col("n_nb") >= minPts).select(col("i")).cache()
     // core-core edges (symmetric)
     val coreEdges = pairs
       .join(core.select(col("i")), Seq("i"))

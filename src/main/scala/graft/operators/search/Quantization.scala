@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 /** Scalar quantization (SQ8) of the embedding corpus — the storage/IO
   * optimization a vector index applies at scale (the reference thesis
   * studies exactly these index-compression trade-offs; Azure AI Search
-  * ships it as "scalar quantization"). 64-dim float32 → 64 bytes is a 4×
-  * footprint cut; at 10^11 vectors that is the difference between RAM and
-  * disk for the index.
+  * ships it as "scalar quantization"). One 8-bit code per element is a 4×
+  * cut over float32 in a packed layout; the demo keeps codes as smallint
+  * (Spark's smallest integral type covering 0..255 — still 2× smaller,
+  * and a production sink would pack them into a binary column). At 10^11
+  * vectors this is the difference between RAM and disk for the index.
   *
   * Fit = ONE `treeAggregate` pass for per-dimension (min, max) — nothing
   * driver-side grows with n. Quantize / dequantize are declarative
@@ -21,11 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Quantization extends QueryModule {
 
-  /** Per-dimension (min, max) of `vecCol` in one pass. */
+  /** Per-dimension (min, max) of `vecCol` in one pass — in DOUBLE precision
+    * (a float downcast here would shift bounds for double-typed inputs and
+    * push codes outside [0, 255]). Quantize only data covered by the fit. */
   def fitMinMax(points: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
     val spark = points.sparkSession
     import spark.implicits._
-    val data = points.select(col(vecCol).cast("array<float>")).as[Array[Float]].rdd
+    val data = points.select(col(vecCol).cast("array<double>")).as[Array[Double]].rdd
     val dim = data.take(1).headOption.map(_.length).getOrElse(
       throw new IllegalArgumentException("Quantization.fitMinMax: empty input"))
     val zero = (Array.fill(dim)(Double.MaxValue), Array.fill(dim)(Double.MinValue))
@@ -33,7 +37,7 @@ object Quantization extends QueryModule {
       seqOp = { case ((mn, mx), x) =>
         var i = 0
         while (i < dim && i < x.length) {
-          val v = x(i).toDouble
+          val v = x(i)
           if (v < mn(i)) mn(i) = v
           if (v > mx(i)) mx(i) = v
           i += 1
@@ -73,7 +77,8 @@ object Quantization extends QueryModule {
   /** Recall@10 of cosine search over the DEQUANTIZED corpus vs exact floats
     * (query vector stays full precision, as served systems do). */
   def qQuantizedRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // cached: the fit, the query lookup, and both top-10 branches all scan it
+    val e = Tables.embeddings(spark, dir).cache()
     val (mins, maxs) = fitMinMax(e, "embedding")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)

@@ -128,6 +128,8 @@ object TextQueries extends QueryModule {
     * sequence explode; no shuffle. */
   def qChunking(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // empty doc → sequence(0,-1) would throw; oracle's range() is empty
+      .filter(col("n_chars") > 0)
       .withColumn("start", explode(sequence(lit(0L), col("n_chars") - 1, lit(32L))))
       .select(col("doc_id"), (col("start") / 32).cast("long").as("chunk_idx"),
         col("text").substr(col("start").cast("int") + 1, lit(48)).as("chunk_text"))

@@ -104,9 +104,14 @@ object TopKPerGroup {
     * first. Requires GraftExtensions on the session (planner strategy). */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame = {
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String) = analyzed.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    def attr(name: String) = analyzed.output.filter(_.name == name) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $name is ambiguous (${many.size} attributes) — alias the " +
+          "inputs before TopKPerGroup")
+    }
     val node = TopKPerGroupNode(groupCols.map(attr), orderCols.map(attr), k, analyzed)
     Shim.ofRows(df.sparkSession, node)
   }

@@ -58,8 +58,9 @@ object Dbscan {
       .select(col("i"), coalesce(col("cl"), col("i")).as("cl"))
       .cache()
     // border assignment: smallest core-neighbor's cluster
+    // labels has exactly one row per core point, so this single join both
+    // restricts j to core neighbors and fetches their cluster
     val borderLabels = pairs
-      .join(core.select(col("i").as("j")), Seq("j")) // j is a core neighbor of i
       .join(labels.select(col("i").as("j"), col("cl")), Seq("j"))
       .groupBy(col("i")).agg(min(col("cl")).as("border_cl"))
     val out = points.select(col(idCol).as("i"))

@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.search.AnnQueries,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,
+    graft.operators.search.ProductQuantizationQueries,
     graft.operators.search.LshAnn,
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,

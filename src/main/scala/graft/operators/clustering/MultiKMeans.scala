@@ -45,9 +45,14 @@ object MultiKMeans {
                maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] =
     sweepConfigs(points, vecCol, seeds.map(s => (k, s)), maxIter, tol)
 
-  /** General form: one (k, init-seed) pair per concurrently-fitted model. */
+  /** General form: one (k, init-seed) pair per concurrently-fitted model.
+    * @param evaluate  false skips the final inertia/silhouette passes
+    *                  (callers that only need centroids — e.g. PQ codebook
+    *                  training — save two scans; inertia then reports the
+    *                  last assignment pass's cost and silhouette is NaN). */
   def sweepConfigs(points: DataFrame, vecCol: String, configs: Seq[(Int, Long)],
-                   maxIter: Int = 10, tol: Double = 1e-4): Seq[SweepModel] = {
+                   maxIter: Int = 10, tol: Double = 1e-4,
+                   evaluate: Boolean = true): Seq[SweepModel] = {
     val spark = points.sparkSession
     import spark.implicits._
     val data = points.select(vecCol).as[Array[Float]].rdd
@@ -63,9 +68,11 @@ object MultiKMeans {
         kppInit(sample, k, dim, new scala.util.Random(s)) }
       val active = Array.fill(kArr.length)(true)
       val iters = Array.fill(kArr.length)(0)
+      val lastCosts = Array.fill(kArr.length)(Double.NaN)
       var iter = 0
       while (iter < maxIter && active.exists(identity)) {
         val agg = assignPass(data, kArr, centroids, active, dim, withSquares = false)
+        for (m <- kArr.indices if active(m)) lastCosts(m) = agg.costs(m)
         val tol2 = tol * tol
         for (m <- kArr.indices if active(m)) {
           val k = kArr(m); val old = centroids(m)
@@ -90,7 +97,9 @@ object MultiKMeans {
         }
         iter += 1
       }
-      val (inertias, sils) = evaluate(data, kArr, centroids, dim)
+      val (inertias, sils) =
+        if (evaluate) this.evaluate(data, kArr, centroids, dim)
+        else (lastCosts, Array.fill(kArr.length)(Double.NaN))
       kArr.indices.map { m =>
         val k = kArr(m)
         SweepModel(k, inertias(m), sils(m),

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * accuracy-for-footprint trades.
   *
   * Spark-first shape:
-  *  - codebook training reuses [[graft.operators.clustering.MultiKMeans]]
-  *    (shared-scan Lloyd's, `evaluate = false` — only centroids needed) on
-  *    each 8-dim slice frame;
+  *  - codebook training is sample-based (one distributed `takeSample`,
+  *    then M tiny driver-side Lloyd's runs — the FAISS recipe; quality
+  *    depends on the sample, not corpus size);
   *  - encoding is M map-side [[NearestCentroid]] expressions over slices —
   *    plan-constant codebooks, no join, no shuffle;
   *  - reconstruction for scoring is `element_at` over codebook literal
@@ -134,14 +134,14 @@ object ProductQuantization {
 
 object ProductQuantizationQueries extends QueryModule {
 
-  /** Recall@10 of the full PQ serving pipeline (M=8 subs, k=64 codewords):
+  /** Recall@10 of the full PQ serving pipeline (M=8 subs, k=32 codewords):
     * PQ-approximate scoring shortlists 50 candidates, an exact rerank of
     * just those candidates produces the final 10 — the standard
     * compress-then-refine shape (candidate generation touches only codes;
     * exact vectors are fetched for 50 rows, not the corpus). */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).cache()
-    val model = ProductQuantization.fit(e, "embedding", numSub = 8, k = 64)
+    val model = ProductQuantization.fit(e, "embedding", numSub = 8, k = 32)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)

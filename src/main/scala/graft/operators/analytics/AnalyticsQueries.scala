@@ -264,7 +264,7 @@ object AnalyticsQueries extends QueryModule {
         |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "q_chunks_per_type" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-        |  sum(n_chars) AS sum_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_doc_ratio" ->
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers,

@@ -156,11 +156,11 @@ object DbscanQueries extends QueryModule {
        |  LEFT JOIN borderlbl$s b ON e.vec_id = b.i)""".stripMargin
 
   private def sweepRowSql(eps: String, s: String): String =
-    s"""SELECT $eps AS eps,
+    s"""SELECT CAST($eps AS DOUBLE) AS eps,
        |  count(DISTINCT CASE WHEN cluster >= 0 THEN cluster END) AS n_clusters,
-       |  sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS n_core,
-       |  sum(CASE WHEN NOT is_core AND cluster >= 0 THEN 1 ELSE 0 END) AS n_border,
-       |  sum(CASE WHEN cluster = -1 THEN 1 ELSE 0 END) AS n_noise
+       |  CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       |  CAST(sum(CASE WHEN NOT is_core AND cluster >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+       |  CAST(sum(CASE WHEN cluster = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_noise
        |FROM lbl$s""".stripMargin
 
   override def oracles: Map[String, String] = Map(

@@ -140,9 +140,9 @@ object MediaQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_media_meta" ->
-      """SELECT media_type, count(*) AS n, sum(n_b) AS sum_bytes,
-        |  max(64 + (doc_id % 8) * 16) AS max_w,
-        |  max(64 + (doc_id % 4) * 32) AS max_h,
+      """SELECT media_type, count(*) AS n, CAST(sum(n_b) AS BIGINT) AS sum_bytes,
+        |  CAST(max(64 + (doc_id % 8) * 16) AS INT) AS max_w,
+        |  CAST(max(64 + (doc_id % 4) * 32) AS INT) AS max_h,
         |  max(CAST(8000 * power(2, doc_id % 3) AS INT)) AS max_sr
         |FROM (SELECT doc_id, octet_length(encode(text)) AS n_b,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type
@@ -150,8 +150,8 @@ object MediaQueries extends QueryModule {
         |GROUP BY media_type ORDER BY media_type""".stripMargin,
     "q_media_resize" ->
       """SELECT media_type, count(*) AS n,
-        |  sum(least(greatest(1, CAST(floor(n_b * 4096.0 / (width * height)) AS BIGINT)),
-        |            n_b)) AS sum_resized_bytes
+        |  CAST(sum(least(greatest(1, CAST(floor(n_b * 4096.0 / (width * height)) AS BIGINT)),
+        |                 n_b)) AS BIGINT) AS sum_resized_bytes
         |FROM (SELECT doc_id, octet_length(encode(text)) AS n_b,
         |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
         |    64 + (doc_id % 8) * 16 AS width, 64 + (doc_id % 4) * 32 AS height
@@ -159,7 +159,7 @@ object MediaQueries extends QueryModule {
         |GROUP BY media_type ORDER BY media_type""".stripMargin,
     "q_frame_sample" ->
       """SELECT count(DISTINCT doc_id) AS n_videos, count(*) AS n_frames_sampled,
-        |  sum(least(256, n_b - idx * 256)) AS sum_frame_bytes
+        |  CAST(sum(least(256, n_b - idx * 256)) AS BIGINT) AS sum_frame_bytes
         |FROM (
         |  SELECT doc_id, n_b, unnest(range(0, (n_b + 255) // 256, 10)) AS idx
         |  FROM (SELECT doc_id, octet_length(encode(text)) AS n_b FROM documents

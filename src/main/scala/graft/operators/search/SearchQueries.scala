@@ -109,7 +109,8 @@ object SearchQueries extends QueryModule {
          |  GROUP BY a.document_id),
          |n AS (SELECT document_id, count(*) AS n_chunks FROM c GROUP BY document_id)
          |SELECT n.document_id, n.n_chunks,
-         |  coalesce(p.n_pairs, 0) AS n_pairs, coalesce(p.n_above, 0) AS n_above, p.mean_cos
+         |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(p.n_above, 0) AS BIGINT) AS n_above, p.mean_cos
          |FROM n LEFT JOIN p ON n.document_id = p.document_id
          |ORDER BY n.document_id""".stripMargin,
     "q_topk_bruteforce" ->

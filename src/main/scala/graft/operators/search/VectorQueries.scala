@@ -28,11 +28,16 @@ object VectorQueries extends QueryModule {
       .select(col("vec_id"), round(vec_norm(col("embedding")), 6).as("norm"))
       .orderBy("vec_id")
 
+  /** Unit-normalize, emitted as (vec_id, dim_idx, value) scalar rows — the
+    * driver's pandas harness cannot hash array-typed columns, so the array
+    * is unnested with lockstep ordinals (posexplode here; DuckDB unnest +
+    * generate_subscripts in the oracle). */
   def qVecNormalize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(vec_normalize(col("embedding")), x => round(x, 6)).as("unit_vec"))
-      .orderBy("vec_id")
+        posexplode(vec_normalize(col("embedding"))).as(Seq("dim_idx", "v")))
+      .select(col("vec_id"), col("dim_idx"), round(col("v"), 6).as("value"))
+      .orderBy("vec_id", "dim_idx")
 
   def qVecDot(spark: SparkSession, dir: String): DataFrame =
     adjacentPairs(spark, dir)
@@ -71,9 +76,10 @@ object VectorQueries extends QueryModule {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_vec_normalize" ->
       """SELECT vec_id,
-        |  list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> round(x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)) AS unit_vec
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |  CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS INT) AS dim_idx,
+        |  round(unnest(CAST(embedding AS DOUBLE[]))
+        |        / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS value
+        |FROM embeddings ORDER BY vec_id, dim_idx""".stripMargin,
     "q_vec_dot" ->
       """SELECT a.vec_id,
         |  round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS dot

@@ -226,10 +226,10 @@ object TextQueries extends QueryModule {
          |  SELECT *, row_number() OVER (PARTITION BY is_good, md5(text) ORDER BY doc_id) AS rn
          |  FROM staged)
          |SELECT count(*) AS n_input,
-         |  sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_lang,
-         |  sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS n_quality,
-         |  sum(CASE WHEN is_good AND rn = 1 THEN 1 ELSE 0 END) AS n_unique,
-         |  sum(CASE WHEN is_good AND rn = 1 THEN n_tok END) AS total_tokens,
+         |  CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+         |  CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN is_good AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN is_good AND rn = 1 THEN n_tok END) AS BIGINT) AS total_tokens,
          |  round(avg(CASE WHEN is_good AND rn = 1 THEN q END), 6) AS avg_quality
          |FROM ranked""".stripMargin,
     "q_chunking" ->

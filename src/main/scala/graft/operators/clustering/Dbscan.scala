@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * over (eps, min_samples) (silhouettes.ipynb:264-310).
   *
   * Stages:
-  *  1. ε-neighbor pairs — here an all-pairs join at sample scale; the 100 TB
-  *     path swaps in an LSH/cell prefilter for candidate pairs (identical
-  *     downstream);
+  *  1. ε-neighbor pairs — EXACT metric blocking ([[epsPairs]]): band on a
+  *     pivot distance + salted equi-join, never a nested-loop join over
+  *     the full table;
   *  2. core points = neighbor count (incl. self) ≥ minPts;
   *  3. clusters = connected components of the core-core graph
   *     ([[ConnectedComponents]]: partition-local union-find contraction +
@@ -23,13 +23,66 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** Exact ε-candidate pairs via metric-space blocking (LAESA/iDistance
+    * family — public pivot-pruning technique). For any pivot p the triangle
+    * inequality gives |d(x,p) − d(y,p)| ≤ d(x,y), so a true ε-pair can
+    * never be more than one ε-wide band apart in pivot-distance order:
+    *
+    *  - band id  = floor(d(x, pivot₀) / w), w = eps (+1e-9 fp slack);
+    *  - A side replicates to bands {b−1, b, b+1} × a salt in [0, S) —
+    *    B side keys by (own band, id mod S) — so the join is a pure
+    *    EQUI-join on (band, salt): shuffle-partitioned, AQE-splittable,
+    *    each true pair produced exactly once, parallelism ≥ bands × S
+    *    even when one band holds the whole table (the high-dim worst
+    *    case, where NO exact scheme can prune);
+    *  - remaining pivots prune candidates with scalar |pdₖ(a) − pdₖ(b)| ≤ w
+    *    checks before the full-dimension distance.
+    *
+    * On clustered data with eps below the inter-cluster scale the band
+    * join prunes most of the O(n²); on isotropic data it degrades to the
+    * unavoidable all-pairs distance count but keeps the scalable plan
+    * shape (no BroadcastNestedLoopJoin, bounded per-task work).
+    *
+    * Returns symmetric (i, j, dist) rows with i ≠ j and dist ≤ maxEps.
+    */
+  def epsPairs(points: DataFrame, idCol: String, vecCol: String,
+               maxEps: Double, nPivots: Int = 4, salt: Int = 32): DataFrame = {
+    require(maxEps > 0, s"maxEps must be positive, got $maxEps")
+    val w = maxEps + 1e-9 // band width; slack absorbs double rounding
+    val pts = points.select(col(idCol).as("pid"), col(vecCol).as("pv"))
+    // deterministic driver-sized pivot set: the nPivots lowest-id points
+    // (same collect-small pattern as IvfIndex centroids)
+    val pivots: Array[Seq[Double]] = pts
+      .orderBy(col("pid")).limit(nPivots)
+      .select(col("pv").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    if (pivots.isEmpty)
+      return pts.select(col("pid").as("i"), col("pid").as("j"),
+        lit(0.0).as("dist")).limit(0)
+    val withPd = pivots.zipWithIndex.foldLeft(pts) { case (df, (p, k)) =>
+      df.withColumn(s"pd$k", euclidean_dist(col("pv"), typedLit(p)))
+    }
+    val binned = withPd.withColumn("band", floor(col("pd0") / w).cast("long"))
+    val aSide = binned.columns.foldLeft(binned)((df, c) =>
+        df.withColumnRenamed(c, if (c == "pid") "i" else if (c == "pv") "va" else s"a_$c"))
+      .withColumn("kb", explode(array(col("a_band") - 1, col("a_band"), col("a_band") + 1)))
+      .withColumn("q", explode(array((0 until salt).map(lit(_)): _*)))
+    val bSide = binned.columns.foldLeft(binned)((df, c) =>
+        df.withColumnRenamed(c, if (c == "pid") "j" else if (c == "pv") "vb" else s"b_$c"))
+      .withColumn("q", pmod(col("j"), lit(salt)).cast("int"))
+    val pivotPrune = (1 until pivots.length)
+      .map(k => abs(col(s"a_pd$k") - col(s"b_pd$k")) <= w)
+      .foldLeft(col("i") =!= col("j"))(_ && _)
+    aSide.join(bSide, aSide("kb") === bSide("b_band") && aSide("q") === bSide("q"))
+      .filter(pivotPrune)
+      .withColumn("dist", euclidean_dist(col("va"), col("vb")))
+      .filter(col("dist") <= maxEps)
+      .select(col("i"), col("j"), col("dist"))
+  }
+
   def run(points: DataFrame, idCol: String, vecCol: String,
           eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
-    val a = points.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = points.select(col(idCol).as("j"), col(vecCol).as("vb"))
-    val pairs = a.join(b, col("i") =!= col("j"))
-      .filter(euclidean_dist(col("va"), col("vb")) <= eps)
-      .select(col("i"), col("j"))
+    val pairs = epsPairs(points, idCol, vecCol, eps).select(col("i"), col("j"))
     label(points, pairs, idCol, minPts, maxIter)
   }
 
@@ -76,19 +129,13 @@ object Dbscan {
   }
 
   /** Hyperparameter sweep (reference: silhouettes.ipynb:264-310 sweeps
-    * sklearn DBSCAN over eps). The O(n²)-bounded ε-pair join — the expensive
-    * stage — runs ONCE at max(eps) keeping the distance; each eps then
-    * re-labels from the cached filtered pairs. Returns one summary row per
-    * eps: cluster / core / border / noise counts. */
+    * sklearn DBSCAN over eps). The ε-pair stage — the expensive one — runs
+    * ONCE at max(eps) keeping the distance; each eps then re-labels from
+    * the cached filtered pairs. Returns one summary row per eps:
+    * cluster / core / border / noise counts. */
   def sweep(points: DataFrame, idCol: String, vecCol: String,
             epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
-    val a = points.select(col(idCol).as("i"), col(vecCol).as("va"))
-    val b = points.select(col(idCol).as("j"), col(vecCol).as("vb"))
-    val distPairs = a.join(b, col("i") =!= col("j"))
-      .withColumn("dist", euclidean_dist(col("va"), col("vb")))
-      .filter(col("dist") <= epsList.max)
-      .select(col("i"), col("j"), col("dist"))
-      .cache()
+    val distPairs = epsPairs(points, idCol, vecCol, epsList.max).cache()
     epsList.sorted.map { eps =>
       val l = label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
         idCol, minPts, maxIter)

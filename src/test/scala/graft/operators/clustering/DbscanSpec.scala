@@ -43,6 +43,23 @@ class DbscanSpec extends SparkSpec {
     assert(n == graft.Tables.embeddings(spark, SfDir).count())
   }
 
+  test("epsPairs is exact: equals brute-force pairs, plan has no nested-loop join") {
+    val pts = graft.Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding")).limit(300).cache()
+    val eps = 1.26
+    val blocked = Dbscan.epsPairs(pts, "vec_id", "embedding", eps, salt = 8)
+    assert(!blocked.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "pair stage must be an equi-join, not a nested-loop join")
+    val a = pts.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = pts.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val brute = a.join(b, col("i") =!= col("j"))
+      .filter(graft.functions.VectorOps.euclidean_dist(col("va"), col("vb")) <= eps)
+      .select("i", "j")
+    val got = blocked.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"blocked pairs diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
   test("eps sweep: each row partitions n, looser eps never shrinks clusters' reach") {
     // blob spacing is 0.01: eps below it isolates everything
     val r = Dbscan.sweep(blobs, "id", "vec", epsList = Seq(0.005, 0.5, 100.0),

@@ -29,6 +29,14 @@ case class MinHashSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // Overflow contract, enforced here rather than assumed from callers:
+  // x < 2^32 and a,b < 2^31 keep x*a + b < 2^63 in long arithmetic.
+  require(coefA.length == coefB.length, "coefA/coefB length mismatch")
+  require(coefA.forall(a => a > 0 && a < Int.MaxValue),
+    "coefA must lie in (0, 2^31) to keep x*a overflow-free")
+  require(coefB.forall(b => b >= 0 && b < Int.MaxValue),
+    "coefB must lie in [0, 2^31)")
+
   private val n = coefA.length
   @transient private lazy val as = coefA.toArray
   @transient private lazy val bs = coefB.toArray
@@ -43,7 +51,10 @@ case class MinHashSketch(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // mask to the documented 32-bit input domain (a full-64-bit hash
+      // here would silently overflow x*a) — ShingleHashes values are
+      // already < 2^31, so this is a no-op on the supported path
+      val x = v.asInstanceOf[Long] & 0xFFFFFFFFL
       var i = 0
       while (i < n) {
         val h = (x * as(i) + bs(i)) % prime

@@ -11,23 +11,36 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Hashed word n-gram shingles in one pass over the raw bytes.
   *
   * The Column-API formulation (`split` → `sequence` → `transform(slice +
-  * concat_ws)` → `xxhash64`) materializes every shingle as a new string:
+  * concat_ws)` → hash) materializes every shingle as a new string:
   * O(words · n) bytes of garbage per document. This expression tokenizes
-  * the UTF8String's bytes directly (ASCII whitespace separators), FNV-1a
-  * hashes each word in place, and mixes each window of `n` consecutive
-  * word hashes into one 64-bit value — zero intermediate strings, one
-  * allocation for the output array.
+  * the UTF8String's bytes directly (ASCII whitespace separators), hashes
+  * each word in place, and mixes each window of `n` consecutive word
+  * hashes into one value — zero intermediate strings, one allocation for
+  * the output array.
   *
-  * Output values are masked to 32 bits so downstream MinHash permutations
-  * `(a·x + b) mod p` (p > 2^32) stay overflow-free in long arithmetic —
-  * same contract as the previous `xxhash64 & 0xFFFFFFFF` form. Values are
-  * a different hash family than the string form; MinHash/Jaccard consumers
-  * only need consistency, not a particular family.
+  * The hash is a Karp–Rabin polynomial fingerprint mod the Mersenne prime
+  * M = 2³¹−1 (word: h = (h·127 + byte) mod M; window: acc = (acc·1000003 +
+  * wordHash) mod M). Chosen over xxhash/FNV deliberately: every
+  * intermediate stays below 2⁵², so the exact pipeline — tokenize → word
+  * hash → window mix → MinHash permutations — can be replayed in plain
+  * 64-bit SQL arithmetic by an independent engine (the DuckDB oracle
+  * replays it with list_reduce/list_transform; overflow-wrapping hashes
+  * cannot be, since standard SQL integer ops error on overflow rather than
+  * wrap). Outputs lie in [0, 2³¹): MinHash permutations `(a·x + b) mod p`
+  * (a, b < 2³¹, p > 2³²) stay overflow-free in long arithmetic.
+  *
+  * `wide = true` (requires n = 1): per-word 62-bit fingerprint `rk₁₂₇ |
+  * (rk₁₃₁ << 31)` from two base-independent Karp–Rabin hashes — the word
+  * hash domain SimHash votes over (bits 62-63 always 0, consistently in
+  * both engines).
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
+  require(!wide || n == 1, "wide (62-bit) hashes are per-word only (n = 1)")
+
+  import ShingleHashes.{M, WordBase, WordBase2, WindowBase}
 
   override def prettyName: String = "shingle_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -35,7 +48,7 @@ case class ShingleHashes(child: Expression, n: Int)
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val len = bytes.length
-    // First pass: FNV-1a hash of each whitespace-separated token.
+    // First pass: Karp-Rabin hash of each whitespace-separated token.
     var wordCount = 0
     var wordHashes = new Array[Long](math.max(8, len / 6))
     var i = 0
@@ -43,9 +56,12 @@ case class ShingleHashes(child: Expression, n: Int)
       // skip separators
       while (i < len && isSpace(bytes(i))) i += 1
       if (i < len) {
-        var h = 0xcbf29ce484222325L
+        var h = 0L
+        var h2 = 0L
         while (i < len && !isSpace(bytes(i))) {
-          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+          val b = bytes(i) & 0xffL
+          h = (h * WordBase + b) % M
+          if (wide) h2 = (h2 * WordBase2 + b) % M
           i += 1
         }
         if (wordCount == wordHashes.length) {
@@ -53,27 +69,25 @@ case class ShingleHashes(child: Expression, n: Int)
           System.arraycopy(wordHashes, 0, bigger, 0, wordCount)
           wordHashes = bigger
         }
-        wordHashes(wordCount) = h
+        wordHashes(wordCount) = if (wide) h | (h2 << 31) else h
         wordCount += 1
       }
     }
     if (wordCount < n) return new GenericArrayData(Array.empty[Long])
+    if (n == 1) return new GenericArrayData(
+      java.util.Arrays.copyOf(wordHashes, wordCount))
     // Second pass: mix each window of n word hashes into one shingle hash.
     val m = wordCount - n + 1
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {
-      var acc = 0x9e3779b97f4a7c15L
+      var acc = 0L
       var j = 0
       while (j < n) {
-        acc = java.lang.Long.rotateLeft(acc ^ wordHashes(s + j), 27) * 0x94d049bb133111ebL
+        acc = (acc * WindowBase + wordHashes(s + j)) % M
         j += 1
       }
-      // finalize (splitmix64 tail) then mask to the 32-bit MinHash domain
-      acc ^= (acc >>> 31)
-      acc *= 0xbf58476d1ce4e5b9L
-      acc ^= (acc >>> 33)
-      out(s) = acc & 0xFFFFFFFFL
+      out(s) = acc
       s += 1
     }
     new GenericArrayData(out)
@@ -86,6 +100,18 @@ case class ShingleHashes(child: Expression, n: Int)
 }
 
 object ShingleHashes {
-  def apply(text: Column, n: Int = 3): Column =
+  /** Mersenne prime 2³¹−1: hash domain AND modulus. acc·base + byte ≤
+    * (M−1)·1000003 + M < 2⁵² — overflow-free in long AND in any SQL
+    * engine's 64-bit integers (the oracle replays this arithmetic). */
+  val M = 2147483647L
+  val WordBase = 127L
+  val WordBase2 = 131L
+  val WindowBase = 1000003L
+
+  def apply(text: Column, n: Int): Column =
     Shim.column(ShingleHashes(Shim.expression(text), n))
+
+  /** Per-word 62-bit fingerprints (SimHash's vote domain). */
+  def wideWordHashes(text: Column): Column =
+    Shim.column(ShingleHashes(Shim.expression(text), 1, wide = true))
 }

@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
 /** MinHash + LSH-band near-duplicate detection (SURVEY §2 "Deduplication").
   *
   * Shape (all shuffles bounded):
-  *  1. explode word-3-gram shingles → distinct (doc, shingle-hash32): one
+  *  1. explode word-3-gram shingles → distinct (doc, shingle-hash): one
   *     shuffle on doc_id;
-  *  2. 64-permutation signature as 64 codegen'd `min` aggregates over
+  *  2. 64-permutation signature as a single sketch aggregate over
   *     `(a_i·x + b_i) mod p` — map-side partial, one shuffle;
-  *  3. 16 bands × 4 rows: band key = xxhash64(band, sig…); candidates =
-  *     equi-join on (band, key) — the only pair-producing step, bounded by
-  *     bucket size;
+  *  3. 16 bands × 4 rows: band key = the raw 4-sig tuple (exact — no
+  *     band-hash collisions); candidates = equi-join on (band, k0..k3) —
+  *     the only pair-producing step, bounded by bucket size;
   *  4. exact Jaccard verification on the candidates only.
+  *
+  * Every stage is plain modular arithmetic over the Karp–Rabin shingle
+  * domain ([[graft.functions.ShingleHashes]]), so the driver's DuckDB
+  * oracle replays the ENTIRE pipeline — tokenize → shingle fingerprints →
+  * 64 permutations → banding → Jaccard — in SQL CTEs (see [[oracles]]).
   *
   * The synthetic corpus has no near-dups, so the query plants perturbed
   * copies (doc_id + 1e6, text ⊕ suffix) — the operator itself is generic.
@@ -75,12 +80,14 @@ object MinHashLsh extends QueryModule {
       .persist()
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+        element_at(col("sig"), b * RowsPerBand + r + 1).as(s"k$r"))
+      struct(lit(b).as("band") +: rows: _*)
     }
+    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
     val banded = perDoc.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = banded.alias("l").join(banded.alias("r"), Seq("band", "bh"))
+      .select(col("doc_id") +: col("bk.band").as("band") +:
+        keyCols.map(k => col(s"bk.$k").as(k)): _*)
+    val cand = banded.alias("l").join(banded.alias("r"), "band" +: keyCols)
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
@@ -127,6 +134,79 @@ object MinHashLsh extends QueryModule {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_groups" -> (qDedupGroups _))
 
-  /** MinHash permutations are engine-specific (xxhash64) — rows-only. */
-  override def oracles: Map[String, String] = Map.empty
+  /** DuckDB replay of the full pipeline. Possible because every stage is
+    * bounded modular arithmetic (see [[graft.functions.ShingleHashes]]):
+    * word fingerprints via list_reduce over character codes, 3-gram window
+    * mix, the 64 MinHash permutations as list_min over list_transform,
+    * banding as a join on the raw 4-sig slice, Jaccard on the distinct
+    * fingerprint sets. */
+  private[dedup] def pipelineCtes: String = {
+    import graft.functions.ShingleHashes.{M, WordBase, WindowBase}
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(shs, x -> (x * ${coefA(i)} + ${coefB(i)}) % $P))"
+    }.mkString(",\n      ")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+       |  FROM documents WHERE doc_id < 20),
+       |words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'), w -> w != '') AS ws
+       |  FROM corpus),
+       |wordhashes AS (
+       |  SELECT doc_id,
+       |    list_transform(ws, w -> list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, strlen(w) + 1),
+       |          i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (h, c) -> (h * $WordBase + c) % $M)) AS wh
+       |  FROM words),
+       |shingles AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(wh) - 1),
+       |      s -> (((wh[s] * $WindowBase + wh[s + 1]) % $M) * $WindowBase
+       |            + wh[s + 2]) % $M)) AS shs
+       |  FROM wordhashes
+       |  WHERE len(wh) >= 3),
+       |sigs AS (
+       |  SELECT doc_id, shs,
+       |    [$sigExprs] AS sig
+       |  FROM shingles
+       |  WHERE len(shs) > 0),
+       |bands AS (
+       |  SELECT doc_id, b, list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand) AS key
+       |  FROM sigs, (SELECT unnest(range($Bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+       |verified AS (
+       |  SELECT d1, d2, round(inter / (n1 + n2 - inter), 6) AS jaccard
+       |  FROM (
+       |    SELECT c.d1, c.d2,
+       |      CAST(len(list_intersect(s1.shs, s2.shs)) AS DOUBLE) AS inter,
+       |      CAST(len(s1.shs) AS DOUBLE) AS n1, CAST(len(s2.shs) AS DOUBLE) AS n2
+       |    FROM cand c
+       |    JOIN sigs s1 ON c.d1 = s1.doc_id
+       |    JOIN sigs s2 ON c.d2 = s2.doc_id)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH $pipelineCtes
+         |SELECT d1, d2, jaccard FROM verified ORDER BY d1, d2""".stripMargin,
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $pipelineCtes,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM verified
+         |  UNION SELECT d2, d1 FROM verified),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+         |SELECT component AS canonical_doc, CAST(count(*) AS BIGINT) AS group_size
+         |FROM comp GROUP BY component ORDER BY canonical_doc""".stripMargin)
 }

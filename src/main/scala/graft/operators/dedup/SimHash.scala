@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection (SURVEY §2 "Deduplication").
   *
-  * 64-bit simhash per document: explode words → xxhash64(word) → per-bit
-  * ±1 vote sums (64 codegen'd conditional-sum aggregates, one shuffle on
+  * 64-bit simhash per document: one-pass 62-bit Karp–Rabin word
+  * fingerprints ([[graft.functions.ShingleHashes.wideWordHashes]] — no
+  * intermediate word strings, and replayable in SQL by the oracle) →
+  * per-bit ±1 vote sums (one sketch buffer per doc, one shuffle on
   * doc_id) → sign bits reassembled into one long. Candidates block on the
   * 4 × 16-bit sub-bands (a pair within Hamming distance ≤ 3 must share at
   * least one of 4 bands — pigeonhole), then exact `bit_count(xor)` filter.
@@ -15,6 +17,9 @@ import org.apache.spark.sql.functions._
 object SimHash extends QueryModule {
 
   val Bits = 64
+  /** Word fingerprints are 62-bit, so votes on bits 62-63 are always
+    * negative and those simhash bits 0 — consistently in both engines. */
+  val HashBits = 62
   val BandBits = 16
   val NumBands = 4
   val MaxHamming = 3
@@ -24,16 +29,16 @@ object SimHash extends QueryModule {
     * update loop per word) rather than 64 separate sum(when(...)) slots. */
   def simhashes(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.wideWordHashes(col("text"))).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashSketch(col("h")).as("simhash"))
 
   /** Column-form twin of [[simhashes]] kept for the spec cross-check. */
   def simhashesViaColumns(docs: DataFrame): DataFrame = {
     val withH = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashes.wideWordHashes(col("text"))).as("h"))
     val votes: Seq[Column] = (0 until Bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"v_$b")
@@ -72,5 +77,54 @@ object SimHash extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_simhash" -> (qDedupSimhash _))
 
-  override def oracles: Map[String, String] = Map.empty
+  /** DuckDB replay: same corpus/tokenize/word-fingerprint CTEs as the
+    * MinHash oracle (two Karp–Rabin bases packed into 62 bits), then the
+    * per-bit vote sums, band blocking, and exact Hamming filter in SQL. */
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_simhash" -> {
+      import graft.functions.ShingleHashes.{M, WordBase, WordBase2}
+      val simhashExpr = (0 until HashBits).map { b =>
+        s"""CASE WHEN list_sum(list_transform(wh,
+           |      h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |    THEN CAST(1 AS BIGINT) << $b ELSE 0 END""".stripMargin
+      }.mkString(" +\n      ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' planted near duplicate suffix'
+         |  FROM documents WHERE doc_id < 20),
+         |words AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'), w -> w != '') AS ws
+         |  FROM corpus),
+         |wordhashes AS (
+         |  SELECT doc_id,
+         |    list_transform(ws, w ->
+         |      list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(1, strlen(w) + 1),
+         |            i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+         |        (h, c) -> (h * $WordBase + c) % $M)
+         |      | (list_reduce(
+         |          list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, strlen(w) + 1),
+         |              i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+         |          (h, c) -> (h * $WordBase2 + c) % $M) << 31)) AS wh
+         |  FROM words
+         |  WHERE len(ws) > 0),
+         |sh AS (
+         |  SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash
+         |  FROM wordhashes),
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b * $BandBits)) & 65535 AS bv
+         |  FROM sh, (SELECT unnest(range($NumBands)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+         |    l.simhash AS h1, r.simhash AS h2
+         |  FROM bands l JOIN bands r
+         |    ON l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= $MaxHamming
+         |ORDER BY d1, d2""".stripMargin
+    })
 }

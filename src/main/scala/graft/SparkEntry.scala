@@ -23,6 +23,7 @@ object SparkEntry {
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,
     graft.operators.multimodal.MediaQueries,
+    graft.operators.multimodal.MarkupDecode,
     graft.operators.analytics.Mahalanobis,
     graft.streaming.StreamingQueries)
 

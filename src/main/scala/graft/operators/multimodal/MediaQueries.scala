@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * with typed metadata, and a decode/feature-extract stage shaped for
   * scale — per-partition decoder reuse over `mapPartitions`, fixed feature
   * schema. The reference's document-conversion zoo + OCR pipeline
-  * (analisis-informe.ipynb converters, ocr.py) is an external-service
-  * ingestion; here the *decode* is a clearly-marked deterministic fake
-  * (no image/audio libs in this container) while all Spark-side plumbing —
-  * schema, batching, partitioning — is real.
+  * (analisis-informe.ipynb converters, ocr.py) splits here into two
+  * boundaries: the text formats (html/markdown/plain) get a REAL decoder —
+  * [[MarkupDecode]], oracle-checked — while the image/audio/video codecs
+  * (absent from this container) are a clearly-marked deterministic fake
+  * with all Spark-side plumbing — schema, batching, partitioning — real.
   */
 object MediaQueries extends QueryModule {
 

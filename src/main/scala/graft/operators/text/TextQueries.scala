@@ -83,15 +83,20 @@ object TextQueries extends QueryModule {
   def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = words(lower(col("text")))
+    // md5 lands in the first projection so `text` itself is pruned from
+    // the window shuffle (only the hash + scalar flags travel); n_stop
+    // reuses s_en rather than re-scanning the stopword list. The repeated
+    // `ws` subtree is shared by codegen subexpression elimination within
+    // this single projection.
     val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), md5(col("text")).as("h"),
         size(words(col("text"))).as("n_tok"),
         stopHits(ws, StopDe).as("s_de"), stopHits(ws, StopEn).as("s_en"),
         stopHits(ws, StopEs).as("s_es"), stopHits(ws, StopFr).as("s_fr"),
         size(ws).cast("double").as("n_words"),
         length(col("text")).cast("double").as("n_chars_m"),
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"),
-        stopHits(ws, StopEn).cast("double").as("n_stop"))
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"))
+      .withColumn("n_stop", col("s_en").cast("double"))
       .withColumn("pred_lang",
         when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
           .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
@@ -104,7 +109,7 @@ object TextQueries extends QueryModule {
       .withColumn("is_en", col("pred_lang") === "en")
       .withColumn("is_good", col("pred_lang") === "en" && col("q") >= 0.7)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("is_good"), md5(col("text"))).orderBy(col("doc_id"))))
+        Window.partitionBy(col("is_good"), col("h")).orderBy(col("doc_id"))))
       .withColumn("is_uniq", col("is_good") && col("rn") === 1)
     scored.agg(
       count(lit(1)).as("n_input"),

@@ -14,6 +14,10 @@ import org.apache.spark.sql.types._
 case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
 
+  require(planes.nonEmpty && planes.length <= 64,
+    s"signature is one long: need 1..64 planes, got ${planes.length} " +
+      "(1L << p wraps past bit 63 and would silently alias buckets)")
+
   override def prettyName: String = "hyperplane_sig"
   override def dataType: DataType = LongType
 

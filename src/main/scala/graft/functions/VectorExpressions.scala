@@ -75,12 +75,16 @@ abstract class BinaryVectorReduce extends BinaryExpression {
   // (sequential, double), so interpreted and compiled paths are
   // bit-identical. Subclasses supply accumulator decls / update / result.
 
-  /** Java accumulator declarations, e.g. "double s = 0.0;". */
-  protected def cgDecls: String
+  /** Java accumulator declarations; every local MUST be prefixed with `p`
+    * (a ctx.freshName) — two instances of the same expression can land in
+    * one codegen scope, and with non-nullable inputs nullSafeCodeGen emits
+    * the body without an isolating block, so fixed names would declare
+    * duplicate Java locals and fail Janino compilation. */
+  protected def cgDecls(p: String): String
   /** Java update statement(s); x and y are double-valued element exprs. */
-  protected def cgUpdate(x: String, y: String): String
+  protected def cgUpdate(p: String, x: String, y: String): String
   /** Java double expression producing the final value. */
-  protected def cgResult: String
+  protected def cgResult(p: String): String
 
   private def cgExtract(dt: DataType, term: String, arr: String): Option[String] = dt match {
     case ArrayType(FloatType, _)   => Some(s"float[] $arr = $term.toFloatArray();")
@@ -99,17 +103,18 @@ abstract class BinaryVectorReduce extends BinaryExpression {
       val bArr = ctx.freshName("bArr")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val p = ctx.freshName("vr")
       (cgExtract(left.dataType, aTerm, aArr), cgExtract(right.dataType, bTerm, bArr)) match {
         case (Some(ea), Some(eb)) =>
           s"""
              |$ea
              |$eb
              |int $n = Math.min($aArr.length, $bArr.length);
-             |$cgDecls
+             |${cgDecls(p)}
              |for (int $i = 0; $i < $n; $i++) {
-             |  ${cgUpdate(s"((double) $aArr[$i])", s"((double) $bArr[$i])")}
+             |  ${cgUpdate(p, s"((double) $aArr[$i])", s"((double) $bArr[$i])")}
              |}
-             |${ev.value} = $cgResult;
+             |${ev.value} = ${cgResult(p)};
              |""".stripMargin
         case _ => // unexpected element type: defer to the interpreted path
           val expr = ctx.addReferenceObj("thisExpr", this, classOf[BinaryVectorReduce].getName)
@@ -120,10 +125,10 @@ abstract class BinaryVectorReduce extends BinaryExpression {
 
 /** Inner product; reference: np.dot / list_inner_product semantics. */
 case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduce {
-  override protected def cgDecls: String = "double s = 0.0;"
-  override protected def cgUpdate(x: String, y: String): String =
-    s"s += $x * $y;"
-  override protected def cgResult: String = "s"
+  override protected def cgDecls(p: String): String = s"double ${p}_s = 0.0;"
+  override protected def cgUpdate(p: String, x: String, y: String): String =
+    s"${p}_s += $x * $y;"
+  override protected def cgResult(p: String): String = s"${p}_s"
   override def prettyName: String = "vec_dot"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -136,10 +141,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryVectorReduc
 /** Cosine similarity; ref chunk_similarities.ipynb:193 (sklearn
   * cosine_similarity). dot/(|a||b|); NaN when either norm is 0. */
 case class VecCosine(left: Expression, right: Expression) extends BinaryVectorReduce {
-  override protected def cgDecls: String = "double dot = 0.0; double na = 0.0; double nb = 0.0;"
-  override protected def cgUpdate(x: String, y: String): String =
-    s"double x = $x; double y = $y; dot += x * y; na += x * x; nb += y * y;"
-  override protected def cgResult: String = "dot / java.lang.Math.sqrt(na * nb)"
+  override protected def cgDecls(p: String): String =
+    s"double ${p}_dot = 0.0; double ${p}_na = 0.0; double ${p}_nb = 0.0;"
+  override protected def cgUpdate(p: String, x: String, y: String): String =
+    s"double ${p}_x = $x; double ${p}_y = $y; ${p}_dot += ${p}_x * ${p}_y; " +
+      s"${p}_na += ${p}_x * ${p}_x; ${p}_nb += ${p}_y * ${p}_y;"
+  override protected def cgResult(p: String): String =
+    s"${p}_dot / java.lang.Math.sqrt(${p}_na * ${p}_nb)"
   override def prettyName: String = "vec_cosine"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -155,10 +163,10 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryVectorRe
 /** Euclidean (L2) distance; ref silhouettes.ipynb:99 (np.linalg.norm of
   * difference), scipy cdist 'euclidean'. */
 case class VecEuclidean(left: Expression, right: Expression) extends BinaryVectorReduce {
-  override protected def cgDecls: String = "double s = 0.0;"
-  override protected def cgUpdate(x: String, y: String): String =
-    s"double d = $x - $y; s += d * d;"
-  override protected def cgResult: String = "java.lang.Math.sqrt(s)"
+  override protected def cgDecls(p: String): String = s"double ${p}_s = 0.0;"
+  override protected def cgUpdate(p: String, x: String, y: String): String =
+    s"double ${p}_d = $x - $y; ${p}_s += ${p}_d * ${p}_d;"
+  override protected def cgResult(p: String): String = s"java.lang.Math.sqrt(${p}_s)"
   override def prettyName: String = "vec_euclidean"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -171,10 +179,10 @@ case class VecEuclidean(left: Expression, right: Expression) extends BinaryVecto
 /** Manhattan (L1) distance; ref imports manhattan_distances
   * (chunk_similarities.ipynb:9). */
 case class VecManhattan(left: Expression, right: Expression) extends BinaryVectorReduce {
-  override protected def cgDecls: String = "double s = 0.0;"
-  override protected def cgUpdate(x: String, y: String): String =
-    s"s += java.lang.Math.abs($x - $y);"
-  override protected def cgResult: String = "s"
+  override protected def cgDecls(p: String): String = s"double ${p}_s = 0.0;"
+  override protected def cgUpdate(p: String, x: String, y: String): String =
+    s"${p}_s += java.lang.Math.abs($x - $y);"
+  override protected def cgResult(p: String): String = s"${p}_s"
   override def prettyName: String = "vec_manhattan"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0
@@ -187,10 +195,10 @@ case class VecManhattan(left: Expression, right: Expression) extends BinaryVecto
 /** Squared L2 distance (no sqrt) — cheaper kernel for argmin searches where
   * the monotone transform doesn't change the winner (kmeans assign, knn). */
 case class VecEuclideanSq(left: Expression, right: Expression) extends BinaryVectorReduce {
-  override protected def cgDecls: String = "double s = 0.0;"
-  override protected def cgUpdate(x: String, y: String): String =
-    s"double d = $x - $y; s += d * d;"
-  override protected def cgResult: String = "s"
+  override protected def cgDecls(p: String): String = s"double ${p}_s = 0.0;"
+  override protected def cgUpdate(p: String, x: String, y: String): String =
+    s"double ${p}_d = $x - $y; ${p}_s += ${p}_d * ${p}_d;"
+  override protected def cgResult(p: String): String = s"${p}_s"
   override def prettyName: String = "vec_euclidean_sq"
   override protected def reduce(a: Array[Double], b: Array[Double], n: Int): Double = {
     var s = 0.0; var i = 0

@@ -100,12 +100,30 @@ object ClusteringQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Exact silhouette of the ground-truth `label` clustering — the
-    * reference computes silhouette_score with sample_size=2000
-    * (nuevo-kmeans-pre.ipynb:112); all-pairs is exactly right at sample
-    * scale, and at 100 TB this operator runs on such a sample. */
-  def qSilhouetteExact(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** Hard ceiling for [[silhouetteExact]]'s all-pairs form: ~10k rows =
+    * 10⁸ candidate pairs, the most a sample-scale diagnostic should pay.
+    * Guarded with a loud failure so the operator cannot silently be
+    * pointed at a full table. */
+  val MaxSilhouetteRows = 10000L
+
+  /** Exact silhouette over an (id, label, vector) frame. All-pairs BY
+    * DESIGN and therefore sample-only (guarded): the reference itself
+    * computes silhouette_score with sample_size=2000
+    * (nuevo-kmeans-pre.ipynb:112); at 100 TB this operator runs on such a
+    * sample, never the corpus. */
+  def silhouetteExact(e: DataFrame): DataFrame = {
+    val n = e.count()
+    require(n <= MaxSilhouetteRows,
+      s"silhouetteExact is an all-pairs sample-scale diagnostic: got $n rows " +
+        s"(max $MaxSilhouetteRows). Sample the input first " +
+        "(df.sample or limit) — the result is an estimate either way.")
+    silhouetteUnguarded(e)
+  }
+
+  def qSilhouetteExact(spark: SparkSession, dir: String): DataFrame =
+    silhouetteExact(Tables.embeddings(spark, dir))
+
+  private def silhouetteUnguarded(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("i"), col("label").as("la"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("embedding").as("eb"))
     val meanDists = a.join(b, col("i") =!= col("j"))

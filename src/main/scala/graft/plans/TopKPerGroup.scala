@@ -66,9 +66,16 @@ case class TopKPerGroupExec(
       val outProj = UnsafeProjection.create(out, out)
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      val maxGroups = TopKPerGroup.MaxGroupsPerPartition
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(), {
+          if (heaps.size >= maxGroups) throw new IllegalStateException(
+            s"TopKPerGroup holds one in-memory heap per group and this " +
+              s"partition exceeded $maxGroups groups (no spill path). " +
+              "Raise spark.sql.shuffle.partitions so fewer groups land " +
+              "per partition, or use a window-sort for ultra-high-cardinality keys.")
+          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+        })
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap.enqueue(row.copy()) }
       }
@@ -96,12 +103,23 @@ object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy
 }
 
 object TopKPerGroup {
+  /** Memory contract: the exec keeps one k-row heap per group per
+    * partition (no spill). Partitions hitting this many groups fail
+    * loudly instead of creeping toward executor OOM — k·maxGroups rows
+    * ≈ tens of MB at k=10. */
+  val MaxGroupsPerPartition: Int = 2000000
+
   /** DataFrame API: top-k rows per group, ascending by orderCols, with a
     * 1-based `rk` column appended. Columns are referenced by name and
     * bound against the analyzed child up front (a custom node can't lean
     * on the analyzer to resolve Column wrappers). Derived sort keys (e.g.
     * a negation for descending) should be materialized with withColumn
-    * first. Requires GraftExtensions on the session (planner strategy). */
+    * first. Requires GraftExtensions on the session (planner strategy).
+    *
+    * Memory: one in-memory k-heap per distinct group per partition —
+    * bounded by [[MaxGroupsPerPartition]] (loud failure, no spill). For
+    * group cardinalities beyond that per partition, prefer the window-sort
+    * formulation (qWindowTopn) which spills. */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame = {
     val analyzed = df.queryExecution.analyzed
     def attr(name: String) = analyzed.output.filter(_.name == name) match {

@@ -39,6 +39,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(approx(r(0), 1.0) && approx(r(1), 0.0))
   }
 
+  test("multiple kernel instances compile in one codegen scope (non-nullable inputs)") {
+    // Regression: fixed accumulator names would declare duplicate Java
+    // locals when two instances of the same kernel share a scope with
+    // non-nullable inputs (no isolating if-block) — Janino then fails and
+    // the whole stage silently drops to interpreted execution. Generating
+    // the projection directly makes that failure loud.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val t = ArrayType(DoubleType, containsNull = false)
+    val a = BoundReference(0, t, nullable = false)
+    val b = BoundReference(1, t, nullable = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      VecDot(a, b), VecDot(b, a), VecCosine(a, b), VecCosine(b, a),
+      VecEuclidean(a, b), VecEuclideanSq(a, b), VecManhattan(a, b)))
+    val row = proj(InternalRow(
+      ArrayData.toArrayData(Array(1.0, 2.0)), ArrayData.toArrayData(Array(3.0, 4.0))))
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 11.0)
+    assert(approx(row.getDouble(4), math.sqrt(8.0)) && row.getDouble(5) == 8.0
+      && row.getDouble(6) == 4.0)
+  }
+
   test("works on real embeddings and matches euclidean identity") {
     val e = graft.Tables.embeddings(spark, SfDir).limit(100)
     // |a-b|^2 = |a|^2 + |b|^2 - 2<a,b>

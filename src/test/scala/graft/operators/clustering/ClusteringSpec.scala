@@ -37,6 +37,17 @@ class ClusteringSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("silhouette guard rejects above-sample-scale input loudly") {
+    import spark.implicits._
+    val big = spark.range(ClusteringQueries.MaxSilhouetteRows + 1)
+      .select(col("id").as("vec_id"), (col("id") % 3).as("label"),
+        array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      ClusteringQueries.silhouetteExact(big)
+    }
+    assert(ex.getMessage.contains("sample"), s"unexpected message: ${ex.getMessage}")
+  }
+
   test("label merge assigns every document with chunks") {
     val lm = ClusteringQueries.qLabelMerge(spark, SfDir)
     val nEmb = graft.Tables.embeddings(spark, SfDir).count()

@@ -9,29 +9,34 @@ import org.apache.spark.sql.functions._
   * re-expression of analisis-informe.ipynb's MinCovDet / EllipticEnvelope
   * study (robust covariance → Mahalanobis distance → outlier cut).
   *
-  * Two stages:
-  *  1. moment estimation: ONE `treeAggregate` pass accumulates n, Σx, and
-  *     the upper triangle of Σxxᵀ (O(d²) per partition, nothing scales with
-  *     n on the driver);
-  *  2. driver-side Cholesky inversion of the d×d covariance (d = embedding
-  *     dim, driver-sized by construction) with a small ridge for numerical
-  *     safety — MinCovDet's subset-reweighting is not distributable
-  *     faithfully; the classical estimator is the documented substitute
-  *     (SURVEY §2).
+  * Two estimators over the same distributed moment pass:
+  *  - [[fitInverse]] — classical (mean, covariance) in ONE `treeAggregate`
+  *    (n, Σx, upper triangle of Σxxᵀ; O(d²) per partition, nothing scales
+  *    with n on the driver) + driver-side Cholesky inversion of the d×d
+  *    matrix;
+  *  - [[fitRobust]] — MinCovDet-style robust covariance via C-steps
+  *    (Rousseeuw & Van Driessen's FastMCD refinement): score all points
+  *    with the current model, keep the best-supported half, refit, repeat
+  *    to a fixed point. Each C-step is one map-side scoring pass + one
+  *    moment pass — fully distributed; only the d×d model visits the
+  *    driver. Deterministic: starts from the classical fit rather than
+  *    FastMCD's random elemental subsets (documented deviation — at
+  *    moderate contamination the C-step fixed point is the same).
   *
   * Scoring is then a map-side O(d²) expression ([[MahalanobisSq]]) — the
   * same shape nearest-centroid uses: plan-constant model, no join.
   */
 object Mahalanobis extends QueryModule {
 
-  /** (mean, inverse covariance) of `vecCol` (array<float>). */
-  def fitInverse(points: DataFrame, vecCol: String,
-                 ridge: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+  /** One distributed pass: (n, Σx, upper-tri Σxxᵀ) → (n, mean, covariance
+    * + ridge). */
+  private def moments(points: DataFrame, vecCol: String,
+                      ridge: Double): (Long, Array[Double], Array[Array[Double]]) = {
     val spark = points.sparkSession
     import spark.implicits._
     val data = points.select(col(vecCol).cast("array<float>")).as[Array[Float]].rdd
     val first = data.take(1).headOption.getOrElse(
-      throw new IllegalArgumentException("Mahalanobis.fitInverse: empty input"))
+      throw new IllegalArgumentException("Mahalanobis: empty input"))
     val d = first.length
     val tri = d * (d + 1) / 2
     val zero = (0L, new Array[Double](d), new Array[Double](tri))
@@ -58,7 +63,7 @@ object Mahalanobis extends QueryModule {
         while (t < tri) { a._3(t) += b._3(t); t += 1 }
         (a._1 + b._1, a._2, a._3)
       })
-    require(n > 1, "Mahalanobis.fitInverse: need at least 2 rows")
+    require(n > 1, "Mahalanobis: need at least 2 rows")
     val mu = s.map(_ / n)
     val cov = Array.ofDim[Double](d, d)
     for (i <- 0 until d) {
@@ -70,7 +75,57 @@ object Mahalanobis extends QueryModule {
       }
       cov(i)(i) += ridge
     }
+    (n, mu, cov)
+  }
+
+  /** (mean, inverse covariance) of `vecCol` (array<float>) — classical. */
+  def fitInverse(points: DataFrame, vecCol: String,
+                 ridge: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+    val (_, mu, cov) = moments(points, vecCol, ridge)
     (mu, invertSpd(cov))
+  }
+
+  /** MinCovDet-style robust (mean, inverse covariance): C-step iteration
+    * from the classical fit. Each step scores every point map-side with
+    * the current model, thresholds at the `supportFraction` quantile of
+    * the squared distances (percentile_approx at high accuracy — the
+    * scale-safe threshold; an exact k-th would gather O(n) rows), refits
+    * moments on the supported subset, and stops at a fixed point (stable
+    * threshold) or `maxIter`. Contaminated points fall out of the support
+    * after the first step, so the final covariance is not inflated by the
+    * very outliers it is meant to expose (the masking effect the
+    * reference's MinCovDet study targets). */
+  def fitRobust(points: DataFrame, vecCol: String,
+                supportFraction: Double = 0.5, maxIter: Int = 10,
+                ridge: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+    require(supportFraction > 0.0 && supportFraction <= 1.0,
+      s"supportFraction must be in (0, 1], got $supportFraction")
+    val pts = points.select(col(vecCol).cast("array<float>").as("v")).cache()
+    try {
+      var (_, mu, cov) = moments(pts, "v", ridge)
+      var inv = invertSpd(cov)
+      var prevT = Double.NaN
+      var it = 0
+      var converged = false
+      while (it < maxIter && !converged) {
+        val scored = pts.select(col("v"),
+          MahalanobisSq(col("v"), mu.toIndexedSeq,
+            inv.map(_.toIndexedSeq).toIndexedSeq).as("m2"))
+        val t = scored.agg(
+          percentile_approx(col("m2"), lit(supportFraction), lit(100000)))
+          .head().getDouble(0)
+        if (t == prevT) converged = true
+        else {
+          val next = moments(scored.filter(col("m2") <= t).select("v"), "v", ridge)
+          mu = next._2
+          cov = next._3
+          inv = invertSpd(cov)
+          prevT = t
+        }
+        it += 1
+      }
+      (mu, inv)
+    } finally pts.unpersist(blocking = false)
   }
 
   /** Inverse of a symmetric positive-definite matrix via Cholesky
@@ -121,10 +176,22 @@ object Mahalanobis extends QueryModule {
       .limit(20)
   }
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mahalanobis" -> (qMahalanobis _))
+  /** Top-20 outliers by ROBUST (MinCovDet-style) distance. */
+  def qMahalanobisRobust(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (mu, inv) = fitRobust(e, "embedding")
+    e.select(col("vec_id"),
+      round(MahalanobisSq(col("embedding"), mu.toIndexedSeq,
+        inv.map(_.toIndexedSeq).toIndexedSeq), 4).as("robust_maha_sq"))
+      .orderBy(col("robust_maha_sq").desc, col("vec_id"))
+      .limit(20)
+  }
 
-  /** Matrix inversion is not SQL-expressible — rows-only; invariants in
-    * MahalanobisSpec. */
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mahalanobis" -> (qMahalanobis _),
+    "q_mahalanobis_robust" -> (qMahalanobisRobust _))
+
+  /** Matrix inversion is not SQL-expressible — rows-only; invariants
+    * (incl. planted-contamination recovery) in MahalanobisSpec. */
   override def oracles: Map[String, String] = Map.empty
 }

@@ -33,6 +33,58 @@ class MahalanobisSpec extends SparkSpec {
     assert(top.getLong(0) == 301L, s"expected planted outlier first, got $top")
   }
 
+  test("robust fit recovers planted contamination that masks the classical fit") {
+    // 270 inliers in a tight isotropic cloud + 30 clustered far outliers
+    // (10% contamination). The outlier CLUSTER inflates the classical
+    // covariance toward its own direction (masking); the C-step support
+    // drops it, so robust distances separate planted from inliers cleanly.
+    val rnd = new scala.util.Random(11)
+    val inliers = Seq.fill(270)(Array(
+      (rnd.nextGaussian() * 0.5).toFloat, (rnd.nextGaussian() * 0.5).toFloat))
+    val planted = Seq.fill(30)(Array(
+      (8.0 + rnd.nextGaussian() * 0.2).toFloat, (8.0 + rnd.nextGaussian() * 0.2).toFloat))
+    val df = (inliers ++ planted).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v").cache()
+    val (muR, invR) = Mahalanobis.fitRobust(df, "v")
+    val scored = df.select(col("id"),
+      MahalanobisSq(col("v"), muR.toIndexedSeq,
+        invR.map(_.toIndexedSeq).toIndexedSeq).as("m")).cache()
+    val top30 = scored.orderBy(col("m").desc).limit(30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top30 == (270L until 300L).toSet,
+      s"robust top-30 must be exactly the planted points, got ${top30.toSeq.sorted.take(5)}...")
+    // robust mean must sit in the inlier cloud, not dragged toward (8, 8)
+    assert(math.abs(muR(0)) < 0.5 && math.abs(muR(1)) < 0.5,
+      s"robust mean dragged to ${muR.toSeq}")
+    // separation margin: weakest planted score far above strongest inlier
+    val minPlanted = scored.filter(col("id") >= 270).agg(min("m")).head().getDouble(0)
+    val maxInlier = scored.filter(col("id") < 270).agg(max("m")).head().getDouble(0)
+    assert(minPlanted > maxInlier * 10,
+      s"robust separation too weak: $minPlanted vs $maxInlier")
+  }
+
+  test("robust fit is deterministic and matches classical on clean data") {
+    val rnd = new scala.util.Random(5)
+    val clean = Seq.fill(200)(Array(
+      (rnd.nextGaussian()).toFloat, (rnd.nextGaussian() * 2).toFloat))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val (mu1, inv1) = Mahalanobis.fitRobust(clean, "v")
+    val (mu2, inv2) = Mahalanobis.fitRobust(clean, "v")
+    assert(mu1.toSeq == mu2.toSeq &&
+      inv1.map(_.toSeq).toSeq == inv2.map(_.toSeq).toSeq,
+      "two robust fits on identical data must be bit-identical")
+    // clean gaussian data: robust and classical agree on the model's shape
+    val (muC, _) = Mahalanobis.fitInverse(clean, "v")
+    assert(math.abs(mu1(0) - muC(0)) < 0.3 && math.abs(mu1(1) - muC(1)) < 0.6)
+  }
+
+  test("q_mahalanobis_robust returns 20 ranked rows on the corpus") {
+    val r = Mahalanobis.qMahalanobisRobust(spark, SfDir).collect()
+    assert(r.length == 20)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("expression matches a driver-side quadratic form") {
     val mu = Seq(1.0, 2.0)
     val inv = Seq(Seq(2.0, 0.5), Seq(0.5, 1.0))

@@ -46,7 +46,41 @@ object LshAnn extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh" -> (qAnnLsh _))
 
-  /** Plane matrix is engine-specific — rows-only; recall vs brute force is
-    * asserted in LshAnnSpec. */
-  override def oracles: Map[String, String] = Map.empty
+  /** DuckDB replay: the plane matrix is a deterministic seeded constant
+    * available at oracle-build time, so the signature computation is
+    * embedded literally — per-plane dot products as explicit left-
+    * associated chains (same sequential double accumulation as
+    * HyperplaneSig), sign bits summed into the bucket, the query's
+    * multiprobe set derived with xor, exact cosine rerank on candidates.
+    * Double literals round-trip exactly via Double.toString. */
+  override def oracles: Map[String, String] = Map(
+    "q_ann_lsh" -> {
+      def planeDot(p: Int): String =
+        (1 to Dim).map(i => s"nv[$i] * (${planes(p)(i - 1)})").mkString(" + ")
+      val bucketExpr = (0 until NumPlanes)
+        .map(p => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n      + ")
+      val probeVals = (0L +: (0 until NumPlanes).map(i => 1L << i))
+        .map(v => s"($v)").mkString(", ")
+      s"""WITH nrm AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+         |                                              CAST(embedding AS DOUBLE[]))))) AS nv
+         |  FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, raw,
+         |    CAST($bucketExpr AS BIGINT) AS bucket
+         |  FROM nrm),
+         |qrow AS (SELECT bucket AS qb, raw AS qv FROM sig WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT xor(qb, v) AS pb
+         |  FROM qrow, (VALUES $probeVals) t(v))
+         |SELECT s.vec_id, s.bucket,
+         |  round(list_cosine_similarity(s.raw, q.qv), 6) AS cos_sim
+         |FROM sig s, qrow q
+         |WHERE s.vec_id > 0 AND s.bucket IN (SELECT pb FROM probes)
+         |ORDER BY cos_sim DESC, s.vec_id
+         |LIMIT 10""".stripMargin
+    })
 }

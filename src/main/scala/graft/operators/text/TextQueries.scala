@@ -141,8 +141,11 @@ object TextQueries extends QueryModule {
       .withColumn("chunk_len", length(col("chunk_text")))
       .orderBy("doc_id", "chunk_idx")
 
-  /** Winnowing rolling-hash fingerprints (custom expression; engine-specific
-    * hash → rows-only, containment property covered in RollingHashSpec). */
+  /** Winnowing rolling-hash fingerprints — oracle-checked: the k-gram
+    * polynomial (base 257 mod 1e9+7) is bounded arithmetic the oracle
+    * recomputes directly (the rolling update is algebraically identical
+    * to the direct fold), and winnowing's per-window rightmost-min
+    * reduces to list_min per window since only VALUES are kept. */
   def qFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -165,6 +168,32 @@ object TextQueries extends QueryModule {
     s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN (${inList(stops)}))) AS $alias"
 
   override def oracles: Map[String, String] = Map(
+    "q_fingerprint_winnow" ->
+      // k=8, w=4 (RollingFingerprint defaults); the k-gram hash is the
+      // direct polynomial fold the rolling update is algebraically equal
+      // to; winnowing keeps only min VALUES so list_min per window suffices
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 8 THEN []
+        |    ELSE list_transform(range(1, length(text) - 8 + 2),
+        |      i -> list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(0, 8),
+        |            j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |        (h, c) -> (h * 257 + c) % 1000000007))
+        |    END AS hs
+        |  FROM documents),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN []
+        |         WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 4 + 2),
+        |                st -> list_min(list_slice(hs, st, st + 3)))
+        |    END AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(list_distinct(fps)) AS INT) AS n_fp,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,

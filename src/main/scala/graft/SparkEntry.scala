@@ -24,6 +24,8 @@ object SparkEntry {
     graft.operators.dedup.SimHash,
     graft.operators.multimodal.MediaQueries,
     graft.operators.multimodal.MarkupDecode,
+    graft.operators.projection.LandmarkMdsQueries,
+    graft.operators.text.BpeQueries,
     graft.operators.analytics.Mahalanobis,
     graft.streaming.StreamingQueries)
 

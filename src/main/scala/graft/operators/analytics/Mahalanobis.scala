@@ -114,7 +114,10 @@ object Mahalanobis extends QueryModule {
         val t = scored.agg(
           percentile_approx(col("m2"), lit(supportFraction), lit(100000)))
           .head().getDouble(0)
-        if (t == prevT) converged = true
+        // fixed point up to relative tolerance: the support set stops
+        // changing well before the threshold is bit-stable
+        if (math.abs(t - prevT) <= 1e-9 * math.max(1.0, math.abs(prevT)))
+          converged = true
         else {
           val next = moments(scored.filter(col("m2") <= t).select("v"), "v", ridge)
           mu = next._2

@@ -150,8 +150,9 @@ object ClusteringQueries extends QueryModule {
     "q_silhouette_exact" -> (qSilhouetteExact _))
 
   /** Shared SQL fragments: normalized vectors (mirroring VecNormalize's
-    * multiply-by-reciprocal) and the centroid CTE. */
-  private val NrmCte =
+    * multiply-by-reciprocal) and the centroid CTE. Shared with the
+    * streaming classify twin (graft.streaming). */
+  private[graft] val NrmCte =
     """nrm AS (SELECT vec_id, label,
       |  list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v

@@ -150,11 +150,40 @@ object StreamingQueries extends QueryModule {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Streaming nearest-centroid classification — the online serving path
+    * (reference classify_embedding against the centroid table): stateless
+    * map-side [[graft.functions.NearestCentroid]] on a real readStream,
+    * no shuffle, source-throughput. Oracle-checked against the same
+    * centroid CTE as the batch twin. */
+  def qStreamClassify(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.functions.NearestCentroid
+    import graft.functions.VectorOps.vec_normalize
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_emb_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    Files.createDirectories(stage)
+    Files.copy(Paths.get(dir, "embeddings.parquet"),
+      stage.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, dir)
+    val cls = spark.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("asg", NearestCentroid(vec_normalize(col("embedding")), cs))
+      .select(col("vec_id"), col("asg.centroid_id").as("centroid_id"),
+        col("asg.dist").as("dist"))
+    runToTable(spark, cls, "stream_classify_q", OutputMode.Append())
+      .select(col("vec_id"), col("centroid_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stream" -> (qEventsWindowStream _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
-    "q_events_enrich_stream" -> (qEventsEnrichStream _))
+    "q_events_enrich_stream" -> (qEventsEnrichStream _),
+    "q_stream_classify" -> (qStreamClassify _))
 
   override def oracles: Map[String, String] = Map(
     "q_events_window_stream" ->
@@ -176,6 +205,10 @@ object StreamingQueries extends QueryModule {
         |  max(ts_sec) AS end_sec, count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    "q_stream_classify" ->
+      s"""WITH ${graft.operators.clustering.ClusteringQueries.NrmCte}
+         |SELECT vec_id, centroid_id, round(dist, 6) AS dist
+         |FROM asg ORDER BY vec_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -27,8 +27,11 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
   private val Mod = 1000000007L
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // hash over Unicode CODE POINTS (not UTF-16 units) — the unit the SQL
+    // oracle's ord(substr)/length() also use, so the replay holds on any
+    // corpus, not only the ASCII/BMP range
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Long])
     // k-gram rolling hashes
     var pow = 1L
@@ -38,11 +41,11 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     val hs = new Array[Long](m)
     var h = 0L
     i = 0
-    while (i < k) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    while (i < k) { h = (h * Base + cps(i)) % Mod; i += 1 }
     hs(0) = h
     i = 1
     while (i < m) {
-      h = ((h - (s.charAt(i - 1) * pow) % Mod + Mod * Base) % Mod * Base + s.charAt(i + k - 1)) % Mod
+      h = ((h - (cps(i - 1).toLong * pow) % Mod + Mod * Base) % Mod * Base + cps(i + k - 1)) % Mod
       hs(i) = h
       i += 1
     }

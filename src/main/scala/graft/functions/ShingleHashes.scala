@@ -14,9 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * concat_ws)` → hash) materializes every shingle as a new string:
   * O(words · n) bytes of garbage per document. This expression tokenizes
   * the UTF8String's bytes directly (ASCII whitespace separators), hashes
-  * each word in place, and mixes each window of `n` consecutive word
-  * hashes into one value — zero intermediate strings, one allocation for
-  * the output array.
+  * each word in place over its Unicode code points (decoded inline from
+  * UTF-8; ASCII is a one-byte fast path), and mixes each window of `n`
+  * consecutive word hashes into one value — zero intermediate strings,
+  * one allocation for the output array.
   *
   * The hash is a Karp–Rabin polynomial fingerprint mod the Mersenne prime
   * M = 2³¹−1 (word: h = (h·127 + byte) mod M; window: acc = (acc·1000003 +
@@ -48,7 +49,12 @@ case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val len = bytes.length
-    // First pass: Karp-Rabin hash of each whitespace-separated token.
+    // First pass: Karp-Rabin hash of each whitespace-separated token. The
+    // polynomial runs over Unicode CODE POINTS (decoded inline from the
+    // UTF-8 bytes — ASCII stays a one-byte fast path), matching the SQL
+    // oracle's ord(substr(w, i, 1)) semantics on any corpus, not only
+    // ASCII. Separators are ASCII, so multi-byte sequences (all bytes
+    // >= 0x80) can never be mistaken for them.
     var wordCount = 0
     var wordHashes = new Array[Long](math.max(8, len / 6))
     var i = 0
@@ -59,10 +65,21 @@ case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
         var h = 0L
         var h2 = 0L
         while (i < len && !isSpace(bytes(i))) {
-          val b = bytes(i) & 0xffL
-          h = (h * WordBase + b) % M
-          if (wide) h2 = (h2 * WordBase2 + b) % M
-          i += 1
+          val b0 = bytes(i) & 0xff
+          var cp = 0L
+          var nB = 1
+          if (b0 < 0x80) cp = b0
+          else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; nB = 2 }
+          else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; nB = 3 }
+          else { cp = b0 & 0x07; nB = 4 }
+          var k = 1
+          while (k < nB && i + k < len) {
+            cp = (cp << 6) | (bytes(i + k) & 0x3F)
+            k += 1
+          }
+          h = (h * WordBase + cp) % M
+          if (wide) h2 = (h2 * WordBase2 + cp) % M
+          i += nB
         }
         if (wordCount == wordHashes.length) {
           val bigger = new Array[Long](wordHashes.length * 2)

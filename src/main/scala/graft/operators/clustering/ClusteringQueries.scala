@@ -112,10 +112,12 @@ object ClusteringQueries extends QueryModule {
     * (nuevo-kmeans-pre.ipynb:112); at 100 TB this operator runs on such a
     * sample, never the corpus. */
   def silhouetteExact(e: DataFrame): DataFrame = {
-    val n = e.count()
-    require(n <= MaxSilhouetteRows,
-      s"silhouetteExact is an all-pairs sample-scale diagnostic: got $n rows " +
-        s"(max $MaxSilhouetteRows). Sample the input first " +
+    // limit-bounded guard: scans at most MaxSilhouetteRows+1 rows even
+    // when pointed at a huge upstream plan it is about to reject
+    val over = e.limit(MaxSilhouetteRows.toInt + 1).count() > MaxSilhouetteRows
+    require(!over,
+      s"silhouetteExact is an all-pairs sample-scale diagnostic: input exceeds " +
+        s"$MaxSilhouetteRows rows. Sample the input first " +
         "(df.sample or limit) — the result is an estimate either way.")
     silhouetteUnguarded(e)
   }

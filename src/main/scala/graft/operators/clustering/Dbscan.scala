@@ -48,6 +48,8 @@ object Dbscan {
   def epsPairs(points: DataFrame, idCol: String, vecCol: String,
                maxEps: Double, nPivots: Int = 4, salt: Int = 32): DataFrame = {
     require(maxEps > 0, s"maxEps must be positive, got $maxEps")
+    require(nPivots > 0, s"need at least one pivot, got $nPivots")
+    require(salt > 0, s"salt must be positive, got $salt")
     val w = maxEps + 1e-9 // band width; slack absorbs double rounding
     val pts = points.select(col(idCol).as("pid"), col(vecCol).as("pv"))
     // deterministic driver-sized pivot set: the nPivots lowest-id points
@@ -69,7 +71,9 @@ object Dbscan {
       .withColumn("q", explode(array((0 until salt).map(lit(_)): _*)))
     val bSide = binned.columns.foldLeft(binned)((df, c) =>
         df.withColumnRenamed(c, if (c == "pid") "j" else if (c == "pv") "vb" else s"b_$c"))
-      .withColumn("q", pmod(col("j"), lit(salt)).cast("int"))
+      // hash-based salt keeps the id column type-generic (ids need not be
+      // numeric) and spreads sequential ids across salts
+      .withColumn("q", pmod(xxhash64(col("j")), lit(salt.toLong)).cast("int"))
     val pivotPrune = (1 until pivots.length)
       .map(k => abs(col(s"a_pd$k") - col(s"b_pd$k")) <= w)
       .foldLeft(col("i") =!= col("j"))(_ && _)

@@ -158,7 +158,7 @@ object MinHashLsh extends QueryModule {
        |  SELECT doc_id,
        |    list_transform(ws, w -> list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(range(1, strlen(w) + 1),
+       |        list_transform(range(1, length(w) + 1),
        |          i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
        |      (h, c) -> (h * $WordBase + c) % $M)) AS wh
        |  FROM words),

@@ -102,12 +102,12 @@ object SimHash extends QueryModule {
          |    list_transform(ws, w ->
          |      list_reduce(
          |        list_prepend(CAST(0 AS BIGINT),
-         |          list_transform(range(1, strlen(w) + 1),
+         |          list_transform(range(1, length(w) + 1),
          |            i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
          |        (h, c) -> (h * $WordBase + c) % $M)
          |      | (list_reduce(
          |          list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(range(1, strlen(w) + 1),
+         |            list_transform(range(1, length(w) + 1),
          |              i -> CAST(ord(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
          |          (h, c) -> (h * $WordBase2 + c) % $M) << 31)) AS wh
          |  FROM words

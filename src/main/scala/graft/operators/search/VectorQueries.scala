@@ -78,7 +78,7 @@ object VectorQueries extends QueryModule {
       """SELECT vec_id,
         |  CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS INT) AS dim_idx,
         |  round(unnest(CAST(embedding AS DOUBLE[]))
-        |        / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS value
+        |        * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS value
         |FROM embeddings ORDER BY vec_id, dim_idx""".stripMargin,
     "q_vec_dot" ->
       """SELECT a.vec_id,

@@ -105,9 +105,10 @@ object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy
 object TopKPerGroup {
   /** Memory contract: the exec keeps one k-row heap per group per
     * partition (no spill). Partitions hitting this many groups fail
-    * loudly instead of creeping toward executor OOM — k·maxGroups rows
-    * ≈ tens of MB at k=10. */
-  val MaxGroupsPerPartition: Int = 2000000
+    * loudly instead of creeping toward executor OOM: the buffered state
+    * is k·maxGroups copied rows plus one heap + map entry per group —
+    * ≈ 250 MB at k=10 with 100-byte rows at this cap. */
+  val MaxGroupsPerPartition: Int = 250000
 
   /** DataFrame API: top-k rows per group, ascending by orderCols, with a
     * 1-based `rk` column appended. Columns are referenced by name and

@@ -71,11 +71,15 @@ object StreamingQueries extends QueryModule {
   case class Session(user_id: Long, session_id: Long, start_sec: Long,
                      end_sec: Long, n_events: Long, sum_micro: Long)
 
-  /** value at scale 6 as an exact integer (micros) — the same half-up
-    * conversion Spark's `cast(value AS decimal(25,6))` performs, so the
-    * session sum is order-independent and bit-identical to the decimal-sum
-    * oracle (SURVEY §5 float discipline; raw double accumulation was the
-    * one hash-mismatch of round 1). */
+  /** value at scale 6 as an exact integer (micros): half-up rounding of
+    * the EXACT binary expansion of the double — which is what the
+    * oracle's `CAST(value AS DECIMAL(25,6))` computes (C++ double
+    * arithmetic), verified to agree on every corpus value. Spark's own
+    * double→decimal cast goes through Double.toString and can differ in
+    * the last ulp for adversarial values, which is why this path does its
+    * own conversion instead of casting. The session sum is then
+    * order-independent integer addition (SURVEY §5 float discipline; raw
+    * double accumulation was the one hash-mismatch of round 1). */
   private def micros(v: Double): Long =
     new java.math.BigDecimal(v)
       .setScale(6, java.math.RoundingMode.HALF_UP)

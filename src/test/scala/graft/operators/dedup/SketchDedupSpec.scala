@@ -33,6 +33,20 @@ class SketchDedupSpec extends SparkSpec {
     assert(MinHashLsh.qDedupGroups(spark, SfDir).count() >= 20)
   }
 
+  test("word hashes run over Unicode code points (oracle ord() semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // expected value = the same fold DuckDB's list_reduce/ord replay
+    // computes (cross-checked externally): non-ASCII must not diverge
+    val M = 2147483647L
+    val expected = "café".codePoints().toArray
+      .foldLeft(0L)((h, c) => (h * 127 + c) % M)
+    val got = Seq(Tuple1("café")).toDF("text")
+      .select(explode(graft.functions.ShingleHashes(col("text"), 1)).as("h"))
+      .head().getLong(0)
+    assert(got == expected, s"code-point hash mismatch: $got vs $expected")
+  }
+
   test("minhash signature is deterministic") {
     val s1 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)
     val s2 = MinHashLsh.signatures(base).orderBy("doc_id").collect().map(_.toSeq)

@@ -154,4 +154,49 @@ object Graft {
       graft.functions.MahalanobisSq(col(embeddingCol), mu.toIndexedSeq,
         inv.map(_.toIndexedSeq).toIndexedSeq).as("maha_sq"))
   }
+
+  /** analisis-informe.ipynb MinCovDet itself: ROBUST squared Mahalanobis
+    * score per row (distributed C-step fit — contaminated points do not
+    * inflate the covariance they are scored against). */
+  def robustMahalanobisScores(df: DataFrame, idCol: String,
+                              embeddingCol: String,
+                              supportFraction: Double = 0.5): DataFrame = {
+    val (mu, inv) = operators.analytics.Mahalanobis.fitRobust(
+      df, embeddingCol, supportFraction)
+    df.select(col(idCol),
+      graft.functions.MahalanobisSq(col(embeddingCol), mu.toIndexedSeq,
+        inv.map(_.toIndexedSeq).toIndexedSeq).as("robust_maha_sq"))
+  }
+
+  /** nuevo-kmeans-pre.ipynb UMAP 2D/3D role: Landmark-MDS embedding —
+    * appends p0..p{dims-1} coordinate columns, map-side. */
+  def projectLandmarkMds(df: DataFrame, idCol: String, embeddingCol: String,
+                         dims: Int = 2, numLandmarks: Int = 32): DataFrame = {
+    val model = operators.projection.LandmarkMds.fit(
+      df, idCol, embeddingCol, numLandmarks, dims)
+    operators.projection.LandmarkMds.transform(df, embeddingCol, model)
+  }
+
+  /** The document-conversion zoo's text formats (analisis-informe.ipynb
+    * html/markdown converters): html/md/txt payload bytes → plain text. */
+  def extractText(fmt: String, payload: Array[Byte]): String =
+    operators.multimodal.MarkupDecode.MarkupExtractor.extract(fmt, payload)
+
+  /** tiktoken-style token budgeting: train BPE merges on the corpus
+    * (one word-frequency groupBy + driver merge loop)… */
+  def trainBpe(docs: DataFrame, textCol: String,
+               numMerges: Int = 200): Seq[(String, String)] = {
+    val freqs = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(operators.text.BpeQueries.MaxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    functions.Bpe.learn(freqs, numMerges)
+  }
+
+  /** …then encode any text column into subword tokens with them. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    functions.BpeTokens(text, merges)
 }

@@ -72,6 +72,23 @@ class GraftFacadeSpec extends SparkSpec {
     assert(m.filter(col("maha_sq") < 0).count() == 0)
   }
 
+  test("round-2 facade: robust scores, LMDS projection, markup, BPE") {
+    val e = Tables.embeddings(spark, SfDir)
+    val r = Graft.robustMahalanobisScores(e, "vec_id", "embedding")
+    assert(r.filter(col("robust_maha_sq") < 0).count() == 0)
+    val p = Graft.projectLandmarkMds(e, "vec_id", "embedding")
+    assert(p.columns.contains("p0") && p.columns.contains("p1"))
+    assert(p.filter(col("p0").isNaN || col("p1").isNaN).count() == 0)
+    assert(Graft.extractText("html", "<p>hi</p>".getBytes("UTF-8")) == "hi")
+    val merges = Graft.trainBpe(Tables.documents(spark, SfDir), "text", numMerges = 20)
+    assert(merges.size == 20)
+    import spark.implicits._
+    val toks = Seq(Tuple1("the test")).toDF("t")
+      .select(Graft.bpeTokens(col("t"), merges).as("tk"))
+      .head().getSeq[String](0)
+    assert(toks.nonEmpty && toks.mkString.endsWith(functions.Bpe.EndMark))
+  }
+
   test("SQL functions available via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

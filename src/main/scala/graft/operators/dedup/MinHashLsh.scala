@@ -31,6 +31,14 @@ object MinHashLsh extends QueryModule {
   val RowsPerBand = 4
   val P = 4294967311L // prime > 2^32
 
+  /** Skew guard: a band bucket of B docs yields B² candidate pairs, and at
+    * corpus scale boilerplate (shared headers/footers) produces mega-
+    * buckets that would dominate the join. Buckets above this size are
+    * dropped (standard LSH practice — a pair whose ONLY shared bands are
+    * boilerplate-flooded is exactly the pair we don't want); the oracle
+    * applies the same HAVING cap. */
+  val MaxBandBucket = 5000L
+
   /** Deterministic permutation parameters (a odd-ish < 2^31, b < 2^31). */
   val (coefA, coefB) = {
     val rnd = new scala.util.Random(42)
@@ -71,7 +79,8 @@ object MinHashLsh extends QueryModule {
     * aggregated ONCE — signature sketch and Jaccard set come out of the
     * same groupBy — and only the compact per-doc result (~2 KB/doc) is
     * persisted for reuse by banding and verification. */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def nearDupPairs(docs: DataFrame, minJaccard: Double,
+                   maxBandBucket: Long = MaxBandBucket): DataFrame = {
     val perDoc = shingleHashes(docs).groupBy(col("doc_id"))
       .agg(
         graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
@@ -87,7 +96,15 @@ object MinHashLsh extends QueryModule {
     val banded = perDoc.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id") +: col("bk.band").as("band") +:
         keyCols.map(k => col(s"bk.$k").as(k)): _*)
-    val cand = banded.alias("l").join(banded.alias("r"), "band" +: keyCols)
+    // mega-bucket skew guard: the oversized-bucket list is tiny by
+    // construction → broadcast anti-join, no extra shuffle of the big side
+    val oversized = banded
+      .groupBy(col("band") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBandBucket)
+      .select(col("band") +: keyCols.map(col): _*)
+    val bounded = banded.join(broadcast(oversized), "band" +: keyCols, "left_anti")
+    val cand = bounded.alias("l").join(bounded.alias("r"), "band" +: keyCols)
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
@@ -177,9 +194,13 @@ object MinHashLsh extends QueryModule {
        |bands AS (
        |  SELECT doc_id, b, list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand) AS key
        |  FROM sigs, (SELECT unnest(range($Bands)) AS b)),
+       |oversized AS (
+       |  SELECT b, key FROM bands GROUP BY b, key HAVING count(*) > $MaxBandBucket),
+       |bands_ok AS (
+       |  SELECT bands.* FROM bands ANTI JOIN oversized USING (b, key)),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-       |  FROM bands l JOIN bands r
+       |  FROM bands_ok l JOIN bands_ok r
        |    ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
        |verified AS (
        |  SELECT d1, d2, round(inter / (n1 + n2 - inter), 6) AS jaccard

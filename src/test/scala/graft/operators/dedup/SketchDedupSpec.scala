@@ -19,6 +19,22 @@ class SketchDedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("mega-bucket guard drops boilerplate-flooded bands") {
+    // 30 identical docs share EVERY band: with the cap below 30 the
+    // boilerplate flood produces no candidate pairs; the genuine near-dup
+    // pair (1,2) survives because its buckets stay small
+    val flood = (100L until 130L)
+      .map(i => (i, "identical boilerplate header shared by every crawled page in the batch"))
+      .toDF("doc_id", "text").unionByName(base)
+    val capped = MinHashLsh.nearDupPairs(flood, minJaccard = 0.5, maxBandBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"expected only the genuine pair: $capped")
+    // with the cap above the flood size, the boilerplate pairs come back
+    val uncapped = MinHashLsh.nearDupPairs(flood, minJaccard = 0.5, maxBandBucket = 100)
+      .count()
+    assert(uncapped > 400, s"uncapped flood should pair n*(n-1)/2 + 1: $uncapped")
+  }
+
   test("dedup groups are transitive with a min-id canonical doc") {
     // 1~2 and 2~5 near-dups but 1~5 may never pair directly: one group {1,2,5}
     val chained = base.unionByName(Seq(

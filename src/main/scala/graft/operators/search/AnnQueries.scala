@@ -88,9 +88,26 @@ object AnnQueries extends QueryModule {
       .select(lit(10).as("k"), col("recall"))
   }
 
+  /** The PERSISTENT index, end to end: build (partitionBy(cell) write +
+    * centroid sidecar) into a scratch dir, then serve 5 queries in one
+    * batched plan ([[IvfIndex.probeBatch]] — dynamic partition pruning
+    * skips unprobed cells' files, TopKPerGroup bounds both the cell
+    * ranking and the final top-k). Deterministic centroids → fully
+    * oracle-checked. */
+  def qIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_index", dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    IvfIndex.build(spark, dir, idx)
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    IvfIndex.probeBatch(spark, idx, queries, "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ivf_batch" -> (qIvfBatch _),
     "q_lof" -> (qLof _))
 
   private val AsgCte =
@@ -128,6 +145,23 @@ object AnnQueries extends QueryModule {
          |  FROM asg WHERE vec_id > 0) WHERE rn <= 10)
          |SELECT 10 AS k, round(count(*) / 10.0, 6) AS recall
          |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
+    "q_ivf_batch" ->
+      s"""WITH $AsgCte,
+         |q AS (SELECT vec_id AS qid, raw AS qraw, v AS qv FROM nrm WHERE vec_id < 5),
+         |qprobes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER
+         |      (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 2),
+         |hits AS (
+         |  SELECT q.qid, a.vec_id,
+         |    round(list_cosine_similarity(a.raw, q.qraw), 6) AS cos_sim
+         |  FROM asg a JOIN qprobes p ON a.cell = p.cid JOIN q ON q.qid = p.qid)
+         |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM (
+         |  SELECT qid, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+         |  FROM hits) WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
     "q_lof" ->
       """WITH knn AS (
         |  SELECT i, j, d FROM (

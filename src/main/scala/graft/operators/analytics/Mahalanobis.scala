@@ -97,9 +97,10 @@ object Mahalanobis extends QueryModule {
     * reference's MinCovDet study targets). */
   def fitRobust(points: DataFrame, vecCol: String,
                 supportFraction: Double = 0.5, maxIter: Int = 10,
-                ridge: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+                ridge: Double = 1e-9, rTol: Double = 1e-3): (Array[Double], Array[Array[Double]]) = {
     require(supportFraction > 0.0 && supportFraction <= 1.0,
       s"supportFraction must be in (0, 1], got $supportFraction")
+    require(rTol >= 0, s"rTol must be non-negative, got $rTol")
     val pts = points.select(col(vecCol).cast("array<float>").as("v")).cache()
     try {
       var (_, mu, cov) = moments(pts, "v", ridge)
@@ -114,9 +115,14 @@ object Mahalanobis extends QueryModule {
         val t = scored.agg(
           percentile_approx(col("m2"), lit(supportFraction), lit(100000)))
           .head().getDouble(0)
-        // fixed point up to relative tolerance: the support set stops
-        // changing well before the threshold is bit-stable
-        if (math.abs(t - prevT) <= 1e-9 * math.max(1.0, math.abs(prevT)))
+        // fixed point up to relative tolerance (FastMCD stops on a stable
+        // scatter determinant; the support quantile is our scale proxy).
+        // Past the first few C-steps the threshold only jitters ±0.1% as
+        // individual points hop across the support boundary — that is support-set
+        // sampling noise, not model movement, so 1e-3 relative is the
+        // productive stopping point (1e-9 runs every budgeted iteration
+        // chasing noise).
+        if (math.abs(t - prevT) <= rTol * math.max(1.0, math.abs(prevT)))
           converged = true
         else {
           val next = moments(scored.filter(col("m2") <= t).select("v"), "v", ridge)
@@ -126,6 +132,8 @@ object Mahalanobis extends QueryModule {
           prevT = t
         }
         it += 1
+        if (sys.env.contains("GRAFT_PROFILE"))
+          System.err.println(s"[fitRobust] iter=$it t=$t converged=$converged")
       }
       (mu, inv)
     } finally pts.unpersist(blocking = false)

@@ -1,8 +1,22 @@
 package graft
 
 /** Every declared query runs at sf0.001, returns rows, and every oracle key
-  * points at a declared query. */
+  * points at a declared query. Also the scale audit: no query's physical
+  * plan may contain a CartesianProduct, and BroadcastNestedLoopJoin is
+  * allowed only where the non-equi side is bounded by construction. */
 class QueriesSmokeSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+    * each one joins against a frame that is bounded regardless of input
+    * scale, so the nested loop never sees two large sides:
+    *  - q_bm25 / q_hybrid_rrf: crossJoin with the ONE-ROW corpus-stats
+    *    aggregate (N, avgdl);
+    *  - q_ivf_batch: crossJoin with the driver-sized broadcast centroid
+    *    table (≤ nCells rows);
+    *  - q_silhouette_exact: the all-pairs diagnostic, hard-guarded to
+    *    ≤ ClusteringQueries.MaxSilhouetteRows rows. */
+  private val boundedBnlj = Set(
+    "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -16,6 +30,13 @@ class QueriesSmokeSpec extends SparkSpec {
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, SfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a CartesianProduct — unbounded at scale")
+      if (!boundedBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plan contains a BroadcastNestedLoopJoin and is not on " +
+            "the bounded whitelist — use an equi-join (band/bucket/salt) shape")
       assert(df.count() > 0, s"$name returned no rows")
     }
   }

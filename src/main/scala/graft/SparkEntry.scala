@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.multimodal.MediaQueries,
     graft.operators.multimodal.MarkupDecode,
     graft.operators.projection.LandmarkMdsQueries,
+    graft.operators.sampling.SamplingQueries,
     graft.operators.text.BpeQueries,
     graft.operators.analytics.Mahalanobis,
     graft.streaming.StreamingQueries)

@@ -1,0 +1,153 @@
+package graft.operators.sampling
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators a training-data pipeline needs downstream
+  * of dedup/quality filtering (SURVEY §2 "Sampling & assembly"):
+  *
+  *  - deterministic train/val/test split — hash-bucket assignment, so the
+  *    split is stable across reruns, engines, and cluster sizes (no RNG,
+  *    no per-partition state);
+  *  - per-source quota sampling — cap every source's contribution at k
+  *    docs picked by hashed priority (the "no single crawl dominates"
+  *    balancing step), expressed on the bounded-heap [[graft.plans.TopKPerGroup]]
+  *    operator rather than a window sort;
+  *  - token-budget packing — assign docs to fixed-token-budget bins per
+  *    source (the context-window packing step before batching), a
+  *    partitioned running sum + integer division, no sequential driver
+  *    loop.
+  *
+  * All three are exact-integer arithmetic end to end, so the DuckDB
+  * oracle replays them bit-for-bit.
+  *
+  * Scale shape: split is a pure map + one groupBy(3); quota is one
+  * shuffle on source with O(k) state per group; packing is one window
+  * shuffle partitioned by source (never a global sort). Reference
+  * analog: the train/eval splits and per-source balancing of the corpus
+  * notebooks (update-etiquetas.ipynb samples per etiqueta).
+  */
+object SamplingQueries extends QueryModule {
+
+  /** Mersenne prime 2^31−1: modulus for all priority hashing. */
+  val SplitMod = 2147483647L
+  /** Knuth's multiplicative constant (2^32/φ). */
+  val Mult = 2654435761L
+  /** Docs per source kept by the quota sampler. */
+  val Quota = 10
+  /** Token budget per packed bin. */
+  val BinBudget = 2048L
+
+  /** Deterministic per-id priority in [0, 2^31−1): (id mod M)·c mod M.
+    * Both factors stay below 2^31·2^32 < 2^63, so the arithmetic is exact
+    * BIGINT in Spark AND DuckDB at any id scale (no overflow, no floats). */
+  private def prio(id: Column): Column =
+    pmod(pmod(id, lit(SplitMod)) * lit(Mult), lit(SplitMod))
+
+  /** Same expression in DuckDB SQL. */
+  private def prioSql(id: String): String =
+    s"(($id % $SplitMod) * $Mult) % $SplitMod"
+
+  /** 80/10/10 hash split with per-split corpus accounting. */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", prio(col("doc_id")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+
+  /** Keep ≤ Quota docs per source by hashed priority — TopKPerGroup keeps
+    * one bounded heap per source instead of sorting each partition. */
+  def qQuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", prio(col("doc_id")))
+    graft.plans.TopKPerGroup(d,
+        groupCols = Seq("source"), orderCols = Seq("h", "doc_id"), k = Quota)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars_kept"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("source")
+  }
+
+  /** Pack each source's docs (id order) into BinBudget-token bins: bin id
+    * = tokens-before-this-doc DIV budget. A doc straddling a boundary
+    * goes to the bin its first token falls in — the standard cumsum
+    * packing used for pretraining sequence assembly. */
+  def qTokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div " + BinBudget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        sum(col("bin_tokens")).as("total_tokens"))
+      .orderBy("source")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_split" -> (qSampleSplit _),
+    "q_quota_sample" -> (qQuotaSample _),
+    "q_token_packing" -> (qTokenPacking _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_sample_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, ${prioSql("doc_id")} % 100 AS bucket
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q_quota_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${prioSql("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars_kept,
+         |  min(doc_id) AS first_doc
+         |FROM r WHERE rn <= $Quota
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_token_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t),
+         |bins AS (
+         |  SELECT source, (cum - n_tok) // $BinBudget AS bin,
+         |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         |  FROM c GROUP BY source, (cum - n_tok) // $BinBudget)
+         |SELECT source, count(*) AS n_bins,
+         |  max(bin_tokens) AS max_bin_tokens,
+         |  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens
+         |FROM bins GROUP BY source ORDER BY source""".stripMargin)
+}

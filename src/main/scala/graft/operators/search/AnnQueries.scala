@@ -4,7 +4,7 @@ import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
 import graft.functions.NearestCentroid
 import graft.operators.clustering.ClusteringQueries
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,9 +94,12 @@ object AnnQueries extends QueryModule {
     * skips unprobed cells' files, TopKPerGroup bounds both the cell
     * ranking and the final top-k). Deterministic centroids → fully
     * oracle-checked. */
+  private def scratch(prefix: String, dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix, dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
   def qIvfBatch(spark: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_index", dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val idx = scratch("graft_ivf_index", dir)
     IvfIndex.build(spark, dir, idx)
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding"))
@@ -104,10 +107,53 @@ object AnnQueries extends QueryModule {
       .orderBy("qid", "rk")
   }
 
+  /** ONLINE serving of the persistent index (north star: "online ANN
+    * serving requires specialized engines" — this is the Spark-native
+    * answer): query vectors arrive as a STREAM (file-ingest source);
+    * every microbatch is served by the same [[IvfIndex.probeBatch]]
+    * plan via foreachBatch — DPP-pruned cell reads, bounded TopKPerGroup
+    * heaps — and appended to the result sink. Identical results to the
+    * batch path (shared oracle). At scale: the microbatch plan touches
+    * only probed cells' files, state is zero (append-only serve), and
+    * throughput scales with executors exactly like the batch probe. */
+  def qAnnServeStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val idx = scratch("graft_ivf_index_serve", dir)
+    IvfIndex.build(spark, dir, idx)
+    val inDir = scratch("graft_ann_serve_in", dir)
+    val outDir = scratch("graft_ann_serve_out", dir)
+    val ckDir = scratch("graft_ann_serve_ck", dir)
+    // out/checkpoint must start empty or the re-run replays nothing
+    Seq(outDir, ckDir).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val served = spark.readStream.schema(qSchema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IvfIndex.probeBatch(spark, idx, batch.toDF(), "vec_id", "embedding", k = 10)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try served.processAllAvailable() finally served.stop()
+    spark.read.parquet(outDir).orderBy("qid", "rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ivf_batch" -> (qIvfBatch _),
+    "q_ann_serve_stream" -> (qAnnServeStream _),
     "q_lof" -> (qLof _))
 
   private val AsgCte =
@@ -125,6 +171,24 @@ object AnnQueries extends QueryModule {
       |  SELECT cid FROM (
       |    SELECT c.cid, row_number() OVER (ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
       |    FROM c, (SELECT v FROM nrm WHERE vec_id = 0) q) WHERE rn <= 2)""".stripMargin
+
+  private lazy val IvfBatchOracle: String =
+    s"""WITH $AsgCte,
+       |q AS (SELECT vec_id AS qid, raw AS qraw, v AS qv FROM nrm WHERE vec_id < 5),
+       |qprobes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER
+       |      (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 2),
+       |hits AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(list_cosine_similarity(a.raw, q.qraw), 6) AS cos_sim
+       |  FROM asg a JOIN qprobes p ON a.cell = p.cid JOIN q ON q.qid = p.qid)
+       |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM (
+       |  SELECT qid, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM hits) WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q_ann_ivf" ->
@@ -146,22 +210,10 @@ object AnnQueries extends QueryModule {
          |SELECT 10 AS k, round(count(*) / 10.0, 6) AS recall
          |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
     "q_ivf_batch" ->
-      s"""WITH $AsgCte,
-         |q AS (SELECT vec_id AS qid, raw AS qraw, v AS qv FROM nrm WHERE vec_id < 5),
-         |qprobes AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT q.qid, c.cid, row_number() OVER
-         |      (PARTITION BY q.qid ORDER BY list_distance(q.qv, c.cv), c.cid) AS rn
-         |    FROM q CROSS JOIN c) WHERE rn <= 2),
-         |hits AS (
-         |  SELECT q.qid, a.vec_id,
-         |    round(list_cosine_similarity(a.raw, q.qraw), 6) AS cos_sim
-         |  FROM asg a JOIN qprobes p ON a.cell = p.cid JOIN q ON q.qid = p.qid)
-         |SELECT qid, CAST(rk AS INT) AS rk, vec_id, cos_sim FROM (
-         |  SELECT qid, vec_id, cos_sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
-         |  FROM hits) WHERE rk <= 10
-         |ORDER BY qid, rk""".stripMargin,
+      IvfBatchOracle,
+    // the streaming serve path returns the SAME rows as the batch probe
+    // (one microbatch through the identical probeBatch plan)
+    "q_ann_serve_stream" -> IvfBatchOracle,
     "q_lof" ->
       """WITH knn AS (
         |  SELECT i, j, d FROM (

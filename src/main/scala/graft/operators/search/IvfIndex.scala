@@ -23,14 +23,64 @@ object IvfIndex {
             centroids: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     val cs = centroids.getOrElse(
       graft.operators.clustering.ClusteringQueries.centroids(spark, dir))
-    Tables.embeddings(spark, dir)
+    buildFrom(spark, Tables.embeddings(spark, dir), indexPath, cs)
+    cs
+  }
+
+  /** Build from an explicit source frame (must carry `embedding`; all
+    * columns are stored). */
+  def buildFrom(spark: SparkSession, source: DataFrame, indexPath: String,
+                cs: Seq[Seq[Double]]): Unit = {
+    source
       .withColumn("cell",
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/data")
     import spark.implicits._
     cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    cs
+  }
+
+  /** Incremental maintenance: add vectors to an EXISTING index without a
+    * rebuild. Cells are assigned with the PERSISTED centroids — the same
+    * model every existing row used — so old and new rows are mutually
+    * consistent and probes see the union immediately. One map-side
+    * assignment + an append into the same partition layout (new files
+    * land inside the matching cell=N directories; unprobed cells still
+    * prune). The coarse quantizer is intentionally frozen: re-training
+    * centroids would require reassigning the whole corpus — that is a
+    * rebuild, not an append. */
+  def append(spark: SparkSession, indexPath: String, vectors: DataFrame): Unit = {
+    val cs = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    vectors
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
+  }
+
+  /** Index-lifecycle maintenance: rewrite the data layout to collapse the
+    * small files repeated [[append]]s accumulate (the classic streaming-
+    * ingest small-file problem — at 10^11 vectors, probe latency is
+    * dominated by file-open overhead once cells fragment). One scan + one
+    * partitioned write into a fresh directory, then an atomic directory
+    * swap; readers either see the old layout or the new one, rows are
+    * identical. (On an object store the swap would be a manifest/pointer
+    * update — same contract.) */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val data = Paths.get(s"$indexPath/data")
+    val fresh = Paths.get(s"$indexPath/data_compacting")
+    val old = Paths.get(s"$indexPath/data_old")
+    // one file per cell: within a cell the data is driver-of-probe-cost,
+    // so let AQE coalesce the shuffle-free write via repartition on cell
+    spark.read.parquet(data.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
+    Files.move(data, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(fresh, data, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
   }
 
   /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.

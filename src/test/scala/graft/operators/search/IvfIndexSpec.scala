@@ -57,4 +57,44 @@ class IvfIndexSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
     assert(cells.length == graft.operators.clustering.ClusteringQueries.K)
   }
+
+  test("append maintains the index: build-half + append-half == build-full") {
+    val e = graft.Tables.embeddings(spark, SfDir)
+    val mid = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0).toLong
+    val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, SfDir)
+
+    val incremental = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    IvfIndex.buildFrom(spark, e.filter(col("vec_id") <= mid), incremental, cs)
+    IvfIndex.append(spark, incremental, e.filter(col("vec_id") > mid))
+
+    val queries = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    val viaAppend = IvfIndex.probeBatch(spark, incremental, queries,
+        "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rk").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaFull = IvfIndex.probeBatch(spark, indexPath, queries,
+        "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rk").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaAppend == viaFull,
+      "probes over the appended index must equal probes over a full rebuild")
+
+    // compaction collapses the per-cell file fragmentation appends create
+    // and must not change a single probe row
+    def dataFiles(p: String): Int = {
+      val root = java.nio.file.Paths.get(s"$p/data")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = dataFiles(incremental)
+    IvfIndex.compact(spark, incremental)
+    val after = dataFiles(incremental)
+    assert(after < before, s"compaction should shrink file count ($before -> $after)")
+    val viaCompacted = IvfIndex.probeBatch(spark, incremental, queries,
+        "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rk").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaCompacted == viaFull, "compaction must not change probe results")
+  }
 }

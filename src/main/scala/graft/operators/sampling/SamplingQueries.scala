@@ -42,13 +42,16 @@ object SamplingQueries extends QueryModule {
 
   /** Deterministic per-id priority in [0, 2^31−1): (id mod M)·c mod M.
     * Both factors stay below 2^31·2^32 < 2^63, so the arithmetic is exact
-    * BIGINT in Spark AND DuckDB at any id scale (no overflow, no floats). */
+    * BIGINT in Spark AND DuckDB at any id scale (no overflow, no floats).
+    * Spark's pmod is always non-negative while SQL `%` keeps the
+    * dividend's sign, so the oracle uses the ((x % M) + M) % M form —
+    * identical for negative ids too. */
   private def prio(id: Column): Column =
     pmod(pmod(id, lit(SplitMod)) * lit(Mult), lit(SplitMod))
 
-  /** Same expression in DuckDB SQL. */
+  /** Same expression in DuckDB SQL (sign-normalized to match pmod). */
   private def prioSql(id: String): String =
-    s"(($id % $SplitMod) * $Mult) % $SplitMod"
+    s"((((($id % $SplitMod) + $SplitMod) % $SplitMod) * $Mult) % $SplitMod)"
 
   /** 80/10/10 hash split with per-split corpus accounting. */
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame =

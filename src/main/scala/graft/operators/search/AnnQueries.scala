@@ -117,7 +117,7 @@ object AnnQueries extends QueryModule {
     * only probed cells' files, state is zero (append-only serve), and
     * throughput scales with executors exactly like the batch probe. */
   def qAnnServeStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     import org.apache.spark.sql.types._
     val idx = scratch("graft_ivf_index_serve", dir)
     IvfIndex.build(spark, dir, idx)
@@ -125,12 +125,7 @@ object AnnQueries extends QueryModule {
     val outDir = scratch("graft_ann_serve_out", dir)
     val ckDir = scratch("graft_ann_serve_ck", dir)
     // out/checkpoint must start empty or the re-run replays nothing
-    Seq(outDir, ckDir).foreach { d =>
-      val p = Paths.get(d)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-    }
+    Seq(outDir, ckDir).foreach(d => graft.Fs.deleteRecursively(Paths.get(d)))
     Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).coalesce(1)
       .write.mode("overwrite").parquet(inDir)

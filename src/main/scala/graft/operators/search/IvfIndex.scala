@@ -62,25 +62,32 @@ object IvfIndex {
   /** Index-lifecycle maintenance: rewrite the data layout to collapse the
     * small files repeated [[append]]s accumulate (the classic streaming-
     * ingest small-file problem — at 10^11 vectors, probe latency is
-    * dominated by file-open overhead once cells fragment). One scan + one
-    * partitioned write into a fresh directory, then an atomic directory
-    * swap; readers either see the old layout or the new one, rows are
-    * identical. (On an object store the swap would be a manifest/pointer
-    * update — same contract.) */
+    * dominated by file-open overhead once cells fragment). The rewrite is
+    * one scan + one full shuffle keyed by cell (that shuffle IS the cost
+    * of compaction) producing one file per cell, written to a fresh
+    * directory and swapped in via two renames. Each rename is atomic, but
+    * the pair is not: there is a brief window with no `data` dir, so run
+    * compaction without concurrent probes (on an object store this swap
+    * would be a single manifest-pointer update instead). A crashed
+    * compact is recoverable — `data_old` still holds the previous layout,
+    * and the next call clears leftover scratch dirs before starting. */
   def compact(spark: SparkSession, indexPath: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val data = Paths.get(s"$indexPath/data")
     val fresh = Paths.get(s"$indexPath/data_compacting")
     val old = Paths.get(s"$indexPath/data_old")
-    // one file per cell: within a cell the data is driver-of-probe-cost,
-    // so let AQE coalesce the shuffle-free write via repartition on cell
+    require(Files.exists(data),
+      s"$data missing — a previous compact crashed mid-swap; restore it " +
+        s"from $old before compacting again")
+    // leftovers from a crashed run would wedge the renames below
+    graft.Fs.deleteRecursively(old)
+    graft.Fs.deleteRecursively(fresh)
     spark.read.parquet(data.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
     Files.move(data, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(fresh, data, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
+    graft.Fs.deleteRecursively(old)
   }
 
   /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.

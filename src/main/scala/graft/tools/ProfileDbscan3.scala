@@ -11,12 +11,7 @@ object ProfileDbscan3 {
     val spark = graft.GraftSession.build("32")
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import Prof.time
 
     val pts = Tables.embeddings(spark, sfDir)
     pts.write.format("noop").mode("overwrite").save()

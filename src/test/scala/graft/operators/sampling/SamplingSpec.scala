@@ -45,19 +45,24 @@ class SamplingSpec extends SparkSpec {
     val docs = Tables.documents(spark, SfDir)
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .groupBy("source").agg(sum("n_tok").as("tot"))
+    val totals = docs.groupBy("source").agg(sum("n_tok").as("tot"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxDocTok = docs.agg(max("n_tok")).head().getLong(0)
     val rows = SamplingQueries.qTokenPacking(spark, SfDir).collect()
     assert(rows.nonEmpty)
+    val budget = SamplingQueries.BinBudget
     rows.foreach { r =>
       val (src, nBins, maxBin, total) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(total == docs(src), s"$src: packed $total of ${docs(src)} tokens")
+      assert(total == totals(src), s"$src: packed $total of ${totals(src)} tokens")
       assert(maxBin <= total)
-      // bins cover the cumsum range: need at least ceil(total/budget) bins
-      val minBins = (total + SamplingQueries.BinBudget - 1) / SamplingQueries.BinBudget
-      assert(nBins >= minBins && nBins <= minBins + docs.size,
-        s"$src: $nBins bins for $total tokens")
+      // bin ids are floor(tokens-before/budget) over [0, total), so at most
+      // ceil(total/budget) distinct bins; since no bin can exceed
+      // budget + one straddling doc, at least total/(budget + maxDocTok)
+      val maxBins = (total + budget - 1) / budget
+      val minBins = (total + budget + maxDocTok - 1) / (budget + maxDocTok)
+      assert(nBins >= minBins && nBins <= maxBins,
+        s"$src: $nBins bins for $total tokens (bounds [$minBins, $maxBins])")
     }
   }
 

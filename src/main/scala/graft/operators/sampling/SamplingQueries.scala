@@ -53,14 +53,17 @@ object SamplingQueries extends QueryModule {
   private def prioSql(id: String): String =
     s"((((($id % $SplitMod) + $SplitMod) % $SplitMod) * $Mult) % $SplitMod)"
 
-  /** 80/10/10 hash split with per-split corpus accounting. */
-  def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("bucket", prio(col("doc_id")) % 100)
+  /** Documents plus their deterministic hash-split assignment. */
+  private def withSplit(df: DataFrame): DataFrame =
+    df.withColumn("bucket", prio(col("doc_id")) % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+
+  /** 80/10/10 hash split with per-split corpus accounting. */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.documents(spark, dir))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -104,10 +107,46 @@ object SamplingQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** Winnowing shingle length for decontamination: any train/eval pair
+    * sharing a character span of ≥ DecontamK + DecontamW − 1 (47 chars,
+    * roughly a 7–8 word phrase) shares a fingerprint — the standard
+    * n-gram-overlap decontamination bar. */
+  val DecontamK = 40
+  val DecontamW = 8
+
+  /** Train/eval contamination audit — the decontamination step every
+    * training pipeline needs: does any training document share a long
+    * n-gram with the held-out (hash-split test) set? Winnowed rolling-hash
+    * fingerprints ([[graft.functions.RollingFingerprint]]) make the check
+    * a fingerprint equi-join, not a doc×doc comparison: explode each
+    * side's fingerprints, distinct the eval side, LEFT SEMI join train
+    * fingerprints against it — at 100 TB both sides shuffle on the
+    * fingerprint value and the join never materializes cross-doc pairs.
+    * One summary row: train/eval sizes, contaminated-train count, rate. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = withSplit(Tables.documents(spark, dir))
+    val fps = d.select(col("doc_id"), col("split"),
+      explode(graft.functions.RollingFingerprint(
+        col("text"), k = DecontamK, w = DecontamW)).as("fp"))
+    val evalFps = fps.filter(col("split") === "test").select(col("fp")).distinct()
+    val contaminated = fps.filter(col("split") === "train")
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_contaminated"))
+    val counts = d.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_eval"))
+    // 1-row × 1-row — bounded by construction
+    counts.crossJoin(contaminated)
+      .select(col("n_train"), col("n_eval"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_train"), 6).as("contamination_rate"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> (qSampleSplit _),
     "q_quota_sample" -> (qQuotaSample _),
-    "q_token_packing" -> (qTokenPacking _))
+    "q_token_packing" -> (qTokenPacking _),
+    "q_decontaminate" -> (qDecontaminate _))
 
   override def oracles: Map[String, String] = Map(
     "q_sample_split" ->
@@ -135,6 +174,52 @@ object SamplingQueries extends QueryModule {
          |  min(doc_id) AS first_doc
          |FROM r WHERE rn <= $Quota
          |GROUP BY source ORDER BY source""".stripMargin,
+    // the winnow CTE replays RollingFingerprint(k=40, w=8) exactly as the
+    // q_fingerprint_winnow oracle does for (8, 4): direct polynomial fold
+    // per position (algebraically equal to the rolling update), list_min
+    // per window (winnowing keeps only VALUES)
+    "q_decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) < $DecontamK THEN []
+         |    ELSE list_transform(range(1, length(text) - $DecontamK + 2),
+         |      i -> list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(0, $DecontamK),
+         |            j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+         |        (h, c) -> (h * 257 + c) % 1000000007))
+         |    END AS hs
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN []
+         |         WHEN len(hs) <= $DecontamW THEN [list_min(hs)]
+         |         ELSE list_transform(range(1, len(hs) - $DecontamW + 2),
+         |                st -> list_min(list_slice(hs, st, st + $DecontamW - 1)))
+         |    END AS fps
+         |  FROM g),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${prioSql("doc_id")} % 100 AS b FROM documents)),
+         |fp AS (
+         |  SELECT s.doc_id, sp.split, unnest(s.fps) AS fp
+         |  FROM sel s JOIN spl sp USING (doc_id)),
+         |ev AS (SELECT DISTINCT fp FROM fp WHERE split = 'test'),
+         |contam AS (
+         |  SELECT count(DISTINCT f.doc_id) AS n_contaminated
+         |  FROM fp f JOIN ev USING (fp) WHERE f.split = 'train'),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+         |  FROM spl)
+         |SELECT c.n_train, c.n_eval,
+         |  CAST(contam.n_contaminated AS BIGINT) AS n_contaminated,
+         |  round(CAST(contam.n_contaminated AS DOUBLE) / c.n_train, 6)
+         |    AS contamination_rate
+         |FROM c, contam""".stripMargin,
     "q_token_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,

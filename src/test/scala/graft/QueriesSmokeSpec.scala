@@ -14,9 +14,11 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_ivf_batch: crossJoin with the driver-sized broadcast centroid
     *    table (≤ nCells rows);
     *  - q_silhouette_exact: the all-pairs diagnostic, hard-guarded to
-    *    ≤ ClusteringQueries.MaxSilhouetteRows rows. */
+    *    ≤ ClusteringQueries.MaxSilhouetteRows rows;
+    *  - q_decontaminate: crossJoin of two ONE-ROW aggregate summaries. */
   private val boundedBnlj = Set(
-    "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact")
+    "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
+    "q_decontaminate")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

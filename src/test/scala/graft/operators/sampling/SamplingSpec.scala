@@ -66,6 +66,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("decontamination summary is consistent with the split and bounded") {
+    val r = SamplingQueries.qDecontaminate(spark, SfDir).head()
+    val (nTrain, nEval, nContam, rate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val split = SamplingQueries.qSampleSplit(spark, SfDir).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(nTrain == split("train") && nEval == split("test"))
+    assert(nContam >= 0 && nContam <= nTrain)
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
+  test("a train doc sharing a long span with an eval doc is flagged") {
+    // the winnowing guarantee: a shared span of >= k + w - 1 chars yields
+    // a shared fingerprint — verify on the expression the query uses
+    import graft.functions.RollingFingerprint
+    import spark.implicits._
+    val span = "x" * (SamplingQueries.DecontamK + SamplingQueries.DecontamW - 1)
+    val df = Seq(
+      ("train prefix words before the span " + span),
+      (span + " eval suffix words after the span")).toDF("text")
+      .select(RollingFingerprint(col("text"),
+        SamplingQueries.DecontamK, SamplingQueries.DecontamW).as("fps"))
+    val Array(a, b) = df.collect().map(_.getSeq[Long](0).toSet)
+    assert(a.intersect(b).nonEmpty,
+      "shared >= k+w-1 span must produce a shared fingerprint")
+  }
+
   test("packing bins never exceed budget plus one straddling doc") {
     // re-derive per-bin totals: each bin holds ≤ budget tokens of "starts
     // before the boundary" plus the tail of its last doc

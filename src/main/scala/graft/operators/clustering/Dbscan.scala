@@ -139,18 +139,30 @@ object Dbscan {
     * cluster / core / border / noise counts. */
   def sweep(points: DataFrame, idCol: String, vecCol: String,
             epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val distPairs = epsPairs(points, idCol, vecCol, epsList.max).cache()
-    epsList.sorted.map { eps =>
-      val l = label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
-        idCol, minPts, maxIter)
-      l.agg(
-        countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
-        sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
-        sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
-        sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
-        .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
-          col("n_border"), col("n_noise"))
-    }.reduce(_ unionByName _).orderBy("eps")
+    // materialize the shared pair stage ONCE before fanning out, so the
+    // concurrent branches hit the cache instead of racing to fill it
+    distPairs.count()
+    // each ε's label() runs its CC contraction jobs eagerly; the branches
+    // are independent, so submit them concurrently and let the scheduler
+    // interleave their (driver-latency-bound) job sequences
+    val perEps = epsList.sorted.map { eps =>
+      Future {
+        label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
+          idCol, minPts, maxIter)
+          .agg(
+            countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
+            sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+            sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
+            sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
+          .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
+            col("n_border"), col("n_noise"))
+      }
+    }
+    perEps.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _).orderBy("eps")
   }
 }
 

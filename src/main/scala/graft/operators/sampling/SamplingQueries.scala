@@ -142,11 +142,36 @@ object SamplingQueries extends QueryModule {
         round(col("n_contaminated") / col("n_train"), 6).as("contamination_rate"))
   }
 
+  /** Mixture weights (numerator over [[SplitMod]]): the dominant language
+    * is halved, the rest kept — the domain-reweighting step that stops one
+    * crawl/language from swamping the mixture. Exact-integer: a doc
+    * survives iff prio(id) < weight·M, with weight·M precomputed as a
+    * BIGINT literal. */
+  val MixtureKeepEn: Long = SplitMod / 2 // 50%
+  val MixtureKeepOther: Long = SplitMod  // 100%
+
+  /** Deterministic importance-weighted downsampling by language: same
+    * hash-threshold trick as the split (stable, engine-exact, no RNG
+    * state), with per-group acceptance thresholds. Pure map + one
+    * groupBy — 100 TB-clean. */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+        prio(col("doc_id")) <
+          when(col("lang") === "en", lit(MixtureKeepEn))
+            .otherwise(lit(MixtureKeepOther)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_after"))
+      .orderBy("lang")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> (qSampleSplit _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_token_packing" -> (qTokenPacking _),
-    "q_decontaminate" -> (qDecontaminate _))
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_mixture_sample" -> (qMixtureSample _))
 
   override def oracles: Map[String, String] = Map(
     "q_sample_split" ->
@@ -174,6 +199,17 @@ object SamplingQueries extends QueryModule {
          |  min(doc_id) AS first_doc
          |FROM r WHERE rn <= $Quota
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_mixture_sample" ->
+      s"""WITH k AS (
+         |  SELECT lang, n_chars,
+         |    ${prioSql("doc_id")} <
+         |      CASE WHEN lang = 'en' THEN $MixtureKeepEn
+         |           ELSE $MixtureKeepOther END AS keep
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_before,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // the winnow CTE replays RollingFingerprint(k=40, w=8) exactly as the
     // q_fingerprint_winnow oracle does for (8, 4): direct polynomial fold
     // per position (algebraically equal to the rolling update), list_min

@@ -66,6 +66,18 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling halves the dominant language, keeps the rest") {
+    val rows = SamplingQueries.qMixtureSample(spark, SfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (lang, (before, after)) =>
+      assert(after <= before)
+      if (lang == "en") {
+        val frac = after.toDouble / before
+        assert(frac > 0.3 && frac < 0.7, s"en kept $frac, expected ~0.5")
+      } else assert(after == before, s"$lang should be kept whole")
+    }
+  }
+
   test("decontamination summary is consistent with the split and bounded") {
     val r = SamplingQueries.qDecontaminate(spark, SfDir).head()
     val (nTrain, nEval, nContam, rate) =

@@ -74,6 +74,33 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Repetition scoring — the MassiveText/Gopher-style repetition filters
+    * the quality heuristic doesn't capture: distinct-word ratio and
+    * top-word mass per document. Classic wordcount shape: explode → two
+    * partial-aggregated groupBys on (doc, word), top word via the bounded
+    * TopKPerGroup heap (deterministic tie-break: lexicographically least
+    * among the modes). Map-side combine keeps the (doc, word) shuffle
+    * proportional to distinct words, not tokens — the 100 TB shape. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(words(lower(col("text")))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val stats = wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"))
+    val top = graft.plans.TopKPerGroup(
+        wc.withColumn("neg_c", -col("c")),
+        groupCols = Seq("doc_id"), orderCols = Seq("neg_c", "word"), k = 1)
+      .select(col("doc_id"), col("word").as("top_word"), col("c").as("top_c"))
+    stats.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct") / col("n_words"), 6).as("distinct_ratio"),
+        col("top_word"),
+        round(col("top_c") / col("n_words"), 6).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation funnel — the composite training-data pipeline:
     * language filter (pred_lang = en) → quality cut (score ≥ 0.7) → exact
     * dedup (md5, keep min doc_id) → token budget of the surviving corpus.
@@ -161,6 +188,7 @@ object TextQueries extends QueryModule {
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_chunking" -> (qChunking _),
+    "q_repetition" -> (qRepetition _),
     "q_corpus_curation" -> (qCorpusCuration _))
 
   private def inList(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
@@ -194,6 +222,26 @@ object TextQueries extends QueryModule {
         |SELECT doc_id, CAST(len(list_distinct(fps)) AS INT) AS n_fp,
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
         |FROM sel ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct
+        |  FROM wc GROUP BY doc_id),
+        |t AS (
+        |  SELECT doc_id, word, c FROM (
+        |    SELECT doc_id, word, c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, word) AS rn
+        |    FROM wc) WHERE rn = 1)
+        |SELECT s.doc_id, s.n_words, s.n_distinct,
+        |  round(CAST(s.n_distinct AS DOUBLE) / s.n_words, 6) AS distinct_ratio,
+        |  t.word AS top_word,
+        |  round(CAST(t.c AS DOUBLE) / s.n_words, 6) AS top_frac
+        |FROM s JOIN t USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,

@@ -32,4 +32,18 @@ class TextQueriesSpec extends SparkSpec {
       .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
     assert(bad == 0)
   }
+
+  test("repetition stats: ratios bounded, top word dominates its share") {
+    val r = TextQueries.qRepetition(spark, SfDir)
+    assert(r.filter(col("n_distinct") > col("n_words")).count() == 0)
+    assert(r.filter(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    // top_frac >= 1/n_distinct (the mode is at least the mean share) and <= 1;
+    // round(frac, 6) can shave up to 5e-7 * n_distinct off the product
+    assert(r.filter(col("top_frac") * col("n_distinct") < 1.0 - 1e-3).count() == 0)
+    assert(r.filter(col("top_frac") > 1).count() == 0)
+    // token totals agree with the token-count query's whitespace counter
+    val mismatch = r.join(TextQueries.qTokenCount(spark, SfDir), "doc_id")
+      .filter(col("n_words") =!= col("n_ws_tokens")).count()
+    assert(mismatch == 0)
+  }
 }

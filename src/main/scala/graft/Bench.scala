@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * Queries are fully evaluated through the `noop` sink (a bare count()
   * would let Catalyst prune the computed columns out of map-only plans and
   * time nothing but the scan).
+  *
+  * Each query is measured SPARK_GRAFT_BENCH_REPS times (default 3) and
+  * reported as the per-query MEDIAN; `value` is the sum of medians. The
+  * host this runs on exhibits random 10-20 s stalls (documented in
+  * PROGRESS) that land on one arbitrary query per pass and have polluted
+  * cross-round comparisons twice; the passes are run as full round-robin
+  * sweeps (q1..qN, q1..qN, ...) rather than back-to-back repeats so one
+  * stall window can't hit all reps of the same query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,22 +46,34 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to reps) {
+      selected.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // drop this query's cached/checkpointed blocks so later queries
+        // don't inherit LRU-eviction churn from 50+ accumulated
+        // intermediates
+        spark.catalog.clearCache()
+        samples(name) = samples(name) :+ t
+        System.err.println(f"[bench] pass $pass $name%-24s $t%8.3f s")
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // drop this query's cached/checkpointed blocks so later queries don't
-      // inherit LRU-eviction churn from 50+ accumulated intermediates
-      spark.catalog.clearCache()
-      name -> t
     }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = selected.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types._
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * containment checks rely on. Map-side only; O(len) per row.
   */
 case class RollingFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "rolling_fingerprint"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -68,6 +68,62 @@ case class RollingFingerprint(child: Expression, k: Int, w: Int)
     }
     new GenericArrayData(sel.toArray)
   }
+
+  // ---- whole-stage codegen -------------------------------------------------
+  // Winnowing fingerprints every document in the decontamination and
+  // fingerprint queries — CodegenFallback's row-materialize + interpreted
+  // eval per call is the wrong cost model for that volume. The generated
+  // method below is a statement-for-statement Java translation of
+  // nullSafeEval (same code-point decode, same modular arithmetic order,
+  // java.util.TreeSet<Long> replays SortedSet[Long]'s natural-order distinct
+  // ascending output) — bit-identical, asserted by ShingleCodegenSpec.
+  // k/w are plan constants, embedded as literals.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val fn = ctx.freshName("rollingFingerprint")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private ArrayData $fn(UTF8String str) {
+           |  int[] cps = str.toString().codePoints().toArray();
+           |  int n = cps.length;
+           |  if (n < $k) return new $gad(new long[0]);
+           |  long pow = 1L;
+           |  for (int i = 0; i < $k - 1; i++) pow = (pow * ${Base}L) % ${Mod}L;
+           |  int m = n - $k + 1;
+           |  long[] hs = new long[m];
+           |  long h = 0L;
+           |  for (int i = 0; i < $k; i++) h = (h * ${Base}L + cps[i]) % ${Mod}L;
+           |  hs[0] = h;
+           |  for (int i = 1; i < m; i++) {
+           |    h = ((h - (((long) cps[i - 1]) * pow) % ${Mod}L + ${Mod}L * ${Base}L)
+           |          % ${Mod}L * ${Base}L + cps[i + $k - 1]) % ${Mod}L;
+           |    hs[i] = h;
+           |  }
+           |  java.util.TreeSet sel = new java.util.TreeSet();
+           |  if (m <= $w) {
+           |    int minIdx = 0;
+           |    for (int i = 1; i < m; i++) { if (hs[i] <= hs[minIdx]) minIdx = i; }
+           |    sel.add(Long.valueOf(hs[minIdx]));
+           |  } else {
+           |    for (int start = 0; start + $w <= m; start++) {
+           |      int minIdx = start;
+           |      for (int i = start + 1; i < start + $w; i++) {
+           |        if (hs[i] <= hs[minIdx]) minIdx = i;
+           |      }
+           |      sel.add(Long.valueOf(hs[minIdx]));
+           |    }
+           |  }
+           |  long[] out = new long[sel.size()];
+           |  int oi = 0;
+           |  for (java.util.Iterator it = sel.iterator(); it.hasNext(); ) {
+           |    out[oi++] = ((Long) it.next()).longValue();
+           |  }
+           |  return new $gad(out);
+           |}
+         """.stripMargin)
+      s"${ev.value} = $funcName($c);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

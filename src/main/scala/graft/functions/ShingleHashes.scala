@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types._
@@ -36,7 +36,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * both engines).
   */
 case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
   require(!wide || n == 1, "wide (62-bit) hashes are per-word only (n = 1)")
@@ -112,6 +112,77 @@ case class ShingleHashes(child: Expression, n: Int, wide: Boolean = false)
 
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0B
+
+  // ---- whole-stage codegen -------------------------------------------------
+  // The hottest LLM-pipeline kernel (MinHash, SimHash, n-gram Jaccard all
+  // shingle every document) must not run through CodegenFallback: that path
+  // materializes an InternalRow per call and evaluates interpreted with
+  // boxing. Instead we emit the SAME byte loop as nullSafeEval into the
+  // generated class (ctx.addNewFunction) — a statement-for-statement Java
+  // translation, all-long modular arithmetic in identical order, so compiled
+  // and interpreted results are bit-identical (asserted by ShingleCodegenSpec
+  // over random unicode inputs). n/wide are plan constants, so only the
+  // relevant branch is generated.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      val isSp = (b: String) =>
+        s"($b == 32 || $b == 10 || $b == 9 || $b == 13 || $b == 12 || $b == 11)"
+      val tail =
+        if (n == 1)
+          s"return new $gad(java.util.Arrays.copyOf(wordHashes, wordCount));"
+        else
+          s"""int m = wordCount - $n + 1;
+             |  long[] out = new long[m];
+             |  for (int s = 0; s < m; s++) {
+             |    long acc = 0L;
+             |    for (int j = 0; j < $n; j++) {
+             |      acc = (acc * ${WindowBase}L + wordHashes[s + j]) % ${M}L;
+             |    }
+             |    out[s] = acc;
+             |  }
+             |  return new $gad(out);""".stripMargin
+      val fn = ctx.freshName("shingleHashes")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private ArrayData $fn(UTF8String str) {
+           |  byte[] bytes = str.getBytes();
+           |  int len = bytes.length;
+           |  int wordCount = 0;
+           |  long[] wordHashes = new long[Math.max(8, len / 6)];
+           |  int i = 0;
+           |  while (i < len) {
+           |    while (i < len && ${isSp("bytes[i]")}) i++;
+           |    if (i < len) {
+           |      long h = 0L;
+           |      long h2 = 0L;
+           |      while (i < len && !${isSp("bytes[i]")}) {
+           |        int b0 = bytes[i] & 0xff;
+           |        long cp;
+           |        int nB = 1;
+           |        if (b0 < 0x80) { cp = b0; }
+           |        else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; nB = 2; }
+           |        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; nB = 3; }
+           |        else { cp = b0 & 0x07; nB = 4; }
+           |        for (int k = 1; k < nB && i + k < len; k++) {
+           |          cp = (cp << 6) | (bytes[i + k] & 0x3F);
+           |        }
+           |        h = (h * ${WordBase}L + cp) % ${M}L;
+           |        ${if (wide) s"h2 = (h2 * ${WordBase2}L + cp) % ${M}L;" else ""}
+           |        i += nB;
+           |      }
+           |      if (wordCount == wordHashes.length) {
+           |        wordHashes = java.util.Arrays.copyOf(wordHashes, wordHashes.length * 2);
+           |      }
+           |      wordHashes[wordCount++] = ${if (wide) "h | (h2 << 31)" else "h"};
+           |    }
+           |  }
+           |  if (wordCount < $n) return new $gad(new long[0]);
+           |  $tail
+           |}
+         """.stripMargin)
+      s"${ev.value} = $funcName($c);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -139,8 +139,7 @@ object Dbscan {
     * cluster / core / border / noise counts. */
   def sweep(points: DataFrame, idCol: String, vecCol: String,
             epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val distPairs = epsPairs(points, idCol, vecCol, epsList.max).cache()
     // materialize the shared pair stage ONCE before fanning out, so the
@@ -148,21 +147,31 @@ object Dbscan {
     distPairs.count()
     // each ε's label() runs its CC contraction jobs eagerly; the branches
     // are independent, so submit them concurrently and let the scheduler
-    // interleave their (driver-latency-bound) job sequences
-    val perEps = epsList.sorted.map { eps =>
-      Future {
-        label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
-          idCol, minPts, maxIter)
-          .agg(
-            countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
-            sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
-            sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
-            sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
-          .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
-            col("n_border"), col("n_noise"))
+    // interleave their (driver-latency-bound) job sequences. A dedicated
+    // bounded pool (NOT Implicits.global): the branches block on Spark
+    // actions, and parking blocking tasks on the shared global pool can
+    // starve any other library code nested on it — sizing the pool to the
+    // branch count makes the concurrency explicit and self-contained.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(epsList.size, 8)),
+      r => { val t = new Thread(r, "dbscan-sweep"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val perEps = epsList.sorted.map { eps =>
+        Future {
+          label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
+            idCol, minPts, maxIter)
+            .agg(
+              countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
+              sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
+              sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
+              sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
+            .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
+              col("n_border"), col("n_noise"))
+        }
       }
-    }
-    perEps.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _).orderBy("eps")
+      perEps.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _).orderBy("eps")
+    } finally pool.shutdown()
   }
 }
 

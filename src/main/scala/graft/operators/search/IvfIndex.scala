@@ -65,29 +65,44 @@ object IvfIndex {
     * dominated by file-open overhead once cells fragment). The rewrite is
     * one scan + one full shuffle keyed by cell (that shuffle IS the cost
     * of compaction) producing one file per cell, written to a fresh
-    * directory and swapped in via two renames. Each rename is atomic, but
-    * the pair is not: there is a brief window with no `data` dir, so run
-    * compaction without concurrent probes (on an object store this swap
-    * would be a single manifest-pointer update instead). A crashed
-    * compact is recoverable — `data_old` still holds the previous layout,
-    * and the next call clears leftover scratch dirs before starting. */
+    * directory and swapped in via two renames.
+    *
+    * All filesystem traffic goes through Hadoop [[FileSystem]] resolved
+    * from the index path's scheme, so the same code runs on `file:`,
+    * `hdfs:`, or an object store — the actual 100 TB substrate — not just
+    * the local disk tests run on. On HDFS (and the local FS) each rename
+    * is atomic, but the pair is not: there is a brief window with no
+    * `data` dir, so run compaction without concurrent probes. On S3-style
+    * stores `rename` is a non-atomic server-side copy — there, wrap the
+    * swap in a manifest pointer instead: write `data_v{N+1}`, flip a
+    * single `MANIFEST` object naming the live version, and let probes
+    * resolve the manifest first (one small-object PUT is atomic on every
+    * major store). A crashed compact is recoverable — `data_old` still
+    * holds the previous layout, and the next call clears leftover scratch
+    * dirs before starting. */
   def compact(spark: SparkSession, indexPath: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val data = Paths.get(s"$indexPath/data")
-    val fresh = Paths.get(s"$indexPath/data_compacting")
-    val old = Paths.get(s"$indexPath/data_old")
-    require(Files.exists(data),
+    import org.apache.hadoop.fs.Path
+    val data = new Path(s"$indexPath/data")
+    val fresh = new Path(s"$indexPath/data_compacting")
+    val old = new Path(s"$indexPath/data_old")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(data),
       s"$data missing — a previous compact crashed mid-swap; restore it " +
         s"from $old before compacting again")
     // leftovers from a crashed run would wedge the renames below
-    graft.Fs.deleteRecursively(old)
-    graft.Fs.deleteRecursively(fresh)
+    fs.delete(old, true)
+    fs.delete(fresh, true)
     spark.read.parquet(data.toString)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
-    Files.move(data, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(fresh, data, StandardCopyOption.ATOMIC_MOVE)
-    graft.Fs.deleteRecursively(old)
+    if (!fs.rename(data, old))
+      throw new java.io.IOException(s"compact: rename $data -> $old failed")
+    if (!fs.rename(fresh, data)) {
+      // put the previous layout back so the index never ends up missing
+      fs.rename(old, data)
+      throw new java.io.IOException(s"compact: rename $fresh -> $data failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.

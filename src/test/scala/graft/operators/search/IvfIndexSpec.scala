@@ -97,4 +97,22 @@ class IvfIndexSpec extends SparkSpec {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(viaCompacted == viaFull, "compaction must not change probe results")
   }
+
+  test("lifecycle works on a scheme-qualified (file:) Hadoop path") {
+    // the swap goes through Hadoop FileSystem resolved from the path's
+    // scheme — the same code must work on hdfs:/object stores; prove the
+    // scheme resolution path (not default-FS fallback) end to end
+    val e = graft.Tables.embeddings(spark, SfDir)
+    val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, SfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_uri")
+    val uri = "file://" + dir.toString
+    IvfIndex.buildFrom(spark, e.filter(col("vec_id") < 200), uri, cs)
+    IvfIndex.append(spark, uri, e.filter(col("vec_id") >= 200 && col("vec_id") < 400))
+    IvfIndex.compact(spark, uri)
+    val hits = IvfIndex.probe(spark, uri, query, k = 5).collect()
+    assert(hits.length == 5)
+    assert(new java.io.File(dir.toFile, "data").exists()
+      && !new java.io.File(dir.toFile, "data_old").exists()
+      && !new java.io.File(dir.toFile, "data_compacting").exists())
+  }
 }

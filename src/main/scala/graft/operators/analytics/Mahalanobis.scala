@@ -198,11 +198,49 @@ object Mahalanobis extends QueryModule {
       .limit(20)
   }
 
+  /** The distributed moment pass under the driver hash: upper-triangle
+    * sample covariance (and mean) of the embedding corpus as
+    * (i, j, n, mu_i, cov) rows — the exact arithmetic [[fitInverse]] /
+    * [[fitRobust]] / PCA's Gram stage run before their (driver-side,
+    * engine-specific) matrix inversion / eigen step. Ridge 0 here: the
+    * regularizer is a modeling choice, not part of the moment algebra. */
+  def qCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (n, mu, cov) = moments(Tables.embeddings(spark, dir), "embedding",
+      ridge = 0.0)
+    val d = mu.length
+    val rows = for { i <- 0 until d; j <- i until d }
+      yield ((i + 1).toLong, (j + 1).toLong, n, mu(i), cov(i)(j))
+    rows.toDF("i", "j", "n", "mu_raw", "cov_raw")
+      .select(col("i"), col("j"), col("n"),
+        round(col("mu_raw"), 6).as("mu_i"), round(col("cov_raw"), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mahalanobis" -> (qMahalanobis _),
-    "q_mahalanobis_robust" -> (qMahalanobisRobust _))
+    "q_mahalanobis_robust" -> (qMahalanobisRobust _),
+    "q_covariance" -> (qCovariance _))
 
-  /** Matrix inversion is not SQL-expressible — rows-only; invariants
-    * (incl. planted-contamination recovery) in MahalanobisSpec. */
-  override def oracles: Map[String, String] = Map.empty
+  /** Matrix inversion is not SQL-expressible — the two distance queries
+    * stay rows-only (invariants incl. planted-contamination recovery in
+    * MahalanobisSpec) — but their shared moment pass IS plain aggregation:
+    * q_covariance replays Σx/Σxxᵀ → (mean, sample covariance) in DuckDB
+    * with the same μ-centering algebra ((Σxx − n·μ_i·μ_j)/(n−1)). */
+  override def oracles: Map[String, String] = Map(
+    "q_covariance" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(pe, 1) AS i, unnest(pe) AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings)),
+        |stats AS (SELECT i, sum(v) AS sx, count(*) AS n FROM el GROUP BY i),
+        |mu AS (SELECT i, sx / n AS m, n FROM stats),
+        |xx AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxx
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i)
+        |SELECT CAST(x.i AS BIGINT) AS i, CAST(x.j AS BIGINT) AS j,
+        |  CAST(mi.n AS BIGINT) AS n, round(mi.m, 6) AS mu_i,
+        |  round((x.sxx - mi.n * mi.m * mj.m) / (mi.n - 1), 6) AS cov
+        |FROM xx x JOIN mu mi ON x.i = mi.i JOIN mu mj ON x.j = mj.i
+        |ORDER BY i, j""".stripMargin)
 }

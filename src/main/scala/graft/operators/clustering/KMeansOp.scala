@@ -128,14 +128,76 @@ object KMeansOp extends QueryModule {
       .toDF("n_init", "k", "best_inertia", "silhouette")
   }
 
+  /** One deterministic Lloyd iteration from the first-K raw embeddings:
+    * per (cluster, dim) the updated centroid coordinate + member count,
+    * plus the inertia under the starting centroids. Unlike the seeded
+    * MLlib fits this IS oracle-able — assignment is per-row sequential
+    * double arithmetic and the update is avg/count — so it puts
+    * [[MultiKMeans]]'s assignPass + mean-update arithmetic under the
+    * driver's DuckDB hash (full fits stay rows-only). */
+  def qKmeans1Step(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = ClusteringQueries.K
+    val e = Tables.embeddings(spark, dir)
+    val initRows = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding")).collect()
+    require(initRows.length == k, s"need $k seed vectors, got ${initRows.length}")
+    val dim = initRows.head.getSeq[Float](0).length
+    val init = new Array[Double](k * dim)
+    initRows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](0)
+      var d = 0
+      while (d < dim) { init(c * dim + d) = v(d).toDouble; d += 1 }
+    }
+    val (next, counts, inertia) = MultiKMeans.lloydStep(e, "embedding", init, k)
+    val rows = for { c <- 0 until k; d <- 0 until dim }
+      yield (c.toLong, (d + 1).toLong, counts(c), next(c * dim + d), inertia)
+    rows.toDF("cluster", "dim", "n", "coord_raw", "inertia_raw")
+      .select(col("cluster"), col("dim"), col("n"),
+        round(col("coord_raw"), 6).as("coord"),
+        round(col("inertia_raw"), 6).as("inertia"))
+      .orderBy("cluster", "dim")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_sizes" -> (qKmeansSizes _),
     "q_kmeans_inertia" -> (qKmeansInertia _),
     "q_kmeans_restarts" -> (qKmeansRestarts _),
+    "q_kmeans_1step" -> (qKmeans1Step _),
     "q_ksweep" -> (qKsweep _),
     "q_pca" -> (qPca _))
 
-  /** Iterative/eigen ops are engine-specific — no SQL oracles (driver
-    * records rows-only checks); invariants live in KMeansOpSpec. */
-  override def oracles: Map[String, String] = Map.empty
+  /** Full iterative/eigen fits are engine-specific — no SQL oracles (driver
+    * records rows-only checks; invariants live in KMeansOpSpec). The single
+    * deterministic Lloyd step IS replayed: assignment = argmin of the
+    * sequential squared-distance fold (list_inner_product of the diff list
+    * matches the Scala loop's mul+add order bit-for-bit; ties break to the
+    * lowest cluster id in both engines), update = avg per (cluster, dim),
+    * inertia = sum of best distances. */
+  override def oracles: Map[String, String] = Map(
+    "q_kmeans_1step" ->
+      """WITH cen AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
+        |d2s AS (
+        |  SELECT vec_id, cid, pe, list_inner_product(df, df) AS d2
+        |  FROM (
+        |    SELECT p.vec_id, c.cid, p.pe,
+        |      list_transform(generate_series(1, len(p.pe)), i -> p.pe[i] - c.ce[i]) AS df
+        |    FROM pts p CROSS JOIN cen c)),
+        |asg AS (
+        |  SELECT vec_id, cid, d2, pe FROM (
+        |    SELECT vec_id, cid, d2, pe,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM d2s) WHERE rn = 1),
+        |el AS (
+        |  SELECT cid, generate_subscripts(pe, 1) AS dim, unnest(pe) AS v FROM asg),
+        |means AS (
+        |  SELECT cid, dim, count(*) AS n, avg(v) AS coord FROM el GROUP BY cid, dim),
+        |inert AS (SELECT round(sum(d2), 6) AS inertia FROM asg)
+        |SELECT CAST(m.cid AS BIGINT) AS cluster, CAST(m.dim AS BIGINT) AS dim,
+        |  CAST(m.n AS BIGINT) AS n, round(m.coord, 6) AS coord, i.inertia AS inertia
+        |FROM means m CROSS JOIN inert i
+        |ORDER BY cluster, dim""".stripMargin)
 }

@@ -109,6 +109,43 @@ object MultiKMeans {
     } finally { data.unpersist(blocking = false); () }
   }
 
+  /** ONE Lloyd iteration from explicit starting centroids: a single
+    * [[assignPass]] scan (nearest-centroid assignment accumulating
+    * per-cluster vector sums/counts and total cost), then the same
+    * mean-update rule the sweep loop applies (empty cluster keeps its old
+    * coordinate). Returns (updated k×dim centroids, per-cluster counts,
+    * inertia under the STARTING centroids).
+    *
+    * Exists so the iterative machinery's arithmetic can sit under the
+    * driver's DuckDB hash (q_kmeans_1step): from deterministic start
+    * centroids, one step is plain relational algebra — assignment is
+    * per-row sequential double arithmetic (bit-identical cross-engine) and
+    * the update means/costs round(6)-stable — while full fits stay
+    * seed-/engine-specific and rows-only. */
+  def lloydStep(points: DataFrame, vecCol: String,
+                init: Array[Double], k: Int): (Array[Double], Array[Long], Double) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(init.length % k == 0, s"init length ${init.length} not divisible by k=$k")
+    val dim = init.length / k
+    val data = points.select(vecCol).as[Array[Float]].rdd
+    val agg = assignPass(data, Array(k), Array(init), Array(true), dim,
+      withSquares = false)
+    val next = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      val n = agg.counts(0)(c)
+      var d = 0
+      while (d < dim) {
+        next(c * dim + d) =
+          if (n > 0) agg.sums(0)(c * dim + d) / n else init(c * dim + d)
+        d += 1
+      }
+      c += 1
+    }
+    (next, agg.counts(0), agg.costs(0))
+  }
+
   /** Inertia + squared-Euclidean silhouette for fixed centroids (e.g. an
     * MLlib model's) — two shared scans, all models at once. Assignment is
     * nearest-centroid, which for any converged Lloyd model equals its

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class MahalanobisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_covariance matches a local single-threaded covariance computation") {
+    val rows = Mahalanobis.qCovariance(spark, SfDir).collect()
+    val vecs = graft.Tables.embeddings(spark, SfDir)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val mu = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    assert(rows.length == d * (d + 1) / 2)
+    rows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      assert(r.getLong(2) == n)
+      val cov = vecs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / (n - 1)
+      // centered-product vs Σxx−nμμ algebra differ in last bits; the
+      // driver-facing values are round(6), so compare a notch tighter
+      assert(approx(r.getDouble(4), math.rint(cov * 1e6) / 1e6, 2e-6),
+        s"cov($i,$j): ${r.getDouble(4)} vs $cov")
+      assert(approx(r.getDouble(3), math.rint(mu(i) * 1e6) / 1e6, 2e-6),
+        s"mu($i): ${r.getDouble(3)} vs ${mu(i)}")
+    }
+  }
+
   test("invertSpd inverts a known SPD matrix") {
     val a = Array(Array(4.0, 2.0), Array(2.0, 3.0)) // det = 8
     val inv = Mahalanobis.invertSpd(a)

@@ -13,6 +13,39 @@ class MultiKMeansSpec extends SparkSpec {
       Array(c(0) + rnd.nextFloat() * 0.5f, c(1) + rnd.nextFloat() * 0.5f)))
   }
 
+  test("lloydStep: counts conserve n, step from blob centers is a fixed point") {
+    val df = blobs.toDF("v")
+    // exact blob means as start centroids -> every point stays with its
+    // blob and the update returns (numerically) the same means
+    val k = 3
+    val dim = 2
+    val exact = blobs.grouped(30).map { g =>
+      Array(g.map(_(0).toDouble).sum / 30, g.map(_(1).toDouble).sum / 30)
+    }.toArray
+    val init = exact.flatten
+    val (next, counts, inertia) = MultiKMeans.lloydStep(df, "v", init, k)
+    assert(counts.toSeq == Seq(30L, 30L, 30L))
+    assert(inertia > 0)
+    next.zip(init).foreach { case (a, b) => assert(approx(a, b, 1e-9)) }
+  }
+
+  test("lloydStep from bad centroids strictly reduces inertia") {
+    val df = blobs.toDF("v")
+    val init = Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0) // all 3 near one blob
+    val (next, _, cost0) = MultiKMeans.lloydStep(df, "v", init, 3)
+    val (_, _, cost1) = MultiKMeans.lloydStep(df, "v", next, 3)
+    assert(cost1 < cost0, s"one Lloyd step must not increase inertia ($cost0 -> $cost1)")
+  }
+
+  test("lloydStep: empty cluster keeps its starting coordinate") {
+    val df = blobs.toDF("v")
+    // a centroid far outside the data never wins a point
+    val init = Array(0.0, 0.0, 10.0, 0.0, 1e6, 1e6)
+    val (next, counts, _) = MultiKMeans.lloydStep(df, "v", init, 3)
+    assert(counts(2) == 0L)
+    assert(next(4) == 1e6 && next(5) == 1e6)
+  }
+
   test("sweep recovers separated blobs at k=3 with high silhouette") {
     val df = blobs.toDF("v")
     val out = MultiKMeans.sweep(df, "v", ks = Seq(2, 3, 4), seed = 7L, maxIter = 20)

@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    depends on the sample, not corpus size);
   *  - encoding is M map-side [[NearestCentroid]] expressions over slices —
   *    plan-constant codebooks, no join, no shuffle;
-  *  - reconstruction for scoring is `element_at` over codebook literal
-  *    arrays concatenated back to a d-dim vector — declarative, codegen'd.
+  *  - reconstruction for scoring is one plan-constant codeword gather
+  *    ([[graft.functions.PqReconstruct]]) back to a d-dim vector —
+  *    codegen'd, with generated-code size independent of codebook size.
   *
   * Codebooks are seeded-k-means outputs → engine-specific → rows-only
   * check; invariants in ProductQuantizationSpec.
@@ -123,13 +124,12 @@ object ProductQuantization {
     }.toIndexedSeq: _*)
   }
 
-  /** Reconstructed (approximate) normalized vector from a code column. */
+  /** Reconstructed (approximate) normalized vector from a code column —
+    * one plan-constant codeword gather ([[graft.functions.PqReconstruct]]),
+    * not an unrolled literal table: generated-code size is independent of
+    * k, so codebook size is no longer capped by Janino compile time. */
   def reconstruct(codes: Column, model: PqModel): Column =
-    concat(model.codebooks.zipWithIndex.map { case (book, s) =>
-      val bookLit = array(book.map(cw =>
-        array(cw.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-      element_at(bookLit, element_at(codes, s + 1) + 1)
-    }.toIndexedSeq: _*)
+    graft.functions.PqReconstruct(codes, model.codebooks)
 }
 
 object ProductQuantizationQueries extends QueryModule {

@@ -27,6 +27,8 @@ object SparkEntry {
     graft.operators.projection.LandmarkMdsQueries,
     graft.operators.sampling.SamplingQueries,
     graft.operators.text.BpeQueries,
+    graft.operators.text.TfIdfQueries,
+    graft.operators.text.PiiRedact,
     graft.operators.analytics.Mahalanobis,
     graft.streaming.StreamingQueries)
 

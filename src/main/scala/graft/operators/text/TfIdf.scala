@@ -1,0 +1,95 @@
+package graft.operators.text
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over the documents corpus (SURVEY §2 "Text
+  * analysis" — the classic retrieval/corpus-statistics operator the
+  * reference's keyword scoring builds on; same smooth-idf formula as
+  * sklearn's TfidfVectorizer: idf = ln((1+N)/(1+df)) + 1).
+  *
+  * Scale shape: tokenize is a map over the scan; tf is one shuffle on
+  * (doc_id, term); df is one shuffle on term over the already-reduced
+  * (doc, term) pairs — both are partial-aggregated map-side. The df join
+  * is vocab×1 row and shuffles on term. Nothing driver-side.
+  *
+  * Ranking determinism: ln() differs in the last ulp across engines, so
+  * per-doc ranking happens on the ROUNDED score (round 6; exactly equal
+  * cross-engine) with the term as tiebreak — never on the raw double.
+  */
+object TfIdfQueries extends QueryModule {
+
+  /** Non-empty lowercase whitespace tokens. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      explode(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => length(w) > 0)).as("term"))
+
+  /** Top-3 TF-IDF terms per document (doc_id < 500), with the corpus-wide
+    * df each weight came from. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val tf = tokens(spark, dir).groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("doc_id") < 500)
+      .join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1.0) + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Corpus vocabulary head: the 50 highest-df terms with collection
+    * frequency — the stopword-discovery / vocab-pruning primitive. */
+  def qVocabTop(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(spark, dir)
+    toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .orderBy(col("df").desc, col("cf").desc, col("term"))
+      .limit(50)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_vocab_top" -> (qVocabTop _))
+
+  override def oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * (ln((1.0 + n.n) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id < 500),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_vocab_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS cf
+        |FROM toks GROUP BY term
+        |ORDER BY df DESC, cf DESC, term LIMIT 50""".stripMargin)
+}

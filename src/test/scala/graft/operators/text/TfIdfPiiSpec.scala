@@ -1,0 +1,59 @@
+package graft.operators.text
+
+import graft.SparkSpec
+
+class TfIdfPiiSpec extends SparkSpec {
+
+  test("q_tfidf: 3 ranked terms per doc, tf/df positive, score consistent") {
+    val rows = TfIdfQueries.qTfidf(spark, SfDir).collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    val n = graft.Tables.documents(spark, SfDir).count()
+    rows.foreach { r =>
+      val (tf, df, tfidf) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(tf >= 1 && df >= 1 && df <= n)
+      val expect = tf * (math.log((1.0 + n) / (df + 1.0)) + 1.0)
+      assert(approx(tfidf, math.rint(expect * 1e6) / 1e6, 2e-6))
+    }
+    // ranks descend within a doc
+    rows.grouped(3).foreach { g =>
+      assert(g.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      assert(g(0).getDouble(5) >= g(1).getDouble(5)
+        && g(1).getDouble(5) >= g(2).getDouble(5))
+    }
+  }
+
+  test("q_vocab_top: df never exceeds doc count and never increases down the list") {
+    val rows = TfIdfQueries.qVocabTop(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val n = graft.Tables.documents(spark, SfDir).count()
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= n
+      && r.getLong(2) >= r.getLong(1)))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1))
+    case _ => () }
+  }
+
+  test("q_pii_redact: planted counts recovered exactly, nothing left behind") {
+    val rows = PiiRedact.qPiiRedact(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 3 + 1, s"doc $id emails")
+      // doc 0 repeats its ref- block 0 times; every other planted number
+      // (doc_id*7919, doc_id>=1) has >= 4 digits and is matched
+      assert(r.getLong(2) == id % 4, s"doc $id numbers")
+      assert(r.getLong(3) > 0 && r.getString(4).length == 32)
+    }
+    // redaction is idempotent: redacting the redacted text changes nothing
+    import org.apache.spark.sql.functions._
+    val redactedOnce = graft.Tables.documents(spark, SfDir)
+      .filter(col("doc_id") < 500)
+      .select(regexp_replace(regexp_replace(
+        concat(col("text"), lit(" user-7@example.com ref-55433 ")),
+        PiiRedact.EmailRe, "<EMAIL>"), PiiRedact.LongNumRe, "<NUM>").as("r"))
+    val changed = redactedOnce.filter(
+      regexp_replace(regexp_replace(col("r"), PiiRedact.EmailRe, "<EMAIL>"),
+        PiiRedact.LongNumRe, "<NUM>") =!= col("r")).count()
+    assert(changed == 0)
+  }
+}

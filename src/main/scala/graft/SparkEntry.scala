@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.search.LshAnn,
     graft.operators.dedup.MinHashLsh,
     graft.operators.dedup.SimHash,
+    graft.operators.dedup.StreamNearDup,
     graft.operators.multimodal.MediaQueries,
     graft.operators.multimodal.MarkupDecode,
     graft.operators.projection.LandmarkMdsQueries,

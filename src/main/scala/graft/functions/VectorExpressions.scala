@@ -208,8 +208,54 @@ case class VecEuclideanSq(left: Expression, right: Expression) extends BinaryVec
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Shared codegen for the unary vector kernels: bulk-extract the child
+  * array to a primitive buffer, then run the same sequential-double loop
+  * as the interpreted path (bit-identical by construction). Element types
+  * outside the fast set defer to nullSafeEval through a reference object. */
+abstract class UnaryVectorExpr extends UnaryExpression {
+  /** Java statements: input `double[] $arr` (already widened), assign the
+    * result to $result (declared by the caller). */
+  protected def cgBody(p: String, arr: String, result: String): String
+
+  private def cgExtract(dt: DataType, term: String, arr: String,
+                        p: String): Option[String] = dt match {
+    case ArrayType(DoubleType, _) => Some(s"double[] $arr = $term.toDoubleArray();")
+    case ArrayType(FloatType, _) => Some(
+      s"""float[] ${p}_f = $term.toFloatArray();
+         |double[] $arr = new double[${p}_f.length];
+         |for (int ${p}_i = 0; ${p}_i < ${p}_f.length; ${p}_i++) {
+         |  $arr[${p}_i] = (double) ${p}_f[${p}_i];
+         |}""".stripMargin)
+    case _ => None
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, term => {
+      val p = ctx.freshName("uv")
+      val arr = ctx.freshName("uvArr")
+      cgExtract(child.dataType, term, arr, p) match {
+        case Some(extract) =>
+          s"""
+             |$extract
+             |${cgBody(p, arr, ev.value.toString)}
+             |""".stripMargin
+        case None =>
+          val expr = ctx.addReferenceObj("thisExpr", this,
+            classOf[UnaryVectorExpr].getName)
+          val javaType = org.apache.spark.sql.catalyst.expressions.codegen
+            .CodeGenerator.javaType(dataType)
+          val boxed = org.apache.spark.sql.catalyst.expressions.codegen
+            .CodeGenerator.boxedType(dataType)
+          s"${ev.value} = ($javaType) ($boxed) $expr.nullSafeEval($term);"
+      }
+    })
+}
+
 /** L2 norm; ref chunk_similarities.ipynb:73 (np.linalg.norm). */
-case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VecNorm(child: Expression) extends UnaryVectorExpr {
   override def prettyName: String = "vec_norm"
   override def dataType: DataType = DoubleType
   @transient private lazy val get = VecUtil.toDoubles(child.dataType)
@@ -219,12 +265,18 @@ case class VecNorm(child: Expression) extends UnaryExpression with CodegenFallba
     while (i < a.length) { val x = a(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
+  override protected def cgBody(p: String, arr: String, result: String): String =
+    s"""double ${p}_s = 0.0;
+       |for (int ${p}_j = 0; ${p}_j < $arr.length; ${p}_j++) {
+       |  ${p}_s += $arr[${p}_j] * $arr[${p}_j];
+       |}
+       |$result = java.lang.Math.sqrt(${p}_s);""".stripMargin
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** L2-normalize to array<double>; zero vector returned unchanged — matches
   * reference `normalizar_vector` (chunk_similarities.ipynb:72-74). */
-case class VecNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VecNormalize(child: Expression) extends UnaryVectorExpr {
   override def prettyName: String = "vec_normalize"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   @transient private lazy val get = VecUtil.toDoubles(child.dataType)
@@ -238,5 +290,16 @@ case class VecNormalize(child: Expression) extends UnaryExpression with CodegenF
     while (i < a.length) { a(i) = a(i) * inv; i += 1 }
     new GenericArrayData(a)
   }
+  override protected def cgBody(p: String, arr: String, result: String): String =
+    s"""double ${p}_s = 0.0;
+       |for (int ${p}_j = 0; ${p}_j < $arr.length; ${p}_j++) {
+       |  ${p}_s += $arr[${p}_j] * $arr[${p}_j];
+       |}
+       |double ${p}_n = java.lang.Math.sqrt(${p}_s);
+       |double ${p}_inv = (${p}_n == 0.0) ? 1.0 : 1.0 / ${p}_n;
+       |for (int ${p}_j2 = 0; ${p}_j2 < $arr.length; ${p}_j2++) {
+       |  $arr[${p}_j2] = $arr[${p}_j2] * ${p}_inv;
+       |}
+       |$result = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);""".stripMargin
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -58,9 +58,29 @@ object TfIdfQueries extends QueryModule {
       .limit(50)
   }
 
+  /** Unigram log-probability quality score — the perplexity-proxy filter
+    * LLM pipelines run before training (docs whose words are corpus-rare
+    * score high): score(d) = mean over tokens of −ln(cf(w)/T), cf = corpus
+    * collection frequency, T = total tokens. One cf shuffle + one term
+    * join + one per-doc agg; no OOV (cf ≥ 1 by construction). Ranking /
+    * filtering downstream happens on the rounded score. */
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(spark, dir)
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = toks.count()
+    toks.filter(col("doc_id") < 500)
+      .join(cf, Seq("term"))
+      .withColumn("nll", -log(col("cf").cast("double") / lit(total.toDouble)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 6).as("mean_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
-    "q_vocab_top" -> (qVocabTop _))
+    "q_vocab_top" -> (qVocabTop _),
+    "q_unigram_logprob" -> (qUnigramLogprob _))
 
   override def oracles: Map[String, String] = Map(
     "q_tfidf" ->
@@ -91,5 +111,17 @@ object TfIdfQueries extends QueryModule {
         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         |  CAST(count(*) AS BIGINT) AS cf
         |FROM toks GROUP BY term
-        |ORDER BY df DESC, cf DESC, term LIMIT 50""".stripMargin)
+        |ORDER BY df DESC, cf DESC, term LIMIT 50""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(CAST(cf.cf AS DOUBLE) / t.total)), 6) AS mean_neg_logprob
+        |FROM toks JOIN cf USING (term) CROSS JOIN t
+        |WHERE doc_id < 500
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

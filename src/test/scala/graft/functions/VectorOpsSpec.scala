@@ -55,12 +55,52 @@ class VectorOpsSpec extends SparkSpec {
     val b = BoundReference(1, t, nullable = false)
     val proj = GenerateUnsafeProjection.generate(Seq(
       VecDot(a, b), VecDot(b, a), VecCosine(a, b), VecCosine(b, a),
-      VecEuclidean(a, b), VecEuclideanSq(a, b), VecManhattan(a, b)))
+      VecEuclidean(a, b), VecEuclideanSq(a, b), VecManhattan(a, b),
+      VecNorm(a), VecNorm(b), VecNormalize(a), VecNormalize(a)))
     val row = proj(InternalRow(
       ArrayData.toArrayData(Array(1.0, 2.0)), ArrayData.toArrayData(Array(3.0, 4.0))))
     assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 11.0)
     assert(approx(row.getDouble(4), math.sqrt(8.0)) && row.getDouble(5) == 8.0
       && row.getDouble(6) == 4.0)
+    // the unary kernels run through the same generated scope
+    assert(row.getDouble(7) == math.sqrt(5.0) && row.getDouble(8) == 5.0)
+    val nrm = row.getArray(9)
+    assert(nrm.getDouble(0) == 1.0 / math.sqrt(5.0) * 1.0
+      && nrm.getDouble(1) == 2.0 * (1.0 / math.sqrt(5.0)))
+  }
+
+  test("unary kernels: generated == interpreted on float and double inputs") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val rnd = new scala.util.Random(11)
+    for (
+      (mk, t) <- Seq(
+        ((xs: Array[Double]) => ArrayData.toArrayData(xs.map(_.toFloat)),
+          ArrayType(FloatType, containsNull = false)),
+        ((xs: Array[Double]) => ArrayData.toArrayData(xs),
+          ArrayType(DoubleType, containsNull = false)))
+    ) {
+      val ref = BoundReference(0, t, nullable = true)
+      val exprs = Seq(VecNorm(ref), VecNormalize(ref))
+      val proj = GenerateUnsafeProjection.generate(exprs)
+      for (_ <- 0 until 20) {
+        val xs = Array.fill(16)(rnd.nextDouble() * 4 - 2)
+        val row = InternalRow(mk(xs))
+        val out = proj(row)
+        assert(out.getDouble(0) == exprs.head.eval(row).asInstanceOf[Double])
+        val gen = out.getArray(1)
+        val interp = exprs(1).eval(row).asInstanceOf[ArrayData]
+        assert((0 until 16).forall(i => gen.getDouble(i) == interp.getDouble(i)))
+      }
+      // zero vector passes through unchanged
+      val z = InternalRow(mk(Array.fill(4)(0.0)))
+      val outZ = proj(z)
+      assert(outZ.getDouble(0) == 0.0
+        && (0 until 4).forall(i => outZ.getArray(1).getDouble(i) == 0.0))
+    }
   }
 
   test("works on real embeddings and matches euclidean identity") {

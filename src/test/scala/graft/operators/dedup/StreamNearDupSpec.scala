@@ -1,0 +1,47 @@
+package graft.operators.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamNearDupSpec extends SparkSpec {
+
+  test("streaming suppression equals the batch pair rule (min-id wins)") {
+    val out = StreamNearDup.qStreamNeardup(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // every planted doc must be suppressed, attributed to its original
+    val planted = out.filter(_.getLong(0) >= 1000000L)
+    assert(planted.length == 20)
+    planted.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 1000000L
+        || r.getLong(1) < 1000000L, s"bad attribution: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+    // batch twin: suppressed == larger member of each verified batch pair
+    val pairs = MinHashLsh.nearDupPairs(
+      MinHashLsh.withPlantedDups(graft.Tables.documents(spark, SfDir)),
+      minJaccard = 0.5).collect()
+    val expect = pairs.map(_.getLong(1)).toSet
+    assert(out.map(_.getLong(0)).toSet == expect,
+      "streaming suppression set must equal the batch d2 set")
+  }
+
+  test("suppression decisions are independent of batch split") {
+    // one-batch run: same corpus staged as a single file
+    import java.nio.file.Files
+    val docs = MinHashLsh.withPlantedDups(graft.Tables.documents(spark, SfDir))
+    val stage = Files.createTempDirectory("neardup_onebatch")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage.toString + "/f")
+    val b = StreamNearDup.perDocSketches(docs).persist()
+    val oneShot = StreamNearDup.pairsAgainst(b, b, 0.5)
+      .groupBy(col("d2")).agg(min(struct(col("d1"), col("jaccard"))).as("m"))
+      .select(col("d2").as("doc_id"), col("m.d1").as("dup_of"),
+        col("m.jaccard").as("jaccard"))
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    b.unpersist()
+    val streamed = StreamNearDup.qStreamNeardup(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == oneShot,
+      "2-batch streaming result must equal the single-batch result")
+  }
+}

@@ -33,6 +33,24 @@ class TfIdfPiiSpec extends SparkSpec {
     case _ => () }
   }
 
+  test("q_unigram_logprob: scores positive, bounded by the rarest word, tokens conserved") {
+    val rows = TfIdfQueries.qUnigramLogprob(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.Tables.documents(spark, SfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.col("text"))), "\\s+")))
+      .count()
+    val maxNll = -math.log(1.0 / total) // a hapax is the rarest possible word
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val s = r.getDouble(2)
+      assert(s > 0 && s <= maxNll + 1e-6, s"score $s out of (0, $maxNll]")
+    }
+  }
+
   test("q_pii_redact: planted counts recovered exactly, nothing left behind") {
     val rows = PiiRedact.qPiiRedact(spark, SfDir).collect()
     assert(rows.nonEmpty)

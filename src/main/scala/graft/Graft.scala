@@ -199,4 +199,67 @@ object Graft {
   /** …then encode any text column into subword tokens with them. */
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     functions.BpeTokens(text, merges)
+
+  /** Decode a RIFF/WAVE PCM16 payload (pure JVM — the audio entry of the
+    * conversion zoo, analisis-informe.ipynb converter table). */
+  def decodeWav(payload: Array[Byte]): operators.multimodal.WavCodec.Pcm =
+    operators.multimodal.WavCodec.decode(payload)
+
+  /** Decode an 8-bit grayscale PNG payload (pure JVM: CRC-verified chunks,
+    * zlib inflate, all five scanline filters). */
+  def decodePng(payload: Array[Byte]): operators.multimodal.PngCodec.Image =
+    operators.multimodal.PngCodec.decode(payload)
+
+  /** Top-k TF-IDF terms per document (sklearn smooth-idf; ranking on the
+    * rounded score so cross-engine ln() ulps can't flip ranks). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(idf, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(1.0) + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id").as(idCol), col("rk"), col("term"), col("tf"),
+        col("df"), col("tfidf"))
+  }
+
+  /** PII scrub: redact emails and long digit runs in one projection (the
+    * pre-training scrub pass; see operators.text.PiiRedact). */
+  def redactPii(text: Column): Column = {
+    import operators.text.PiiRedact.{EmailRe, LongNumRe}
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+  }
+
+  /** Unigram log-prob quality scores: per doc, mean −ln(cf/T) under the
+    * corpus's own unigram model (perplexity-proxy quality filter). */
+  def unigramQualityScores(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
+        w => length(w) > 0)).as("term"))
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = toks.count()
+    toks.join(cf, Seq("term"))
+      .withColumn("nll", -log(col("cf").cast("double") / lit(total.toDouble)))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 6).as("mean_neg_logprob"))
+  }
+
+  /** Incremental near-dup check: verified MinHash pairs (store-side id <
+    * probe-side id) between a compact signature store and a new batch —
+    * the ingest-time dedup primitive behind q_stream_neardup. Build the
+    * per-doc frames with [[operators.dedup.StreamNearDup.perDocSketches]]. */
+  def nearDupAgainstStore(store: DataFrame, batch: DataFrame,
+                          minJaccard: Double = 0.5): DataFrame =
+    operators.dedup.StreamNearDup.pairsAgainst(store.unionByName(batch),
+      batch, minJaccard)
 }

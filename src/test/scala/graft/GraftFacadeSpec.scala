@@ -89,6 +89,38 @@ class GraftFacadeSpec extends SparkSpec {
     assert(toks.nonEmpty && toks.mkString.endsWith(functions.Bpe.EndMark))
   }
 
+  test("round-3 facade: codecs, tfidf, pii, unigram, incremental near-dup") {
+    import spark.implicits._
+    // codecs roundtrip through the facade
+    val pcm = Graft.decodeWav(operators.multimodal.WavCodec.encode(
+      Array.tabulate(32)(i => (i * 500).toShort), 16000))
+    assert(pcm.sampleRate == 16000 && pcm.samples.length == 32)
+    val img = Graft.decodePng(operators.multimodal.PngCodec.encode(
+      4, 4, Array.tabulate(16)(_ * 15)))
+    assert(img.width == 4 && img.pixels.toSeq == (0 until 16).map(_ * 15))
+    // tfidf: k rows per doc, ranked
+    val docs = Tables.documents(spark, SfDir)
+    val tt = Graft.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+    assert(tt.groupBy("doc_id").count().filter(col("count") > 2).count() == 0)
+    // pii redaction
+    val red = Seq(Tuple1("mail me at a.b@x.io ref 123456 ok"))
+      .toDF("t").select(Graft.redactPii(col("t"))).head().getString(0)
+    assert(red == "mail me at <EMAIL> ref <NUM> ok")
+    // unigram quality: scores strictly positive
+    val uq = Graft.unigramQualityScores(docs.limit(50), "doc_id", "text")
+    assert(uq.filter(col("mean_neg_logprob") <= 0).count() == 0)
+    // incremental near-dup: planted copy matches its original in the store
+    val store = operators.dedup.StreamNearDup.perDocSketches(
+      docs.select(col("doc_id"), col("text")))
+    val probe = operators.dedup.StreamNearDup.perDocSketches(
+      docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+    val hits = Graft.nearDupAgainstStore(store, probe).collect()
+    assert(hits.length >= 3 &&
+      hits.forall(r => r.getLong(1) >= 500000L && r.getDouble(2) >= 0.5))
+  }
+
   test("SQL functions available via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

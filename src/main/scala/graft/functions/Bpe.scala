@@ -4,7 +4,6 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types._
@@ -109,9 +108,15 @@ object Bpe {
 }
 
 /** Document → BPE subword tokens (array<string>): whitespace words each
-  * greedy-encoded against the merge ranks, with a per-partition cache. */
+  * greedy-encoded against the merge ranks, with a per-partition cache.
+  *
+  * Codegen calls [[nullSafeEval]] through a reference object rather than
+  * CodegenFallback: the cached greedy-merge kernel stays one JIT'd JVM
+  * method (identical both paths), but the generated call operates on the
+  * child's in-register UTF8String — no InternalRow materialization — and
+  * the surrounding stage stays fused. */
 case class BpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "bpe_tokens"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -139,6 +144,15 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("bpeExpr", this, classOf[BpeTokens].getName)
+      s"${ev.value} = (ArrayData) $expr.nullSafeEval($c);"
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -83,4 +83,45 @@ class ShingleCodegenSpec extends SparkSpec {
     val out = proj(InternalRow(null))
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
+
+  test("HyperplaneSig codegen == interpreted, dual instances, float + double") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val planes = HyperplaneSig.randomPlanes(16, 8)
+    val rnd = new scala.util.Random(5)
+    for (t <- Seq(ArrayType(FloatType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))) {
+      val ref = BoundReference(0, t, nullable = false) // worst case: no if-block
+      val exprs = Seq(HyperplaneSig(ref, planes), HyperplaneSig(ref, planes))
+      val proj = GenerateUnsafeProjection.generate(exprs)
+      for (_ <- 0 until 20) {
+        val xs = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+        val row = InternalRow(t.elementType match {
+          case FloatType => ArrayData.toArrayData(xs.map(_.toFloat))
+          case _ => ArrayData.toArrayData(xs)
+        })
+        val out = proj(row)
+        assert(out.getLong(0) == exprs.head.eval(row).asInstanceOf[Long])
+        assert(out.getLong(1) == out.getLong(0))
+      }
+    }
+  }
+
+  test("BpeTokens generated call == interpreted eval") {
+    val merges = Seq(("t", "h"), ("th", "e</w>"), ("a", "n"))
+    val ref = BoundReference(0, StringType, nullable = true)
+    val exprs = Seq(BpeTokens(ref, merges), BpeTokens(ref, merges))
+    val proj = GenerateUnsafeProjection.generate(exprs)
+    for (s <- Seq("the anthem then", "", "a", "  the  ")) {
+      val row = InternalRow(UTF8String.fromString(s))
+      val out = proj(row)
+      val interp = arr2(exprs.head.eval(row))
+      assert((0 until out.getArray(0).numElements())
+        .map(i => out.getArray(0).getUTF8String(i).toString) == interp)
+    }
+  }
+
+  private def arr2(a: Any): Seq[String] = {
+    val ad = a.asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+  }
 }

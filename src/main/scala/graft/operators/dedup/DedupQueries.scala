@@ -71,10 +71,51 @@ object DedupQueries extends QueryModule {
       .orderBy("v1", "v2")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the embedding-space
+    * dedup used on LAION/C4-scale corpora): k-means the embeddings, then
+    * near-dedup ONLY within each cluster — the cluster assignment is the
+    * blocking key, so pair cost is Σ|cluster|², never n². Survivor rule =
+    * min vec_id per similar pair (the same canonical rule as exact dedup;
+    * the transitive-group variant is qDedupGroups' connected components).
+    *
+    * Composition: deterministic centroids + the map-side NearestCentroid
+    * expression from the clustering stack (no assignment shuffle), one
+    * equi-join on centroid_id for pairs. At 100 TB the cluster count k
+    * scales with n so E|cluster| stays bounded (SemDeDup uses k≈10⁵ for
+    * 10⁹ points); the join stays shuffle-partitioned on centroid_id and
+    * AQE splits skewed cells. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NearestCentroid
+    import graft.operators.clustering.ClusteringQueries
+    val cs = ClusteringQueries.centroids(spark, dir)
+    val pts = Tables.embeddings(spark, dir)
+      .withColumn("v", vec_normalize(col("embedding")))
+      .withColumn("centroid_id",
+        NearestCentroid(col("v"), cs).getField("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+      .persist() // both pair-join sides read the same assignment branch
+    val a = pts.select(col("centroid_id"), col("vec_id").as("v1"), col("v").as("va"))
+    val b = pts.select(col("centroid_id"), col("vec_id").as("v2"), col("v").as("vb"))
+    // normalized vectors → dot product IS cosine; round-then-compare keeps
+    // the τ boundary identical across engines (same scheme as qDedupEmbed)
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(vec_dot(col("va"), col("vb")), 6) > 0.4)
+      .groupBy(col("centroid_id"))
+      .agg(countDistinct(col("v2")).as("n_dropped"))
+    pts.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("centroid_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
-    "q_dedup_embed" -> (qDedupEmbed _))
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_sem_dedup" -> (qSemDedup _))
 
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -94,6 +135,24 @@ object DedupQueries extends QueryModule {
         |    / NULLIF(len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))), 0), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+    "q_sem_dedup" -> {
+      import graft.operators.clustering.ClusteringQueries.NrmCte
+      s"""WITH $NrmCte,
+         |pts AS (SELECT a.vec_id, a.centroid_id, n.v
+         |        FROM asg a JOIN nrm n USING (vec_id)),
+         |drp AS (
+         |  SELECT centroid_id, count(DISTINCT dropped_id) AS n_dropped FROM (
+         |    SELECT p1.centroid_id, p2.vec_id AS dropped_id
+         |    FROM pts p1 JOIN pts p2
+         |      ON p1.centroid_id = p2.centroid_id AND p1.vec_id < p2.vec_id
+         |    WHERE round(list_inner_product(p1.v, p2.v), 6) > 0.4)
+         |  GROUP BY centroid_id),
+         |tot AS (SELECT centroid_id, count(*) AS n_vecs FROM pts GROUP BY 1)
+         |SELECT t.centroid_id, t.n_vecs, COALESCE(d.n_dropped, 0) AS n_dropped,
+         |  t.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
+         |FROM tot t LEFT JOIN drp d USING (centroid_id)
+         |ORDER BY t.centroid_id""".stripMargin
+    },
     "q_dedup_embed" ->
       """SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * boundaries: the text formats (html/markdown/plain) get a REAL decoder —
   * [[MarkupDecode]], oracle-checked; WAV audio and PNG images get REAL
   * pure-JVM codecs — [[WavCodec]] (RIFF chunk walk + PCM16) and
-  * [[PngCodec]] (zlib inflate + all five scanline filters), both under
-  * the DuckDB oracle via qMediaWav/qMediaPng; only the formats that
-  * genuinely need native libs absent from this container (pdf/docx/OCR)
-  * remain a clearly-marked deterministic fake with all Spark-side
-  * plumbing — schema, batching, partitioning — real.
+  * [[PngCodec]] (zlib inflate + all five scanline filters); PDF and DOCX
+  * text extraction get REAL pure-JVM parsers too — [[PdfCodec]] (object
+  * walk, FlateDecode inflate, literal-string unescape, Tj/TJ) and
+  * [[DocxCodec]] (zip walk, paragraph/run concat, entity unescape) — all
+  * four under the DuckDB oracle via qMediaWav/Png/Pdf/Docx; only OCR of
+  * scanned images (a vision model, not a parser) remains a clearly-marked
+  * deterministic fake with all Spark-side plumbing — schema, batching,
+  * partitioning — real.
   */
 object MediaQueries extends QueryModule {
 
@@ -26,16 +29,17 @@ object MediaQueries extends QueryModule {
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
                            feature: Array[Float])
 
-  /** Decoder boundary — [[WavCodec]]/[[PngCodec]] sit behind it for the
-    * formats this container can genuinely decode; the fake below stands in
-    * for pdf/docx/OCR only. One instance per partition (the expensive-init
-    * pattern real codecs need). */
+  /** Decoder boundary — [[WavCodec]]/[[PngCodec]]/[[PdfCodec]]/[[DocxCodec]]
+    * sit behind it for the formats this container can genuinely decode; the
+    * fake below stands in for OCR only. One instance per partition (the
+    * expensive-init pattern real codecs need). */
   trait MediaDecoder extends Serializable {
     def decode(r: MediaRecord): Array[Float]
   }
 
   /** STUB: deterministic fake decode (polynomial byte-hash per feature
-    * lane) standing in for pdf/docx/OCR decoding (native-lib formats). */
+    * lane) standing in for OCR of scanned images (needs a vision model,
+    * not a parser — reference calls an external service, ocr.py). */
   object FakeDecoder extends MediaDecoder {
     val FeatureDim = 8
     def decode(r: MediaRecord): Array[Float] = {
@@ -183,6 +187,132 @@ object MediaQueries extends QueryModule {
       }
   }
 
+  /** Shared alphabet for the PDF/DOCX synthetic text: the 26 letters plus
+    * the PDF literal-string metachars `(` `)` `\` and the XML metachars
+    * `&` `<` `>`, so EVERY synthesized line exercises both codecs' escape
+    * paths. 32 chars → cheap `% 32` indexing on both engines. */
+  val DocAlphabet: String = "abcdefghijklmnopqrstuvwxyz()\\&<>"
+  private val DocAlphabetCodes = DocAlphabet.map(_.toInt)
+
+  case class PdfDoc(doc_id: Long, pdf: Array[Byte])
+  case class DocxDoc(doc_id: Long, docx: Array[Byte])
+
+  /** PDF synthetic text: 3 + id%8 lines; line j has 20 + (id + 7j)%40
+    * chars; char k = alphabet[(31·id + 13·j + 7·k) mod 32]. */
+  def pdfLines(id: Long): IndexedSeq[String] = {
+    val nLines = (3 + id % 8).toInt
+    IndexedSeq.tabulate(nLines) { j =>
+      val len = (20 + (id + j * 7) % 40).toInt
+      val sb = new java.lang.StringBuilder(len)
+      var k = 0
+      while (k < len) {
+        sb.append(DocAlphabet.charAt(((id * 31 + j * 13 + k * 7) % 32).toInt)); k += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** DOCX synthetic text: different constants so the two decode paths
+    * can't mask each other's bugs: 2 + id%9 lines of 15 + (3id + 5j)%50
+    * chars, char k = alphabet[(13·id + 17·j + 11·k) mod 32]. */
+  def docxLines(id: Long): IndexedSeq[String] = {
+    val nLines = (2 + id % 9).toInt
+    IndexedSeq.tabulate(nLines) { j =>
+      val len = (15 + (id * 3 + j * 5) % 50).toInt
+      val sb = new java.lang.StringBuilder(len)
+      var k = 0
+      while (k < len) {
+        sb.append(DocAlphabet.charAt(((id * 13 + j * 17 + k * 11) % 32).toInt)); k += 1
+      }
+      sb.toString
+    }
+  }
+
+  def pdfTable(spark: SparkSession, dir: String): Dataset[PdfDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map(id => PdfDoc(id, PdfCodec.encode(pdfLines(id))))
+      }
+  }
+
+  def docxTable(spark: SparkSession, dir: String): Dataset[DocxDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map(id => DocxDoc(id, DocxCodec.encode(docxLines(id))))
+      }
+  }
+
+  /** Exact-integer stats over a decoded line set: line count, char count,
+    * Σ codepoint, and a position-weighted checksum Σ code·(k+1) that a
+    * char-order bug (run/TJ concatenation, escape slippage) cannot fake. */
+  private def lineStats(lines: Seq[String]): (Long, Long, Long, Long) = {
+    var nChars = 0L
+    var sumCode = 0L
+    var posSum = 0L
+    lines.foreach { s =>
+      var k = 0
+      while (k < s.length) {
+        val c = s.charAt(k).toLong
+        nChars += 1; sumCode += c; posSum += c * (k + 1)
+        k += 1
+      }
+    }
+    (lines.length.toLong, nChars, sumCode, posSum)
+  }
+
+  /** Text stats from a genuinely parsed PDF: object walk, zlib inflate of
+    * the FlateDecode content stream, literal-string unescape, Tj/TJ
+    * extraction. The oracle replays the synthetic text arithmetic and
+    * never sees the bytes — any parse bug fails the driver hash. */
+  def qMediaPdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pdfTable(spark, dir).mapPartitions { it =>
+      it.map { d =>
+        val (nl, nc, sc, ps) = lineStats(PdfCodec.decodeText(d.pdf))
+        (d.doc_id, nl, nc, sc, ps)
+      }
+    }.toDF("doc_id", "n_lines", "n_chars", "sum_code", "pos_checksum")
+      .orderBy("doc_id")
+  }
+
+  /** Text stats from a genuinely parsed DOCX: zip walk to
+    * word/document.xml, paragraph/run concatenation, entity unescape. */
+  def qMediaDocx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docxTable(spark, dir).mapPartitions { it =>
+      it.map { d =>
+        val (nl, nc, sc, ps) = lineStats(DocxCodec.decodeText(d.docx))
+        (d.doc_id, nl, nc, sc, ps)
+      }
+    }.toDF("doc_id", "n_lines", "n_chars", "sum_code", "pos_checksum")
+      .orderBy("doc_id")
+  }
+
+  /** Replay oracle for the synthetic-line stats (both codecs): unnest the
+    * (line, char) grid, index a literal codepoint array, aggregate. */
+  private def docStatsOracle(nLinesExpr: String, lenExpr: String,
+                             idxExpr: String): String = {
+    val codes = DocAlphabetCodes.mkString("[", ",", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id, $nLinesExpr AS n_lines
+       |  FROM documents WHERE doc_id < 500),
+       |ch AS (
+       |  SELECT doc_id, j, k, $codes[CAST(($idxExpr) % 32 AS INT) + 1] AS code
+       |  FROM (
+       |    SELECT doc_id, j, unnest(range(0, $lenExpr)) AS k
+       |    FROM (SELECT doc_id, unnest(range(0, n_lines)) AS j FROM docs))),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_chars,
+       |    CAST(sum(code) AS BIGINT) AS sum_code,
+       |    CAST(sum(code * (k + 1)) AS BIGINT) AS pos_checksum
+       |  FROM ch GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n_lines AS BIGINT) AS n_lines,
+       |  CAST(a.n_chars AS BIGINT) AS n_chars, a.sum_code, a.pos_checksum
+       |FROM docs d JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Amplitude stats from genuinely decoded PCM (RIFF walk + 16-bit LE
     * samples): count, rate, duration, RMS, peak, zero-crossing count. */
   def qMediaWav(spark: SparkSession, dir: String): DataFrame = {
@@ -241,6 +371,8 @@ object MediaQueries extends QueryModule {
     "q_media_resize" -> (qMediaResize _),
     "q_media_wav" -> (qMediaWav _),
     "q_media_png" -> (qMediaPng _),
+    "q_media_pdf" -> (qMediaPdf _),
+    "q_media_docx" -> (qMediaDocx _),
     "q_frame_sample" -> (qFrameSample _))
 
   override def oracles: Map[String, String] = Map(
@@ -269,6 +401,15 @@ object MediaQueries extends QueryModule {
         |  SELECT doc_id, n_b, unnest(range(0, (n_b + 255) // 256, 10)) AS idx
         |  FROM (SELECT doc_id, octet_length(encode(text)) AS n_b FROM documents
         |        WHERE doc_id % 3 = 2))""".stripMargin,
+    // replay the synthetic text arithmetic — cross-checks PDF object walk +
+    // inflate + literal-string unescape + Tj/TJ, and the DOCX zip walk +
+    // run concatenation + XML entity unescape, respectively
+    "q_media_pdf" -> docStatsOracle(
+      "3 + doc_id % 8", "20 + (doc_id + j * 7) % 40",
+      "doc_id * 31 + j * 13 + k * 7"),
+    "q_media_docx" -> docStatsOracle(
+      "2 + doc_id % 9", "15 + (doc_id * 3 + j * 5) % 50",
+      "doc_id * 13 + j * 17 + k * 11"),
     // replays the synthetic PCM signal arithmetic — never touches the wav
     // bytes, so it cross-checks the whole encode→RIFF-walk→decode path
     "q_media_wav" ->

@@ -30,4 +30,45 @@ class DedupQueriesSpec extends SparkSpec {
     val n = spark.range(1).select(size(DedupQueries.shingles(lit("one two")))).as[Int].head()
     assert(n == 0)
   }
+
+  test("sem-dedup matches a brute-force driver twin and its counts add up") {
+    val out = DedupQueries.qSemDedup(spark, SfDir).collect()
+      .map(r => (r.getAs[Number]("centroid_id").longValue(), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_kept")))
+
+    // invariants: partition of the whole table, kept + dropped = vecs
+    val total = graft.Tables.embeddings(spark, SfDir).count()
+    assert(out.map(_._2).sum == total)
+    assert(out.forall { case (_, n, d, k) => k + d == n && d >= 0 && k >= 1 })
+
+    // brute-force twin: same centroids, same assignment, all within-cluster
+    // pairs, same round-then-threshold rule — computed on the driver
+    val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, SfDir)
+      .map(_.toArray).toArray
+    val pts = graft.Tables.embeddings(spark, SfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val inv = 1.0 / math.sqrt(e.map(x => x * x).sum)
+        val v = e.map(_ * inv)
+        val cid = cs.indices.minBy { c =>
+          val d = math.sqrt(cs(c).zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (d, c)
+        }
+        (r.getLong(0), cid, v)
+      }
+    val byCluster = pts.groupBy(_._2)
+    val expected = byCluster.map { case (cid, ps) =>
+      val sorted = ps.sortBy(_._1)
+      val droppedIds = (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        dot = sorted(i)._3.zip(sorted(j)._3).map { case (a, b) => a * b }.sum
+        if BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP) > 0.4
+      } yield sorted(j)._1).toSet
+      (cid.toLong, ps.length.toLong, droppedIds.size.toLong,
+        ps.length.toLong - droppedIds.size)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected,
+      s"spark=${out.toSeq.mkString(",")} expected=${expected.mkString(",")}")
+  }
 }

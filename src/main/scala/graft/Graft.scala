@@ -254,6 +254,51 @@ object Graft {
         round(avg(col("nll")), 6).as("mean_neg_logprob"))
   }
 
+  /** Latest-state-at-event-time enrichment: distributed as-of join — one
+    * shuffle on the key, one window pass, NO join node (the union-window
+    * formulation; see operators.analytics.TemporalJoins). */
+  def asOfJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+               tsCol: String, stateCols: Seq[String]): DataFrame =
+    operators.analytics.TemporalJoins.asOfJoin(probe, build, keyCol, tsCol, stateCols)
+
+  /** Point-in-interval containment join (start inclusive, end exclusive)
+    * via fixed-width bin blocking — the shuffle key is the bin, never a
+    * cross product. */
+  def rangeJoin(points: DataFrame, windows: DataFrame, ptCol: String,
+                startCol: String, endCol: String, binWidth: Long): DataFrame =
+    operators.analytics.TemporalJoins.rangeJoin(
+      points, windows, ptCol, startCol, endCol, binWidth)
+
+  /** SemDeDup (Abbas et al. 2023): drop every row whose embedding is
+    * within cosine τ of an earlier-id row in the same k-means cell —
+    * pairwise work bounded by the cluster assignment, never n². Returns
+    * the surviving rows. */
+  def semDedup(df: DataFrame, idCol: String, embeddingCol: String,
+               centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
+    val pts = df
+      .withColumn("__v", vec_normalize(col(embeddingCol)))
+      .withColumn("__cell",
+        NearestCentroid(col("__v"), centroids).getField("centroid_id"))
+    val a = pts.select(col("__cell"), col(idCol).as("__id1"), col("__v").as("__va"))
+    val b = pts.select(col("__cell"), col(idCol).as("__id2"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("__cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(vec_dot(col("__va"), col("__vb")) > tau)
+      .select(col("__id2").as("__dropped")).distinct()
+    pts.join(dropped, pts(idCol) === col("__dropped"), "left_anti")
+      .drop("__v", "__cell")
+  }
+
+  /** Extract the text runs of a PDF payload (pure JVM: object walk,
+    * FlateDecode inflate, literal-string unescape, Tj/TJ). */
+  def extractPdfText(payload: Array[Byte]): Vector[String] =
+    operators.multimodal.PdfCodec.decodeText(payload)
+
+  /** Extract the paragraphs of a DOCX payload (pure JVM: zip walk,
+    * run concatenation, entity unescape). */
+  def extractDocxText(payload: Array[Byte]): Vector[String] =
+    operators.multimodal.DocxCodec.decodeText(payload)
+
   /** Incremental near-dup check: verified MinHash pairs (store-side id <
     * probe-side id) between a compact signature store and a new batch —
     * the ingest-time dedup primitive behind q_stream_neardup. Build the

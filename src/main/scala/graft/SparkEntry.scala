@@ -31,6 +31,7 @@ object SparkEntry {
     graft.operators.text.TfIdfQueries,
     graft.operators.text.PiiRedact,
     graft.operators.analytics.Mahalanobis,
+    graft.operators.analytics.TemporalJoins,
     graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

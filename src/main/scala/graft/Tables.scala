@@ -21,13 +21,22 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and rebuild a µs timestamp column
-    * (sub-µs precision is dropped — DuckDB oracles date_trunc past it).
+    * reader rejects; read nanos as long and rebuild a µs timestamp column.
+    * ns→µs MUST be integer division: `col / 1000L` promotes to double,
+    * and epoch-nanos (~2^60.6) exceed double's 53-bit mantissa — rows land
+    * ±1 µs off vs DuckDB's exact epoch_ns, a latent hash flake for any
+    * oracle that compares timestamps at full precision.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsNanos(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** events with ts as raw epoch NANOS (exact integers end to end) — the
+    * input for operators that order/compare on full-precision time, e.g.
+    * the as-of and range joins (TemporalJoins). */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
   /** documents/embeddings feed pair-producing operators (self-joins over
     * blocks); the testdata parquet is a single row group → a single scan

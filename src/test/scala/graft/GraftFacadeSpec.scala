@@ -121,6 +121,35 @@ class GraftFacadeSpec extends SparkSpec {
       hits.forall(r => r.getLong(1) >= 500000L && r.getDouble(2) >= 0.5))
   }
 
+  test("round-3b facade: temporal joins, semDedup, pdf/docx extraction") {
+    import spark.implicits._
+    // as-of: probe event at t=15 sees the t=10 state, not the t=20 one
+    val build = Seq((1L, 10L, 100.0), (1L, 20L, 200.0)).toDF("k", "t", "v")
+    val probe = Seq((1L, 15L, "e")).toDF("k", "t", "tag")
+    val asof = Graft.asOfJoin(probe, build, "k", "t", Seq("v")).head()
+    assert(asof.getAs[Long]("state_t") == 10L &&
+      asof.getAs[Double]("state_v") == 100.0)
+    // range: end-exclusive containment
+    val w = Seq((7L, 0L, 10L)).toDF("w_id", "s", "e")
+    val p = Seq(9L, 10L).toDF("t")
+    val rj = Graft.rangeJoin(p, w, "t", "s", "e", 4L).collect()
+    assert(rj.length == 1 && rj(0).getAs[Long]("t") == 9L)
+    // semDedup: an exact copy of vec 0 (higher id) is dropped, survivors keep one
+    val emb = Tables.embeddings(spark, SfDir).select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val cs = operators.clustering.ClusteringQueries.centroids(spark, SfDir)
+    val kept = Graft.semDedup(emb.unionByName(copy), "vec_id", "embedding", cs, 0.99)
+    assert(kept.filter(col("vec_id") === 900000L).count() == 0)
+    assert(kept.filter(col("vec_id") === 0).count() == 1)
+    // pdf/docx text extraction roundtrip through the facade
+    val lines = Seq("hello (pdf) world", "x & <y>")
+    assert(Graft.extractPdfText(
+      operators.multimodal.PdfCodec.encode(lines)) == lines.toVector)
+    assert(Graft.extractDocxText(
+      operators.multimodal.DocxCodec.encode(lines)) == lines.toVector)
+  }
+
   test("SQL functions available via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql(

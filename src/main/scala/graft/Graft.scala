@@ -299,6 +299,17 @@ object Graft {
   def extractDocxText(payload: Array[Byte]): Vector[String] =
     operators.multimodal.DocxCodec.decodeText(payload)
 
+  /** Extract the cell grid of an XLSX payload (pure JVM: shared-string /
+    * inline / numeric cells). */
+  def extractXlsxCells(payload: Array[Byte])
+      : Vector[Vector[operators.multimodal.XlsxCodec.Cell]] =
+    operators.multimodal.XlsxCodec.decode(payload)
+
+  /** Extract slide paragraphs of a PPTX payload (pure JVM: deck-ordered
+    * slides, run concatenation). */
+  def extractPptxText(payload: Array[Byte]): Vector[Vector[String]] =
+    operators.multimodal.PptxCodec.decodeText(payload)
+
   /** Incremental near-dup check: verified MinHash pairs (store-side id <
     * probe-side id) between a compact signature store and a new batch —
     * the ingest-time dedup primitive behind q_stream_neardup. Build the

@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * boundaries: the text formats (html/markdown/plain) get a REAL decoder —
   * [[MarkupDecode]], oracle-checked; WAV audio and PNG images get REAL
   * pure-JVM codecs — [[WavCodec]] (RIFF chunk walk + PCM16) and
-  * [[PngCodec]] (zlib inflate + all five scanline filters); PDF and DOCX
-  * text extraction get REAL pure-JVM parsers too — [[PdfCodec]] (object
-  * walk, FlateDecode inflate, literal-string unescape, Tj/TJ) and
-  * [[DocxCodec]] (zip walk, paragraph/run concat, entity unescape) — all
-  * four under the DuckDB oracle via qMediaWav/Png/Pdf/Docx; only OCR of
-  * scanned images (a vision model, not a parser) remains a clearly-marked
-  * deterministic fake with all Spark-side plumbing — schema, batching,
-  * partitioning — real.
+  * [[PngCodec]] (zlib inflate + all five scanline filters); the OOXML/PDF
+  * document formats get REAL pure-JVM parsers too — [[PdfCodec]] (object
+  * walk, FlateDecode inflate, literal-string unescape, Tj/TJ),
+  * [[DocxCodec]] (paragraph/run concat), [[XlsxCodec]] (shared-string /
+  * inline / numeric cells) and [[PptxCodec]] (slide-ordered paragraph
+  * runs) — all six under the DuckDB oracle via
+  * qMediaWav/Png/Pdf/Docx/Xlsx/Pptx, which covers the reference's whole
+  * conversion zoo except OCR of scanned images (a vision model, not a
+  * parser): that remains a clearly-marked deterministic fake with all
+  * Spark-side plumbing — schema, batching, partitioning — real.
   */
 object MediaQueries extends QueryModule {
 
@@ -313,6 +315,105 @@ object MediaQueries extends QueryModule {
        |FROM docs d JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  case class XlsxDoc(doc_id: Long, xlsx: Array[Byte])
+  case class PptxDoc(doc_id: Long, pptx: Array[Byte])
+
+  /** Synthetic spreadsheet: (2 + id%6) × (2 + id%4) grid; cell (r,c) is a
+    * string when (r+c)%3 == 0 (len 5 + (id + 3r + c)%10, char k =
+    * alphabet[(11·id + 7r + 5c + 3k) mod 32]) else the number
+    * ((17·id + 13r + 19c) mod 4000) / 4 — exact quarters, so double sums
+    * are engine-exact. */
+  def xlsxGrid(id: Long): IndexedSeq[IndexedSeq[XlsxCodec.Cell]] = {
+    val nr = (2 + id % 6).toInt
+    val nc = (2 + id % 4).toInt
+    IndexedSeq.tabulate(nr, nc) { (r, c) =>
+      if ((r + c) % 3 == 0) {
+        val len = (5 + (id + r * 3 + c) % 10).toInt
+        val sb = new java.lang.StringBuilder(len)
+        var k = 0
+        while (k < len) {
+          sb.append(DocAlphabet.charAt(((id * 11 + r * 7 + c * 5 + k * 3) % 32).toInt)); k += 1
+        }
+        XlsxCodec.StrCell(sb.toString)
+      } else XlsxCodec.NumCell(((id * 17 + r * 13 + c * 19) % 4000) / 4.0)
+    }
+  }
+
+  /** Synthetic deck: 1 + id%4 slides; slide j has 2 + (id+j)%3 lines of
+    * 10 + (2·id + 3j + 7l)%30 chars, char k =
+    * alphabet[(19·id + 5j + 13l + 17k) mod 32]. */
+  def pptxSlides(id: Long): IndexedSeq[IndexedSeq[String]] = {
+    val nSlides = (1 + id % 4).toInt
+    IndexedSeq.tabulate(nSlides) { j =>
+      val nLines = (2 + (id + j) % 3).toInt
+      IndexedSeq.tabulate(nLines) { l =>
+        val len = (10 + (id * 2 + j * 3 + l * 7) % 30).toInt
+        val sb = new java.lang.StringBuilder(len)
+        var k = 0
+        while (k < len) {
+          sb.append(DocAlphabet.charAt(((id * 19 + j * 5 + l * 13 + k * 17) % 32).toInt)); k += 1
+        }
+        sb.toString
+      }
+    }
+  }
+
+  def xlsxTable(spark: SparkSession, dir: String): Dataset[XlsxDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map(id => XlsxDoc(id, XlsxCodec.encode(xlsxGrid(id))))
+      }
+  }
+
+  def pptxTable(spark: SparkSession, dir: String): Dataset[PptxDoc] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map(id => PptxDoc(id, PptxCodec.encode(pptxSlides(id))))
+      }
+  }
+
+  /** Cell stats from a genuinely parsed XLSX: zip walk, shared-string
+    * resolution, numeric cells. Sum of quarters is exact in double, so no
+    * rounding games; string checksum is the positional scheme shared with
+    * the PDF/DOCX queries. */
+  def qMediaXlsx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    xlsxTable(spark, dir).mapPartitions { it =>
+      it.map { d =>
+        val grid = XlsxCodec.decode(d.xlsx)
+        var nNum = 0L
+        var sumNum = 0.0
+        var nStr = 0L
+        var strSum = 0L
+        grid.foreach(_.foreach {
+          case XlsxCodec.NumCell(v) => nNum += 1; sumNum += v
+          case XlsxCodec.StrCell(s) =>
+            nStr += 1
+            var k = 0
+            while (k < s.length) { strSum += s.charAt(k).toLong * (k + 1); k += 1 }
+        })
+        (d.doc_id, grid.length.toLong, (nNum + nStr), nNum, sumNum, nStr, strSum)
+      }
+    }.toDF("doc_id", "n_rows", "n_cells", "n_num", "sum_num", "n_str", "str_code_sum")
+      .orderBy("doc_id")
+  }
+
+  /** Text stats from a genuinely parsed PPTX: slide parts in deck order,
+    * paragraph/run concatenation. */
+  def qMediaPptx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pptxTable(spark, dir).mapPartitions { it =>
+      it.map { d =>
+        val slides = PptxCodec.decodeText(d.pptx)
+        val (nl, nc, sc, ps) = lineStats(slides.flatten)
+        (d.doc_id, slides.length.toLong, nl, nc, sc, ps)
+      }
+    }.toDF("doc_id", "n_slides", "n_lines", "n_chars", "sum_code", "pos_checksum")
+      .orderBy("doc_id")
+  }
+
   /** Amplitude stats from genuinely decoded PCM (RIFF walk + 16-bit LE
     * samples): count, rate, duration, RMS, peak, zero-crossing count. */
   def qMediaWav(spark: SparkSession, dir: String): DataFrame = {
@@ -373,6 +474,8 @@ object MediaQueries extends QueryModule {
     "q_media_png" -> (qMediaPng _),
     "q_media_pdf" -> (qMediaPdf _),
     "q_media_docx" -> (qMediaDocx _),
+    "q_media_xlsx" -> (qMediaXlsx _),
+    "q_media_pptx" -> (qMediaPptx _),
     "q_frame_sample" -> (qFrameSample _))
 
   override def oracles: Map[String, String] = Map(
@@ -410,6 +513,65 @@ object MediaQueries extends QueryModule {
     "q_media_docx" -> docStatsOracle(
       "2 + doc_id % 9", "15 + (doc_id * 3 + j * 5) % 50",
       "doc_id * 13 + j * 17 + k * 11"),
+    // replays the synthetic grid arithmetic — cross-checks the XLSX zip
+    // walk, shared-string resolution, and numeric-cell parse (quarters
+    // sum exactly in double on both engines)
+    "q_media_xlsx" -> {
+      val codes = DocAlphabetCodes.mkString("[", ",", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, 2 + doc_id % 6 AS nr, 2 + doc_id % 4 AS nc
+         |  FROM documents WHERE doc_id < 500),
+         |cells AS (
+         |  SELECT doc_id, r, unnest(range(0, nc)) AS c
+         |  FROM (SELECT doc_id, nc, unnest(range(0, nr)) AS r FROM docs)),
+         |num AS (
+         |  SELECT doc_id, count(*) AS n_num,
+         |    sum(((doc_id * 17 + r * 13 + c * 19) % 4000) / 4.0) AS sum_num
+         |  FROM cells WHERE (r + c) % 3 <> 0 GROUP BY doc_id),
+         |strs AS (
+         |  SELECT doc_id, r, c, 5 + (doc_id + r * 3 + c) % 10 AS len
+         |  FROM cells WHERE (r + c) % 3 = 0),
+         |chars AS (
+         |  SELECT doc_id, k,
+         |    $codes[CAST((doc_id * 11 + r * 7 + c * 5 + k * 3) % 32 AS INT) + 1] AS code
+         |  FROM (SELECT doc_id, r, c, unnest(range(0, len)) AS k FROM strs)),
+         |stragg AS (
+         |  SELECT doc_id, CAST(sum(code * (k + 1)) AS BIGINT) AS str_code_sum
+         |  FROM chars GROUP BY doc_id),
+         |strcnt AS (SELECT doc_id, count(*) AS n_str FROM strs GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.nr AS BIGINT) AS n_rows,
+         |  CAST(d.nr * d.nc AS BIGINT) AS n_cells,
+         |  n.n_num, n.sum_num, sc.n_str, sa.str_code_sum
+         |FROM docs d JOIN num n USING (doc_id) JOIN strcnt sc USING (doc_id)
+         |  JOIN stragg sa USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // replays the synthetic deck arithmetic — cross-checks slide ordering,
+    // paragraph grouping, and run concatenation
+    "q_media_pptx" -> {
+      val codes = DocAlphabetCodes.mkString("[", ",", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, 1 + doc_id % 4 AS ns FROM documents WHERE doc_id < 500),
+         |lines_ AS (
+         |  SELECT doc_id, j, unnest(range(0, 2 + (doc_id + j) % 3)) AS l
+         |  FROM (SELECT doc_id, unnest(range(0, ns)) AS j FROM docs)),
+         |chars AS (
+         |  SELECT doc_id, k,
+         |    $codes[CAST((doc_id * 19 + j * 5 + l * 13 + k * 17) % 32 AS INT) + 1] AS code
+         |  FROM (SELECT doc_id, j, l,
+         |          unnest(range(0, 10 + (doc_id * 2 + j * 3 + l * 7) % 30)) AS k
+         |        FROM lines_)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_chars,
+         |    CAST(sum(code) AS BIGINT) AS sum_code,
+         |    CAST(sum(code * (k + 1)) AS BIGINT) AS pos_checksum
+         |  FROM chars GROUP BY doc_id),
+         |lcnt AS (SELECT doc_id, count(*) AS n_lines FROM lines_ GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(d.ns AS BIGINT) AS n_slides, lc.n_lines,
+         |  CAST(a.n_chars AS BIGINT) AS n_chars, a.sum_code, a.pos_checksum
+         |FROM docs d JOIN lcnt lc USING (doc_id) JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // replays the synthetic PCM signal arithmetic — never touches the wav
     // bytes, so it cross-checks the whole encode→RIFF-walk→decode path
     "q_media_wav" ->

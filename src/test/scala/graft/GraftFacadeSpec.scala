@@ -142,12 +142,19 @@ class GraftFacadeSpec extends SparkSpec {
     val kept = Graft.semDedup(emb.unionByName(copy), "vec_id", "embedding", cs, 0.99)
     assert(kept.filter(col("vec_id") === 900000L).count() == 0)
     assert(kept.filter(col("vec_id") === 0).count() == 1)
-    // pdf/docx text extraction roundtrip through the facade
+    // pdf/docx/xlsx/pptx extraction roundtrips through the facade
     val lines = Seq("hello (pdf) world", "x & <y>")
     assert(Graft.extractPdfText(
       operators.multimodal.PdfCodec.encode(lines)) == lines.toVector)
     assert(Graft.extractDocxText(
       operators.multimodal.DocxCodec.encode(lines)) == lines.toVector)
+    import operators.multimodal.XlsxCodec.{NumCell, StrCell}
+    val grid = Vector(Vector[operators.multimodal.XlsxCodec.Cell](
+      StrCell("a&b"), NumCell(1.25)))
+    assert(Graft.extractXlsxCells(
+      operators.multimodal.XlsxCodec.encode(grid)) == grid)
+    assert(Graft.extractPptxText(
+      operators.multimodal.PptxCodec.encode(Seq(lines))) == Vector(lines.toVector))
   }
 
   test("SQL functions available via GraftExtensions") {

@@ -126,6 +126,72 @@ class DocCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DocxCodec.decodeText(out2.toByteArray))
   }
 
+  // ---- XLSX ----------------------------------------------------------------
+
+  test("xlsx roundtrip preserves strings, numbers, and row structure") {
+    import XlsxCodec.{NumCell, StrCell}
+    val rows = Vector(
+      Vector[XlsxCodec.Cell](StrCell("hello & <world>"), NumCell(42.25), NumCell(-3.0)),
+      Vector[XlsxCodec.Cell](NumCell(0.0), StrCell("hello & <world>"), StrCell("")),
+      Vector[XlsxCodec.Cell](StrCell(MediaQueries.DocAlphabet)))
+    assert(XlsxCodec.decode(XlsxCodec.encode(rows)) == rows)
+  }
+
+  test("xlsx shared strings are deduplicated in the package") {
+    import XlsxCodec.StrCell
+    val rows = Vector.fill(5)(Vector[XlsxCodec.Cell](StrCell("same"), StrCell("same")))
+    val xml = new String(Ooxml.readPart(XlsxCodec.encode(rows), "xl/sharedStrings.xml"))
+    assert(xml.contains("""uniqueCount="1""""))
+  }
+
+  test("xlsx decode handles inline strings, rich-text runs, and empty cells") {
+    val sheet = """<worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>in</t><t>line</t></is></c>""" +
+      """<c r="B1"/><c r="C1"><v>7.5</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val pkg = Ooxml.writePackage(Seq("xl/worksheets/sheet1.xml" -> sheet))
+    assert(XlsxCodec.decode(pkg) ==
+      Vector(Vector(XlsxCodec.StrCell("inline"), XlsxCodec.NumCell(7.5))))
+  }
+
+  test("xlsx decode rejects bad shared-string indexes and unknown cell types") {
+    val mk = (cell: String) => Ooxml.writePackage(Seq(
+      "xl/sharedStrings.xml" -> "<sst><si><t>x</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet><sheetData><row r="1">$cell</row></sheetData></worksheet>"""))
+    assert(XlsxCodec.decode(mk("""<c r="A1" t="s"><v>0</v></c>""")) ==
+      Vector(Vector(XlsxCodec.StrCell("x"))))
+    intercept[IllegalArgumentException](
+      XlsxCodec.decode(mk("""<c r="A1" t="s"><v>9</v></c>""")))
+    intercept[IllegalArgumentException](
+      XlsxCodec.decode(mk("""<c r="A1" t="e"><v>#REF!</v></c>""")))
+  }
+
+  test("xlsx column refs follow A1 notation") {
+    assert(Seq(0, 25, 26, 27, 51, 52, 701, 702).map(XlsxCodec.colRef) ==
+      Seq("A", "Z", "AA", "AB", "AZ", "BA", "ZZ", "AAA"))
+  }
+
+  // ---- PPTX ----------------------------------------------------------------
+
+  test("pptx roundtrip preserves slides, paragraphs, and run order") {
+    val slides = Vector(
+      Vector("title & <sub>", ""),
+      Vector("a", "second (slide) \\ line", MediaQueries.DocAlphabet * 2))
+    assert(PptxCodec.decodeText(PptxCodec.encode(slides)) == slides)
+  }
+
+  test("pptx decode orders slides numerically, not lexically") {
+    // 11 slides: lexical part order would put slide10/slide11 before slide2
+    val slides = Vector.tabulate(11)(i => Vector(s"slide $i"))
+    assert(PptxCodec.decodeText(PptxCodec.encode(slides)) == slides)
+  }
+
+  test("pptx decode rejects non-deck packages loudly") {
+    intercept[IllegalArgumentException](PptxCodec.decodeText(
+      Ooxml.writePackage(Seq("other/part.xml" -> "<x/>"))))
+  }
+
   // ---- synthetic-line generators match their oracle formulas ----------------
 
   test("pdf/docx synthetic lines follow the documented arithmetic") {

@@ -40,7 +40,8 @@ object StreamingQueries extends QueryModule {
       stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV: ns exceed double's mantissa (see Tables.events)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Run a streaming frame to completion into a memory sink. */
@@ -182,14 +183,106 @@ object StreamingQueries extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---- streaming as-of enrichment ------------------------------------------
+
+  case class AsofEv(event_id: Long, user_id: Long, event_type: String,
+                    ts_us: Long, value: Double)
+  case class AsofOut(event_id: Long, user_id: Long, event_type: String,
+                     ts_us: Long, value: Double,
+                     state_ts_us: Option[Long],
+                     state_purchase_value: Option[Double])
+  case class PurchaseState(ts_us: Long, value: Double)
+
+  /** Per-user latest-purchase state machine: purchases update the state,
+    * everything else is emitted enriched with it. Within a batch, events
+    * are processed in (ts, purchase-first, event_id) order, so a purchase
+    * at exactly a probe's ts IS visible to it (at-or-before) and
+    * same-ts purchase ties resolve to the max event_id — identical to the
+    * batch q_asof_join's arg_max pre-aggregation + ASOF semantics. */
+  private def asofEnrich(userId: Long, it: Iterator[AsofEv],
+                         state: GroupState[PurchaseState]): Iterator[AsofOut] = {
+    val evs = it.toIndexedSeq.sortBy(e =>
+      (e.ts_us, if (e.event_type == "purchase") 0 else 1, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+    var cur = state.getOption.orNull
+    evs.foreach { e =>
+      if (e.event_type == "purchase") cur = PurchaseState(e.ts_us, e.value)
+      else out += AsofOut(e.event_id, e.user_id, e.event_type, e.ts_us, e.value,
+        Option(cur).map(_.ts_us), Option(cur).map(_.value))
+    }
+    if (cur != null) state.update(cur)
+    out.iterator
+  }
+
+  /** Stage events as three ts-tercile files with increasing mtimes →
+    * three real microbatches arriving in event-time order (the invariant
+    * a log-replay ingest provides; the global sort is staging-only and
+    * test-scale). */
+  private def stageAsofFiles(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_asof_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    graft.Fs.deleteRecursively(stage)
+    Files.createDirectories(stage)
+    val e = Tables.eventsNanos(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"), col("value"))
+    val n = e.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us"), col("event_id"))
+    val parts = e.withColumn("part",
+      ((row_number().over(w) - 1) * 3 / n).cast("int"))
+    (0 until 3).foreach { i =>
+      val scratch = Files.createTempDirectory(s"graft_asof_part$i")
+      parts.filter(col("part") === i).drop("part")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
+      val dst = stage.resolve(f"$i%05d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 600000L)
+      graft.Fs.deleteRecursively(scratch)
+    }
+    stage.toString
+  }
+
+  /** STREAMING as-of enrichment: the online twin of q_asof_join — each
+    * non-purchase event decorated with its user's latest purchase
+    * at-or-before it, with the state store carrying the latest purchase
+    * per user ACROSS microbatches (a purchase in batch 1 enriches probes
+    * in batch 3). State is one record per active user — bounded. Shares
+    * q_asof_join's DuckDB native-ASOF oracle. */
+  def qAsofStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = stageAsofFiles(spark, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("value", DoubleType)))
+    val enriched = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .as[AsofEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(asofEnrich)
+    runToTable(spark, enriched.toDF(), "asof_stream", OutputMode.Append())
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        col("value"), col("state_ts_us"), col("state_purchase_value"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stream" -> (qEventsWindowStream _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_events_enrich_stream" -> (qEventsEnrichStream _),
-    "q_stream_classify" -> (qStreamClassify _))
+    "q_stream_classify" -> (qStreamClassify _),
+    "q_asof_stream" -> (qAsofStream _))
 
   override def oracles: Map[String, String] = Map(
+    // identical semantics to the batch as-of join → identical oracle
+    "q_asof_stream" ->
+      graft.operators.analytics.TemporalJoins.oracles("q_asof_join"),
     "q_events_window_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
         |  count(*) AS n_events,

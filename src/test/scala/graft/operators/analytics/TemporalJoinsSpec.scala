@@ -71,6 +71,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(TemporalJoins.rangeJoin(p, w, "t", "s", "e", 50L).count() == 0)
   }
 
+  test("q_asof_stream equals the batch as-of join across microbatches") {
+    val stream = graft.streaming.StreamingQueries.qAsofStream(spark, SfDir)
+    val batch = TemporalJoins.qAsofJoin(spark, SfDir)
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+    // the state store genuinely crosses batch boundaries: some probe in a
+    // later microbatch is enriched by a purchase from batch 1 (the staging
+    // splits at row terciles of the (ts, event_id) order)
+    val ts = graft.Tables.eventsNanos(spark, SfDir)
+      .select(expr("ts DIV 1000")).as[Long].collect().sorted
+    val batch1Rows = ts.indices.count(_ * 3 / ts.length == 0)
+    val b1max = ts(batch1Rows - 1)
+    assert(stream.filter($"ts_us" > b1max && $"state_ts_us" <= b1max).count() > 0)
+  }
+
   test("qRangeJoin matches a brute-force driver twin on real events") {
     val pts = graft.Tables.eventsNanos(spark, SfDir)
       .select($"user_id", $"value", expr("ts DIV 1000").as("ts_us")).collect()

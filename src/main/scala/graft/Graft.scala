@@ -275,10 +275,13 @@ object Graft {
     * the surviving rows. */
   def semDedup(df: DataFrame, idCol: String, embeddingCol: String,
                centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
+    // persisted: feeds both pair-join sides AND the anti-join left (same
+    // reasoning as the lazy cache in executeClustering above)
     val pts = df
       .withColumn("__v", vec_normalize(col(embeddingCol)))
       .withColumn("__cell",
         NearestCentroid(col("__v"), centroids).getField("centroid_id"))
+      .persist()
     val a = pts.select(col("__cell"), col(idCol).as("__id1"), col("__v").as("__va"))
     val b = pts.select(col("__cell"), col(idCol).as("__id2"), col("__v").as("__vb"))
     val dropped = a.join(b, Seq("__cell"))

@@ -95,9 +95,11 @@ object StreamNearDup extends QueryModule {
     parts.zipWithIndex.foreach { case (df, i) =>
       val scratch = Files.createTempDirectory(s"graft_neardup_part$i")
       df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = Files.list(scratch).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      val listing = Files.list(scratch)
+      val part = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
         .find(_.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
+      finally listing.close()
       val dst = stage.resolve(f"$i%05d.parquet")
       Files.move(part, dst)
       // file source processes oldest-first: force strictly increasing mtimes

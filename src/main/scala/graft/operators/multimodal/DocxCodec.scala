@@ -59,11 +59,6 @@ object DocxCodec {
 
   /** Paragraph texts, in document order. ("<w:p" is prefix-safe against
     * "<w:pPr"; self-closing "<w:p/>" is an empty paragraph.) */
-  def decodeText(bytes: Array[Byte]): Vector[String] = {
-    val xml = Ooxml.readPart(bytes, "word/document.xml")
-    val ts = Ooxml.textNodesWithOffsets(xml, "w:t")
-    Ooxml.elementSegments(xml, "w:p").map { case (start, end) =>
-      ts.filter(t => t._1 >= start && t._1 < end).map(_._2).mkString
-    }
-  }
+  def decodeText(bytes: Array[Byte]): Vector[String] =
+    Ooxml.groupText(Ooxml.readPart(bytes, "word/document.xml"), "w:p", "w:t")
 }

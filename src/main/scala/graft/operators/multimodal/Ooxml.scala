@@ -94,31 +94,25 @@ private[multimodal] object Ooxml {
       .getOrElse(throw new IllegalArgumentException(
         s"not the expected OOXML package: no $name entry"))
 
-  /** Scan `xml` for non-self-closing element `tag` (e.g. "w:t"); returns
-    * the unescaped text content of each occurrence, in order. Attributes
-    * on the open tag are allowed; self-closing occurrences yield "".
-    * Prefix-safe: `<w:t` does not match `<w:tbl`. */
-  def textNodes(xml: String, tag: String): Vector[String] = {
-    val open = s"<$tag"
-    val close = s"</$tag>"
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while ({ val t = xml.indexOf(open, i); t >= 0 && {
-      val after = xml.charAt(t + open.length)
-      if (after == '>' || after == ' ' || after == '/') {
-        val closeAt = xml.indexOf('>', t)
-        require(closeAt >= 0, s"unterminated <$tag> tag")
-        if (xml.charAt(closeAt - 1) == '/') { out += ""; i = closeAt + 1 }
-        else {
-          val end = xml.indexOf(close, closeAt)
-          require(end >= 0, s"missing $close")
-          out += unescape(xml.substring(closeAt + 1, end))
-          i = end + close.length
-        }
-      } else i = t + open.length
-      true
-    }}) ()
-    out.result()
+  /** Scan `xml` for element `tag` (e.g. "w:t"); returns the unescaped text
+    * content of each occurrence, in order. Attributes on the open tag are
+    * allowed; self-closing occurrences yield "". Prefix-safe: `<w:t` does
+    * not match `<w:tbl`. */
+  def textNodes(xml: String, tag: String): Vector[String] =
+    textNodesWithOffsets(xml, tag).map(_._2)
+
+  /** Concatenated text of `textTag` nodes grouped by their enclosing
+    * `containerTag` (rows, paragraphs, shared-string items): one merge
+    * pass over the two offset-ordered lists, not a rescan per container. */
+  def groupText(xml: String, containerTag: String, textTag: String): Vector[String] = {
+    val ts = textNodesWithOffsets(xml, textTag)
+    var ti = 0
+    elementSegments(xml, containerTag).map { case (start, end) =>
+      while (ti < ts.length && ts(ti)._1 < start) ti += 1
+      val sb = new java.lang.StringBuilder()
+      while (ti < ts.length && ts(ti)._1 < end) { sb.append(ts(ti)._2); ti += 1 }
+      sb.toString
+    }
   }
 
   /** (start, end) offsets of each occurrence of container element `tag`

@@ -142,7 +142,10 @@ object PdfCodec {
         var dataStart = at + "stream".length
         if (dataStart < doc.length && doc.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < doc.length && doc.charAt(dataStart) == '\n') dataStart += 1
-        val lenRe = """/Length\s+(\d+)""".r
+        // direct integer lengths only — "/Length 5 0 R" is an indirect
+        // object reference whose "5" is NOT a byte count; fall through to
+        // the endstream scan for those
+        val lenRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
         val end = lenRe.findFirstMatchIn(dict) match {
           case Some(m) => dataStart + m.group(1).toInt
           case None =>
@@ -180,6 +183,12 @@ object PdfCodec {
           val (s, next) = parseLiteral(content, i)
           pending = s :: pending
           i = next
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' =>
+          i += 2 // dictionary open — not a string
+        case '<' =>
+          val (s, next) = parseHex(content, i)
+          pending = s :: pending
+          i = next
         case '[' => inArray = true; pending = Nil; i += 1
         case ']' => i += 1 // TJ op follows; keep pending
         case '%' => // comment to EOL
@@ -202,6 +211,28 @@ object PdfCodec {
       }
     }
     out.result()
+  }
+
+  /** PDF hex string `<48656C6C6F>`: whitespace allowed between digits, an
+    * odd final digit is padded with 0 (spec 7.3.4.3). Returns (decoded,
+    * index after the closing `>`). */
+  private def parseHex(s: String, open: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder()
+    var hi = -1
+    var i = open + 1
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        require(d >= 0, s"invalid hex-string digit '$c'")
+        if (hi < 0) hi = d
+        else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+      }
+      i += 1
+    }
+    require(i < s.length, "unterminated hex string")
+    if (hi >= 0) sb.append((hi << 4).toChar) // odd digit count: pad with 0
+    (sb.toString, i + 1)
   }
 
   /** PDF literal string: balanced unescaped parens, \-escapes incl. octal

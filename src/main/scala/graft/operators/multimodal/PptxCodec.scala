@@ -94,10 +94,6 @@ object PptxCodec {
   }
 
   /** Group `<a:t>` runs by their enclosing `<a:p>` paragraph. */
-  private def slideParagraphs(xml: String): Vector[String] = {
-    val ts = Ooxml.textNodesWithOffsets(xml, "a:t")
-    Ooxml.elementSegments(xml, "a:p").map { case (start, end) =>
-      ts.filter(t => t._1 >= start && t._1 < end).map(_._2).mkString
-    }
-  }
+  private def slideParagraphs(xml: String): Vector[String] =
+    Ooxml.groupText(xml, "a:p", "a:t")
 }

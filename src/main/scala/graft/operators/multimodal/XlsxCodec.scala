@@ -98,10 +98,7 @@ object XlsxCodec {
   private def sharedStrings(bytes: Array[Byte]): Vector[String] = {
     val xml = Ooxml.readParts(bytes, _ == "xl/sharedStrings.xml")
       .headOption.map(_._2).getOrElse(return Vector.empty)
-    val ts = Ooxml.textNodesWithOffsets(xml, "t")
-    Ooxml.elementSegments(xml, "si").map { case (start, end) =>
-      ts.filter(t => t._1 >= start && t._1 < end).map(_._2).mkString
-    }
+    Ooxml.groupText(xml, "si", "t")
   }
 
   def decode(bytes: Array[Byte]): Vector[Vector[Cell]] = {
@@ -139,8 +136,9 @@ object XlsxCodec {
             case Some("inlineStr") => StrCell(Ooxml.textNodes(body, "t").mkString)
             case Some("str")       => StrCell(Ooxml.textNodes(body, "v").headOption.getOrElse(""))
             case Some("b")         => NumCell(Ooxml.textNodes(body, "v").head.trim.toDouble)
-            case Some(other) => throw new IllegalArgumentException(s"unsupported cell type $other")
-            case None =>
+            case Some(other) if other != "n" =>
+              throw new IllegalArgumentException(s"unsupported cell type $other")
+            case _ => // t="n" is the explicit form of the implicit numeric default
               NumCell(Ooxml.textNodes(body, "v").headOption
                 .getOrElse(throw new IllegalArgumentException("numeric cell without <v>"))
                 .trim.toDouble)

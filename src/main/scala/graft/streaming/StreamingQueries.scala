@@ -227,23 +227,31 @@ object StreamingQueries extends QueryModule {
     val e = Tables.eventsNanos(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("ts_us"), col("value"))
-    val n = e.count()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts_us"), col("event_id"))
+      .persist()
+    // cut at ts VALUES (the row terciles' timestamps), not row counts: all
+    // rows sharing a ts_us must land in one batch, or a same-ts
+    // purchase/probe pair straddling the boundary would see stale state
+    // while the batch oracle's at-or-before includes it
+    val ts = e.select(col("ts_us")).orderBy(col("ts_us"))
+      .collect().map(_.getLong(0))
+    val (q1, q2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
     val parts = e.withColumn("part",
-      ((row_number().over(w) - 1) * 3 / n).cast("int"))
+      when(col("ts_us") <= q1, 0).when(col("ts_us") <= q2, 1).otherwise(2))
     (0 until 3).foreach { i =>
       val scratch = Files.createTempDirectory(s"graft_asof_part$i")
       parts.filter(col("part") === i).drop("part")
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = Files.list(scratch).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      val listing = Files.list(scratch)
+      val part = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
         .find(_.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
+      finally listing.close()
       val dst = stage.resolve(f"$i%05d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(1700000000000L + i * 600000L)
       graft.Fs.deleteRecursively(scratch)
     }
+    e.unpersist()
     stage.toString
   }
 

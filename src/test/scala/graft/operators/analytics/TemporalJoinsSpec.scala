@@ -81,8 +81,7 @@ class TemporalJoinsSpec extends SparkSpec {
     // splits at row terciles of the (ts, event_id) order)
     val ts = graft.Tables.eventsNanos(spark, SfDir)
       .select(expr("ts DIV 1000")).as[Long].collect().sorted
-    val batch1Rows = ts.indices.count(_ * 3 / ts.length == 0)
-    val b1max = ts(batch1Rows - 1)
+    val b1max = ts(ts.length / 3) // the staging's value-based batch-1 cut
     assert(stream.filter($"ts_us" > b1max && $"state_ts_us" <= b1max).count() > 0)
   }
 

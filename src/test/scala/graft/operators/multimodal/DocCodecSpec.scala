@@ -65,6 +65,21 @@ class DocCodecSpec extends AnyFunSuite {
     assert(PdfCodec.decodeText(pdf) == Vector("fallback"))
   }
 
+  test("pdf decode treats an indirect /Length reference as unknown, not as 5 bytes") {
+    val content = "BT (indirect length) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 5 0 R >>\nstream\n" + content +
+      "endstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decodeText(pdf) == Vector("indirect length"))
+  }
+
+  test("pdf decode reads hex strings, mixed with literals and dicts") {
+    // <48 65 6C6C6F> = "Hello"; odd digit count pads with 0: <484> = "H@"
+    val content = "BT <48 65 6C6C6F> Tj [(a) <2C20> (b)] TJ <484> Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << >>\nstream\n" + content +
+      "endstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decodeText(pdf) == Vector("Hello", "a, b", "H@"))
+  }
+
   test("pdf decode rejects garbage loudly") {
     intercept[IllegalArgumentException](PdfCodec.decodeText("not a pdf".getBytes))
     intercept[IllegalArgumentException](

@@ -313,6 +313,21 @@ object Graft {
   def extractPptxText(payload: Array[Byte]): Vector[Vector[String]] =
     operators.multimodal.PptxCodec.decodeText(payload)
 
+  /** The conversion zoo's text dispatch (analisis-informe.ipynb converter
+    * table): route a payload to its real codec by format tag. Spreadsheet
+    * cells and audio/image payloads have non-text shapes — use
+    * [[extractXlsxCells]] / [[decodeWav]] / [[decodePng]] for those. */
+  def extractDocument(fmt: String, payload: Array[Byte]): Vector[String] =
+    fmt match {
+      case "pdf"  => extractPdfText(payload)
+      case "docx" => extractDocxText(payload)
+      case "pptx" => extractPptxText(payload).flatten
+      case "html" | "markdown" | "md" | "txt" | "text" =>
+        Vector(extractText(fmt, payload))
+      case other =>
+        throw new IllegalArgumentException(s"no text codec for format '$other'")
+    }
+
   /** Incremental near-dup check: verified MinHash pairs (store-side id <
     * probe-side id) between a compact signature store and a new batch —
     * the ingest-time dedup primitive behind q_stream_neardup. Build the

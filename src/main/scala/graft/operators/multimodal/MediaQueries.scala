@@ -416,6 +416,74 @@ object MediaQueries extends QueryModule {
 
   /** Amplitude stats from genuinely decoded PCM (RIFF walk + 16-bit LE
     * samples): count, rate, duration, RMS, peak, zero-crossing count. */
+  /** THE CONVERSION ZOO as one operator — the reference's actual ingestion
+    * loop (analisis-informe.ipynb iterates a folder of mixed pdf/docx/
+    * xlsx/pptx/wav files and dispatches each to its converter): a mixed-
+    * format corpus routed to the right REAL codec inside one
+    * mapPartitions pass, normalized to a common (format, units, checksum)
+    * schema. Every payload is built by the real writer and parsed back by
+    * the real parser; the oracle replays only the synthetic arithmetic,
+    * so a routing bug or any single codec's parse bug fails the hash. */
+  def qMediaZoo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter(col("doc_id") < 480)
+      .select(col("doc_id")).as[Long].mapPartitions { it =>
+        it.map { id =>
+          def textStats(lines: Seq[String]): (Long, Long) = {
+            var pos = 0L
+            lines.foreach { s =>
+              var k = 0
+              while (k < s.length) { pos += s.charAt(k).toLong * (k + 1); k += 1 }
+            }
+            (lines.length.toLong, pos)
+          }
+          val (fmt, nUnits, checksum) = (id % 6).toInt match {
+            case 0 =>
+              val (n, pos) = textStats(PdfCodec.decodeText(PdfCodec.encode(pdfLines(id))))
+              ("pdf", n, pos)
+            case 1 =>
+              val (n, pos) = textStats(DocxCodec.decodeText(DocxCodec.encode(docxLines(id))))
+              ("docx", n, pos)
+            case 2 =>
+              val grid = XlsxCodec.decode(XlsxCodec.encode(xlsxGrid(id)))
+              var n = 0L
+              var sum = 0L
+              grid.foreach(_.foreach {
+                case XlsxCodec.NumCell(v) => n += 1; sum += math.round(v * 4) // exact quarters
+                case XlsxCodec.StrCell(s) =>
+                  n += 1
+                  var k = 0
+                  while (k < s.length) { sum += s.charAt(k).toLong * (k + 1); k += 1 }
+              })
+              ("xlsx", n, sum)
+            case 3 =>
+              val (n, pos) = textStats(
+                PptxCodec.decodeText(PptxCodec.encode(pptxSlides(id))).flatten)
+              ("pptx", n, pos)
+            case 4 =>
+              val n = (200 + id % 300).toInt
+              val sr = 8000 << (id % 3).toInt
+              val samples = Array.tabulate(n)(k =>
+                ((id * 31 + k.toLong * 17) % 65536 - 32768).toShort)
+              val pcm = WavCodec.decode(WavCodec.encode(samples, sr))
+              var sumSq = 0L
+              pcm.samples.foreach(s => sumSq += s.toLong * s)
+              ("wav", pcm.samples.length.toLong, sumSq)
+            case _ =>
+              val w = (16 + id % 16).toInt
+              val h = (16 + id % 8).toInt
+              val px = Array.tabulate(w * h)(k => ((id * 7 + k.toLong * 13) % 256).toInt)
+              val img = PngCodec.decode(PngCodec.encode(w, h, px, y => y % 5))
+              var spp = 0L
+              img.pixels.foreach(p => spp += p.toLong * p)
+              ("png", img.pixels.length.toLong, spp)
+          }
+          (id, fmt, nUnits, checksum)
+        }
+      }.toDF("doc_id", "fmt", "n_units", "checksum")
+      .orderBy("doc_id")
+  }
+
   def qMediaWav(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     wavTable(spark, dir).mapPartitions { it =>
@@ -476,6 +544,7 @@ object MediaQueries extends QueryModule {
     "q_media_docx" -> (qMediaDocx _),
     "q_media_xlsx" -> (qMediaXlsx _),
     "q_media_pptx" -> (qMediaPptx _),
+    "q_media_zoo" -> (qMediaZoo _),
     "q_frame_sample" -> (qFrameSample _))
 
   override def oracles: Map[String, String] = Map(
@@ -571,6 +640,84 @@ object MediaQueries extends QueryModule {
          |  CAST(a.n_chars AS BIGINT) AS n_chars, a.sum_code, a.pos_checksum
          |FROM docs d JOIN lcnt lc USING (doc_id) JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // the zoo dispatch: six replay branches (one per format's synthetic
+    // arithmetic) UNION ALL — a routing bug or any codec's parse bug
+    // lands in the wrong branch and fails the hash
+    "q_media_zoo" -> {
+      val codes = DocAlphabetCodes.mkString("[", ",", "]")
+      s"""WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 480),
+         |pdfch AS (
+         |  SELECT doc_id, k, $codes[CAST((doc_id*31 + j*13 + k*7) % 32 AS INT)+1] AS code
+         |  FROM (SELECT doc_id, j, unnest(range(0, 20 + (doc_id + j*7) % 40)) AS k
+         |        FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 8)) AS j
+         |              FROM base WHERE doc_id % 6 = 0))),
+         |pdf AS (
+         |  SELECT b.doc_id, 'pdf' AS fmt, CAST(3 + b.doc_id % 8 AS BIGINT) AS n_units, a.checksum
+         |  FROM base b JOIN (SELECT doc_id, CAST(sum(code*(k+1)) AS BIGINT) AS checksum
+         |                    FROM pdfch GROUP BY doc_id) a USING (doc_id)
+         |  WHERE b.doc_id % 6 = 0),
+         |dch AS (
+         |  SELECT doc_id, k, $codes[CAST((doc_id*13 + j*17 + k*11) % 32 AS INT)+1] AS code
+         |  FROM (SELECT doc_id, j, unnest(range(0, 15 + (doc_id*3 + j*5) % 50)) AS k
+         |        FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 9)) AS j
+         |              FROM base WHERE doc_id % 6 = 1))),
+         |docx AS (
+         |  SELECT b.doc_id, 'docx' AS fmt, CAST(2 + b.doc_id % 9 AS BIGINT) AS n_units, a.checksum
+         |  FROM base b JOIN (SELECT doc_id, CAST(sum(code*(k+1)) AS BIGINT) AS checksum
+         |                    FROM dch GROUP BY doc_id) a USING (doc_id)
+         |  WHERE b.doc_id % 6 = 1),
+         |xcells AS (
+         |  SELECT doc_id, r, unnest(range(0, 2 + doc_id % 4)) AS c
+         |  FROM (SELECT doc_id, unnest(range(0, 2 + doc_id % 6)) AS r
+         |        FROM base WHERE doc_id % 6 = 2)),
+         |xnum AS (
+         |  SELECT doc_id, CAST(sum((doc_id*17 + r*13 + c*19) % 4000) AS BIGINT) AS s
+         |  FROM xcells WHERE (r + c) % 3 <> 0 GROUP BY doc_id),
+         |xstr AS (
+         |  SELECT doc_id, CAST(sum(code*(k+1)) AS BIGINT) AS s FROM (
+         |    SELECT doc_id, k, $codes[CAST((doc_id*11 + r*7 + c*5 + k*3) % 32 AS INT)+1] AS code
+         |    FROM (SELECT doc_id, r, c, unnest(range(0, 5 + (doc_id + r*3 + c) % 10)) AS k
+         |          FROM xcells WHERE (r + c) % 3 = 0))
+         |  GROUP BY doc_id),
+         |xlsx AS (
+         |  SELECT b.doc_id, 'xlsx' AS fmt,
+         |    CAST((2 + b.doc_id % 6) * (2 + b.doc_id % 4) AS BIGINT) AS n_units,
+         |    xn.s + xs.s AS checksum
+         |  FROM base b JOIN xnum xn USING (doc_id) JOIN xstr xs USING (doc_id)
+         |  WHERE b.doc_id % 6 = 2),
+         |plines AS (
+         |  SELECT doc_id, j, unnest(range(0, 2 + (doc_id + j) % 3)) AS l
+         |  FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS j
+         |        FROM base WHERE doc_id % 6 = 3)),
+         |pptx AS (
+         |  SELECT lc.doc_id, 'pptx' AS fmt, lc.n AS n_units, a.checksum
+         |  FROM (SELECT doc_id, count(*) AS n FROM plines GROUP BY doc_id) lc
+         |  JOIN (SELECT doc_id, CAST(sum(code*(k+1)) AS BIGINT) AS checksum FROM (
+         |          SELECT doc_id, k, $codes[CAST((doc_id*19 + j*5 + l*13 + k*17) % 32 AS INT)+1] AS code
+         |          FROM (SELECT doc_id, j, l,
+         |                  unnest(range(0, 10 + (doc_id*2 + j*3 + l*7) % 30)) AS k
+         |                FROM plines))
+         |        GROUP BY doc_id) a USING (doc_id)),
+         |wav AS (
+         |  SELECT doc_id, 'wav' AS fmt, CAST(200 + doc_id % 300 AS BIGINT) AS n_units,
+         |    CAST(sum(v*v) AS BIGINT) AS checksum
+         |  FROM (SELECT doc_id, (doc_id*31 + k*17) % 65536 - 32768 AS v
+         |        FROM (SELECT doc_id, unnest(range(0, 200 + doc_id % 300)) AS k
+         |              FROM base WHERE doc_id % 6 = 4))
+         |  GROUP BY doc_id),
+         |png AS (
+         |  SELECT doc_id, 'png' AS fmt,
+         |    CAST((16 + doc_id % 16) * (16 + doc_id % 8) AS BIGINT) AS n_units,
+         |    CAST(sum(p*p) AS BIGINT) AS checksum
+         |  FROM (SELECT doc_id, (doc_id*7 + k*13) % 256 AS p
+         |        FROM (SELECT doc_id, unnest(range(0, (16 + doc_id % 16) * (16 + doc_id % 8))) AS k
+         |              FROM base WHERE doc_id % 6 = 5))
+         |  GROUP BY doc_id)
+         |SELECT * FROM pdf UNION ALL SELECT * FROM docx UNION ALL
+         |SELECT * FROM xlsx UNION ALL SELECT * FROM pptx UNION ALL
+         |SELECT * FROM wav UNION ALL SELECT * FROM png
+         |ORDER BY doc_id""".stripMargin
     },
     // replays the synthetic PCM signal arithmetic — never touches the wav
     // bytes, so it cross-checks the whole encode→RIFF-walk→decode path

@@ -155,6 +155,14 @@ class GraftFacadeSpec extends SparkSpec {
       operators.multimodal.XlsxCodec.encode(grid)) == grid)
     assert(Graft.extractPptxText(
       operators.multimodal.PptxCodec.encode(Seq(lines))) == Vector(lines.toVector))
+    // zoo dispatch routes by format tag and rejects non-text formats
+    assert(Graft.extractDocument("pdf",
+      operators.multimodal.PdfCodec.encode(lines)) == lines.toVector)
+    assert(Graft.extractDocument("pptx",
+      operators.multimodal.PptxCodec.encode(Seq(lines))) == lines.toVector)
+    assert(Graft.extractDocument("html",
+      "<p>hi</p>".getBytes("UTF-8")) == Vector("hi"))
+    intercept[IllegalArgumentException](Graft.extractDocument("wav", Array[Byte]()))
   }
 
   test("SQL functions available via GraftExtensions") {

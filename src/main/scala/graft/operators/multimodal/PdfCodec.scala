@@ -24,7 +24,11 @@ import java.util.zip.{Deflater, Inflater}
 object PdfCodec {
 
   /** PDF literal-string escape: backslash, parens, and the two EOL chars
-    * (raw CR/LF inside a literal would be read back as content). */
+    * (raw CR/LF inside a literal would be read back as content). PDF
+    * strings are byte strings — chars above 0xFF have no single-byte
+    * encoding and would be silently mangled by the ISO-8859-1 write, so
+    * fail loudly instead (full-Unicode text belongs in the UTF-16BE form
+    * this minimal writer doesn't emit). */
   private def escape(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
@@ -35,7 +39,10 @@ object PdfCodec {
         case ')'  => sb.append("\\)")
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
-        case c    => sb.append(c)
+        case c if c > 0xFF =>
+          throw new IllegalArgumentException(
+            f"char U+${c.toInt}%04X is not Latin-1; this writer emits byte strings only")
+        case c => sb.append(c)
       }
       i += 1
     }

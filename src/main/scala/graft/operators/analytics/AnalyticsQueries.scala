@@ -106,6 +106,23 @@ object AnalyticsQueries extends QueryModule {
         round(percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)), 2).as("p95_price"))
       .orderBy("l_returnflag")
 
+  /** EXACT distributed percentiles — the oracle-checkable counterpart of
+    * qSketchStats' approximate quantiles: percentile_disc is an order
+    * statistic (no interpolation), so Spark and DuckDB's quantile_disc
+    * agree bit-exactly on the same doubles. Exact quantiles shuffle the
+    * full column per group (why the sketch exists at 100 TB) — this is
+    * the small-group/diagnostic path. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+      .orderBy("event_type")
+
   /** Documents per source — chunks-per-content_type analog
     * (main-script1.ipynb:120-124). */
   def qChunksPerType(spark: SparkSession, dir: String): DataFrame =
@@ -203,6 +220,7 @@ object AnalyticsQueries extends QueryModule {
     "q_same_cluster_docs" -> (qSameClusterDocs _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_sketch_stats" -> (qSketchStats _),
+    "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
     "q_join_agg" -> (qJoinAgg _),
@@ -256,6 +274,11 @@ object AnalyticsQueries extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_disc(value, 0.25) AS p25, quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.75) AS p75, quantile_disc(value, 0.99) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_window_topn" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

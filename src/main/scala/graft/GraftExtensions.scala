@@ -26,7 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the full non-deprecated ctor: (class, db, name, usage, arguments,
+    // examples, note, group, since, deprecated, source)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def binary(name: String, usage: String)(build: (Expression, Expression) => Expression) =
     (FunctionIdentifier(name), info(name, usage),

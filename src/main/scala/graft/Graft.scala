@@ -187,7 +187,7 @@ object Graft {
   def trainBpe(docs: DataFrame, textCol: String,
                numMerges: Int = 200): Seq[(String, String)] = {
     val freqs = docs
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .select(explode(split(trim(lower(col(textCol))), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
@@ -211,25 +211,11 @@ object Graft {
     operators.multimodal.PngCodec.decode(payload)
 
   /** Top-k TF-IDF terms per document (sklearn smooth-idf; ranking on the
-    * rounded score so cross-engine ln() ulps can't flip ranks). */
+    * rounded score so cross-engine ln() ulps can't flip ranks). Delegates
+    * to the oracle-checked operator — one tokenizer, one formula. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    topK: Int = 3): DataFrame = {
-    val n = docs.count()
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0)).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    tf.join(idf, Seq("term"))
-      .withColumn("tfidf",
-        round(col("tf") * (log((lit(1.0) + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("doc_id").as(idCol), col("rk"), col("term"), col("tf"),
-        col("df"), col("tfidf"))
-  }
+                    topK: Int = 3): DataFrame =
+    operators.text.TfIdfQueries.tfidfTopTerms(docs, idCol, textCol, topK)
 
   /** PII scrub: redact emails and long digit runs in one projection (the
     * pre-training scrub pass; see operators.text.PiiRedact). */
@@ -239,20 +225,11 @@ object Graft {
   }
 
   /** Unigram log-prob quality scores: per doc, mean −ln(cf/T) under the
-    * corpus's own unigram model (perplexity-proxy quality filter). */
+    * corpus's own unigram model (perplexity-proxy quality filter).
+    * Delegates to the oracle-checked operator. */
   def unigramQualityScores(docs: DataFrame, idCol: String,
-                           textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(filter(split(trim(lower(col(textCol))), "\\s+"),
-        w => length(w) > 0)).as("term"))
-    val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
-    val total = toks.count()
-    toks.join(cf, Seq("term"))
-      .withColumn("nll", -log(col("cf").cast("double") / lit(total.toDouble)))
-      .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("nll")), 6).as("mean_neg_logprob"))
-  }
+                           textCol: String): DataFrame =
+    operators.text.TfIdfQueries.unigramScores(docs, idCol, textCol)
 
   /** Latest-state-at-event-time enrichment: distributed as-of join — one
     * shuffle on the key, one window pass, NO join node (the union-window

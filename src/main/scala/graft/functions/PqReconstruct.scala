@@ -19,7 +19,12 @@ import org.apache.spark.sql.types._
   * the two paths are trivially bit-identical and compile time no longer
   * scales with codebook size.
   */
-case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]]])
+// codebooks is an IndexedSeq, not Array: case-class equality on arrays is
+// reference-based, which would make two semantically identical instances
+// compare unequal and defeat Catalyst subexpression elimination /
+// exchange-reuse plan matching
+case class PqReconstruct(child: Expression,
+                         codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends UnaryExpression {
 
   private val numSub = codebooks.length
@@ -29,14 +34,19 @@ case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]
   require(codebooks.forall(b => b.length == k && b.forall(_.length == subDim)),
     "ragged codebooks")
 
-  /** flat((s·k + c)·subDim + d) = codebooks(s)(c)(d). */
-  private val flat: Array[Double] = {
+  /** flat((s·k + c)·subDim + d) = codebooks(s)(c)(d). Transient: rebuilt
+    * lazily after task deserialization so the codebooks ship once, not
+    * twice. */
+  @transient private lazy val flat: Array[Double] = {
     val out = new Array[Double](numSub * k * subDim)
+    var i = 0
     var s = 0
     while (s < numSub) {
       var c = 0
       while (c < k) {
-        System.arraycopy(codebooks(s)(c), 0, out, (s * k + c) * subDim, subDim)
+        val cw = codebooks(s)(c)
+        var d = 0
+        while (d < subDim) { out(i) = cw(d); i += 1; d += 1 }
         c += 1
       }
       s += 1
@@ -83,6 +93,10 @@ case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Double]
 }
 
 object PqReconstruct {
+  def toSeqs(codebooks: Array[Array[Array[Double]]])
+      : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq
+
   def apply(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    Shim.column(PqReconstruct(Shim.expression(codes), codebooks))
+    Shim.column(PqReconstruct(Shim.expression(codes), toSeqs(codebooks)))
 }

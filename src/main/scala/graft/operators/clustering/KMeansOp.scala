@@ -176,9 +176,12 @@ object KMeansOp extends QueryModule {
     * inertia = sum of best distances. */
   override def oracles: Map[String, String] = Map(
     "q_kmeans_1step" ->
-      """WITH cen AS (
+      // K interpolated from the single source of truth, and the seed grid
+      // LEFT JOINs the per-cluster means so an empty cluster replays the
+      // Scala side's (n=0, seed coordinate) rows instead of vanishing
+      s"""WITH cen AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings WHERE vec_id < ${ClusteringQueries.K}),
         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
         |d2s AS (
         |  SELECT vec_id, cid, pe, list_inner_product(df, df) AS d2
@@ -195,9 +198,16 @@ object KMeansOp extends QueryModule {
         |  SELECT cid, generate_subscripts(pe, 1) AS dim, unnest(pe) AS v FROM asg),
         |means AS (
         |  SELECT cid, dim, count(*) AS n, avg(v) AS coord FROM el GROUP BY cid, dim),
+        |dims AS (
+        |  SELECT unnest(generate_series(1, (SELECT len(ce) FROM cen LIMIT 1))) AS dim),
+        |grid AS (
+        |  SELECT c.cid, d.dim, c.ce[CAST(d.dim AS INT)] AS seed
+        |  FROM cen c CROSS JOIN dims d),
         |inert AS (SELECT round(sum(d2), 6) AS inertia FROM asg)
-        |SELECT CAST(m.cid AS BIGINT) AS cluster, CAST(m.dim AS BIGINT) AS dim,
-        |  CAST(m.n AS BIGINT) AS n, round(m.coord, 6) AS coord, i.inertia AS inertia
-        |FROM means m CROSS JOIN inert i
+        |SELECT CAST(g.cid AS BIGINT) AS cluster, CAST(g.dim AS BIGINT) AS dim,
+        |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
+        |  round(COALESCE(m.coord, g.seed), 6) AS coord, i.inertia AS inertia
+        |FROM grid g LEFT JOIN means m ON m.cid = g.cid AND m.dim = g.dim
+        |CROSS JOIN inert i
         |ORDER BY cluster, dim""".stripMargin)
 }

@@ -25,7 +25,7 @@ object DedupQueries extends QueryModule {
 
   /** Word 3-gram shingle sets for a text column (distinct). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(trim(text), "\\s+")
+    val ws = split(trim(text), "[ \\t\\n\\r\\f\\x0B]+")
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
@@ -128,7 +128,7 @@ object DedupQueries extends QueryModule {
         |    THEN list_transform(range(1, len(ws) - 1),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
         |    ELSE [] END) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents))
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS ws FROM documents))
         |SELECT a.doc_id,
         |  len(a.s) AS n_sh_a, len(b.s) AS n_sh_b,
         |  round(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)

@@ -53,7 +53,16 @@ object StreamNearDup extends QueryModule {
   /** Verified pairs (d1 < d2) where d1 ranges over `all` and d2 over
     * `probe` — the incremental-probe twin of
     * [[MinHashLsh.nearDupPairs]], with the same mega-bucket skew guard
-    * (computed over `all`, the side whose buckets can bloat). */
+    * (computed over `all`, the side whose buckets can bloat).
+    *
+    * Guard semantics under streaming: the cap applies to the PREFIX seen
+    * so far — the only thing an ingest-time decision can see. A bucket
+    * that crosses MaxBandBucket only once later batches arrive would make
+    * early decisions differ from a full-corpus replay (and from the
+    * batch-split-independence invariant), so the oracle contract holds in
+    * the regime where no bucket approaches the cap — asserted for the
+    * test corpora in StreamNearDupSpec; production corpora near the cap
+    * should dedup in batch or tighten banding instead. */
   def pairsAgainst(all: DataFrame, probe: DataFrame,
                    minJaccard: Double): DataFrame = {
     val keyCols = (0 until RowsPerBand).map(r => s"k$r")
@@ -121,8 +130,8 @@ object StreamNearDup extends QueryModule {
   def qStreamNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stage = stageOrderedFiles(spark, dir)
-    val storeDir = java.nio.file.Files
-      .createTempDirectory("graft_neardup_store").toString + "/store"
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_neardup_store")
+    val storeDir = storeRoot.toString + "/store"
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val suppressed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -146,7 +155,13 @@ object StreamNearDup extends QueryModule {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    // the signature store is per-run scratch: collect the suppression
+    // records, then reclaim it (it used to leak a full corpus of sketches
+    // into tmp per invocation — reps=3 benches tripled that)
+    try q.processAllAvailable() finally {
+      q.stop()
+      graft.Fs.deleteRecursively(storeRoot)
+    }
     suppressed.toSeq.toDF("doc_id", "dup_of", "jaccard").orderBy("doc_id")
   }
 

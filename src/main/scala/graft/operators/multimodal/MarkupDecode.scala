@@ -37,7 +37,7 @@ object MarkupDecode extends QueryModule {
     private val Images = Pattern.compile("!\\[[^\\]]*\\]\\([^)]*\\)")
     private val Links = Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")
     private val Emphasis = Pattern.compile("[*_#`]")
-    private val Space = Pattern.compile("\\s+")
+    private val Space = Pattern.compile("[ \\t\\n\\r\\f\\x0B]+")
 
     def extract(fmt: String, payload: Array[Byte]): String = {
       val s = new String(payload, StandardCharsets.UTF_8)
@@ -148,7 +148,7 @@ object MarkupDecode extends QueryModule {
         |            '[*_#`]', '', 'g')
         |        ELSE payload
         |      END,
-        |      '\s+', ' ', 'g')) AS text
+        |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text
         |  FROM wrapped)
         |SELECT fmt, count(*) AS n,
         |  CAST(sum(raw_len) AS BIGINT) AS sum_raw,

@@ -67,8 +67,11 @@ object PdfCodec {
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        require(n > 0 || inf.finished() || !inf.needsInput(),
-          "truncated FlateDecode stream")
+        // n == 0 without finished() means needsInput (truncated) or a
+        // preset-dictionary stream — both must fail loudly, not spin
+        require(n > 0 || inf.finished(), if (inf.needsDictionary())
+          "FlateDecode stream requires a preset dictionary (unsupported)"
+        else "truncated FlateDecode stream")
         out.write(buf, 0, n)
       }
     } finally inf.end()

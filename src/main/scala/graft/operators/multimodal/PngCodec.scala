@@ -182,7 +182,12 @@ object PngCodec {
       var off = 0
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
-        require(n > 0 || !inf.needsInput(), "truncated IDAT stream")
+        // n == 0 with needsInput => truncated; n == 0 WITHOUT needsInput
+        // (e.g. a preset-dictionary FDICT stream) would loop forever on
+        // identical state — both must fail loudly, not hang
+        require(n > 0, if (inf.needsDictionary())
+          "IDAT stream requires a preset dictionary (FDICT unsupported)"
+        else "truncated IDAT stream")
         off += n
       }
       require(off == expected, s"inflated $off bytes, expected $expected")

@@ -95,7 +95,7 @@ object SamplingQueries extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", expr("(cum - n_tok) div " + BinBudget))
       .groupBy(col("source"), col("bin"))
@@ -259,7 +259,7 @@ object SamplingQueries extends QueryModule {
     "q_token_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
-         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tok
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id, n_tok,

@@ -98,9 +98,14 @@ object IvfIndex {
     if (!fs.rename(data, old))
       throw new java.io.IOException(s"compact: rename $data -> $old failed")
     if (!fs.rename(fresh, data)) {
-      // put the previous layout back so the index never ends up missing
-      fs.rename(old, data)
-      throw new java.io.IOException(s"compact: rename $fresh -> $data failed")
+      // put the previous layout back so the index never ends up missing —
+      // and if even that fails, say so: the recovery state (restore from
+      // data_old) is very different from a clean rollback
+      val rolledBack = fs.rename(old, data)
+      throw new java.io.IOException(
+        s"compact: rename $fresh -> $data failed" +
+          (if (rolledBack) " (previous layout restored)"
+           else s"; ROLLBACK $old -> $data ALSO FAILED — restore manually from $old"))
     }
     fs.delete(old, true)
   }

@@ -37,7 +37,7 @@ object KeywordSearch extends QueryModule {
                terms: Seq[String], k: Int): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "\\s+")).as("term"))
+        explode(split(col(textCol), "[ \\t\\n\\r\\f\\x0B]+")).as("term"))
       .filter(length(col("term")) > 0)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i") }
@@ -113,7 +113,7 @@ object KeywordSearch extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_bm25" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS term FROM documents),
         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -133,7 +133,7 @@ object KeywordSearch extends QueryModule {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_hybrid_rrf" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f\x0B]+')) AS term FROM documents),
         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
         |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -18,14 +18,22 @@ object TextQueries extends QueryModule {
 
   /** ASCII word/number/punct tokenization, same regex in Java (Spark) and
     * RE2 (DuckDB). */
-  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]"
+
+  /** Explicit whitespace class shared by Spark queries and DuckDB oracles.
+    * Java's \s is exactly [ \t\n\x0B\f\r] but RE2's (DuckDB's) excludes
+    * vertical tab, so a tokenizer written as \s+ silently splits
+    * differently across engines on any 0x0B byte — every regex that must
+    * agree with an oracle spells the class out (this exact spelling
+    * parses identically in both engines). */
+  val WsRe = "[ \\t\\n\\r\\f\\x0B]+"
 
   val StopEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on")
   val StopEs = Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por")
   val StopFr = Seq("le", "les", "des", "et", "un", "une", "dans", "pour", "sur", "avec")
   val StopDe = Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "im")
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private def words(c: Column): Column = split(trim(c), WsRe)
 
   /** Count of words (non-distinct) belonging to a stopword set. */
   private def stopHits(ws: Column, stops: Seq[String]): Column =
@@ -63,7 +71,7 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"),
         size(ws).cast("double").as("n_words"),
         length(col("text")).cast("double").as("n_chars_m"),
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double").as("n_punct"),
         stopHits(ws, StopEn).cast("double").as("n_stop"))
       .select(col("doc_id"), col("n_words"),
         round(col("n_punct") / col("n_chars_m"), 6).as("punct_ratio"),
@@ -122,7 +130,7 @@ object TextQueries extends QueryModule {
         stopHits(ws, StopEs).as("s_es"), stopHits(ws, StopFr).as("s_fr"),
         size(ws).cast("double").as("n_words"),
         length(col("text")).cast("double").as("n_chars_m"),
-        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double").as("n_punct"))
+        length(regexp_replace(col("text"), "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double").as("n_punct"))
       .withColumn("n_stop", col("s_en").cast("double"))
       .withColumn("pred_lang",
         when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
@@ -193,7 +201,7 @@ object TextQueries extends QueryModule {
 
   private def inList(stops: Seq[String]) = stops.map(s => s"'$s'").mkString(", ")
   private def scoreSql(alias: String, stops: Seq[String]) =
-    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN (${inList(stops)}))) AS $alias"
+    s"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'), w -> w IN (${inList(stops)}))) AS $alias"
 
   override def oracles: Map[String, String] = Map(
     "q_fingerprint_winnow" ->
@@ -225,7 +233,7 @@ object TextQueries extends QueryModule {
     "q_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |    unnest(string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS word
         |  FROM documents),
         |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
         |s AS (
@@ -244,7 +252,7 @@ object TextQueries extends QueryModule {
         |FROM s JOIN t USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
-         |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+         |  len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_ws_tokens,
          |  len(regexp_extract_all(text, '$TokenRegex')) AS n_re_tokens,
          |  length(text) AS n_chars_m
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -267,10 +275,10 @@ object TextQueries extends QueryModule {
          |      + 0.3 * (1.0 - n_punct / n_chars_m)
          |      + 0.3 * (n_stop / n_words), 6) AS quality_score
          |FROM (SELECT doc_id,
-         |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_words,
+         |  CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_words,
          |  CAST(length(text) AS DOUBLE) AS n_chars_m,
-         |  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
-         |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
          |       w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
          |  FROM documents) ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
@@ -279,15 +287,15 @@ object TextQueries extends QueryModule {
     "q_corpus_curation" ->
       s"""WITH scored AS (
          |  SELECT doc_id, text,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tok,
          |    ${scoreSql("s_de", StopDe)},
          |    ${scoreSql("s_en", StopEn)},
          |    ${scoreSql("s_es", StopEs)},
          |    ${scoreSql("s_fr", StopFr)},
-         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_words,
+         |    CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_words,
          |    CAST(length(text) AS DOUBLE) AS n_chars_m,
-         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct,
-         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
          |         w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
          |  FROM documents),
          |flagged AS (

@@ -21,32 +21,48 @@ import org.apache.spark.sql.functions._
   */
 object TfIdfQueries extends QueryModule {
 
-  /** Non-empty lowercase whitespace tokens. */
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"),
-      explode(filter(split(trim(lower(col("text"))), "\\s+"),
+  /** Non-empty lowercase whitespace tokens of any (id, text) frame — THE
+    * tokenizer for this family, shared with the Graft facade so the regex
+    * and formulas can't drift between the two. */
+  def tokensOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(trim(lower(col(textCol))), TextQueries.WsRe),
         w => length(w) > 0)).as("term"))
 
-  /** Top-3 TF-IDF terms per document (doc_id < 500), with the corpus-wide
-    * df each weight came from. */
-  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    tokensOf(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Top-k TF-IDF terms per document of any (id, text) frame, with the
+    * corpus-wide df each weight came from (sklearn smooth-idf; ranking on
+    * the ROUNDED score so cross-engine ln() ulps can't flip ranks).
+    * `probe` restricts which documents are SCORED — df/N always come from
+    * the whole frame — and is applied before the join so the scored side
+    * stays small. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3,
+                    probe: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val n = docs.count()
-    val tf = tokens(spark, dir).groupBy("doc_id", "term")
+    val tf = tokensOf(docs, idCol, textCol).groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.filter(col("doc_id") < 500)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.filter(probe)
       .join(df, Seq("term"))
       .withColumn("tfidf",
         round(col("tf") * (log((lit(1.0) + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id").as(idCol), col("rk").cast("long").as("rk"), col("term"),
         col("tf"), col("df"), col("tfidf"))
-      .orderBy("doc_id", "rk")
   }
+
+  /** Top-3 TF-IDF terms per document (doc_id < 500), with the corpus-wide
+    * df each weight came from. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", 3,
+      probe = col("doc_id") < 500)
+      .orderBy("doc_id", "rk")
 
   /** Corpus vocabulary head: the 50 highest-df terms with collection
     * frequency — the stopword-discovery / vocab-pruning primitive. */
@@ -64,18 +80,23 @@ object TfIdfQueries extends QueryModule {
     * collection frequency, T = total tokens. One cf shuffle + one term
     * join + one per-doc agg; no OOV (cf ≥ 1 by construction). Ranking /
     * filtering downstream happens on the rounded score. */
-  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(spark, dir)
+  def unigramScores(docs: DataFrame, idCol: String, textCol: String,
+                    probe: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val toks = tokensOf(docs, idCol, textCol)
     val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
     val total = toks.count()
-    toks.filter(col("doc_id") < 500)
+    toks.filter(probe)
       .join(cf, Seq("term"))
       .withColumn("nll", -log(col("cf").cast("double") / lit(total.toDouble)))
-      .groupBy("doc_id")
+      .groupBy(col("doc_id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("nll")), 6).as("mean_neg_logprob"))
-      .orderBy("doc_id")
   }
+
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramScores(Tables.documents(spark, dir), "doc_id", "text",
+      probe = col("doc_id") < 500)
+      .orderBy("doc_id")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
@@ -86,7 +107,7 @@ object TfIdfQueries extends QueryModule {
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+'), w -> len(w) > 0)) AS term
         |  FROM documents),
         |n AS (SELECT count(*) AS n FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -106,7 +127,7 @@ object TfIdfQueries extends QueryModule {
     "q_vocab_top" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+'), w -> len(w) > 0)) AS term
         |  FROM documents)
         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         |  CAST(count(*) AS BIGINT) AS cf
@@ -115,7 +136,7 @@ object TfIdfQueries extends QueryModule {
     "q_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS term
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+'), w -> len(w) > 0)) AS term
         |  FROM documents),
         |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)

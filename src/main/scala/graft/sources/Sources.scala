@@ -27,7 +27,7 @@ object Sources {
   /** Parse `"[v, v, …]"` → array<double> (np.fromstring equivalent). */
   def parseVector(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(
-      split(regexp_replace(c, "[\\[\\]\\s]", ""), ","),
+      split(regexp_replace(c, "[\\[\\] \\t\\n\\r\\f\\x0B]", ""), ","),
       x => x.cast("double"))
 
   /** cluster_centroids.csv → (cluster_label int, centroid array<double>,

@@ -25,12 +25,30 @@ class StreamNearDupSpec extends SparkSpec {
       "streaming suppression set must equal the batch d2 set")
   }
 
-  test("suppression decisions are independent of batch split") {
-    // one-batch run: same corpus staged as a single file
-    import java.nio.file.Files
+  test("no band bucket approaches the skew cap (the oracle's validity regime)") {
+    // the streaming guard sees only the prefix-so-far; it matches the
+    // full-corpus oracle exactly as long as no bucket crosses
+    // MaxBandBucket mid-stream. Assert the test corpus sits FAR below the
+    // cap so that regime holds with margin.
+    import graft.functions.MinHashSketch
     val docs = MinHashLsh.withPlantedDups(graft.Tables.documents(spark, SfDir))
-    val stage = Files.createTempDirectory("neardup_onebatch")
-    docs.coalesce(1).write.mode("overwrite").parquet(stage.toString + "/f")
+    val perDoc = StreamNearDup.perDocSketches(docs)
+    val maxBucket = perDoc
+      .select(explode(array((0 until MinHashLsh.Bands).map { b =>
+        struct((lit(b) +: (0 until MinHashLsh.RowsPerBand).map(r =>
+          element_at(col("sig"), b * MinHashLsh.RowsPerBand + r + 1))): _*)
+      }: _*)).as("bk"))
+      .groupBy(col("bk")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxBucket * 10 <= MinHashLsh.MaxBandBucket,
+      s"largest band bucket $maxBucket is within 10x of the skew cap " +
+        s"${MinHashLsh.MaxBandBucket}; the streaming prefix guard could " +
+        "diverge from the full-corpus oracle")
+  }
+
+  test("suppression decisions are independent of batch split") {
+    // one-batch run computed straight from the frames (no staging needed)
+    val docs = MinHashLsh.withPlantedDups(graft.Tables.documents(spark, SfDir))
     val b = StreamNearDup.perDocSketches(docs).persist()
     val oneShot = StreamNearDup.pairsAgainst(b, b, 0.5)
       .groupBy(col("d2")).agg(min(struct(col("d1"), col("jaccard"))).as("m"))

@@ -49,7 +49,8 @@ class ProductQuantizationSpec extends SparkSpec {
     val books = Array.fill(8, 64, 8)(rnd.nextDouble())
     val ref = BoundReference(0, ArrayType(IntegerType, containsNull = false),
       nullable = false)
-    val expr = graft.functions.PqReconstruct(ref, books)
+    val expr = graft.functions.PqReconstruct(ref,
+      graft.functions.PqReconstruct.toSeqs(books))
     val t0 = System.nanoTime()
     val proj = GenerateUnsafeProjection.generate(Seq(expr, expr))
     val compileMs = (System.nanoTime() - t0) / 1e6

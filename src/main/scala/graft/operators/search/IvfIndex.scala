@@ -110,6 +110,57 @@ object IvfIndex {
     fs.delete(old, true)
   }
 
+  /** Index-lifecycle maintenance: remove vectors by id WITHOUT a rebuild —
+    * the Azure-index delete the reference relies on for re-ingestion.
+    * Only the cells that actually contain deleted ids are rewritten
+    * (partition-pruned read → anti-join → fresh files), then each cell
+    * directory is swapped individually. A crash mid-loop leaves every
+    * cell either fully old or fully new — the index stays probe-valid —
+    * and leftover scratch is cleared on the next call. Cost scales with
+    * the touched cells, not the corpus. */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame,
+             idCol: String = "vec_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(s"$indexPath/data")
+    val scratch = new Path(s"$indexPath/data_deleting")
+    val trash = new Path(s"$indexPath/data_del_old")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(data), s"$data missing — not a built index")
+    fs.delete(scratch, true)
+    fs.delete(trash, true)
+    val idsOnly = ids.select(col(idCol)).distinct()
+    val affected = spark.read.parquet(data.toString)
+      .join(broadcast(idsOnly), Seq(idCol), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getAs[Number]("cell").intValue()).sorted
+    if (affected.isEmpty) return
+    spark.read.parquet(data.toString)
+      .filter(col("cell").isin(affected.map(Int.box): _*)) // pruned read
+      .join(broadcast(idsOnly), Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(scratch.toString)
+    fs.mkdirs(trash)
+    affected.foreach { c =>
+      val live = new Path(data, s"cell=$c")
+      val fresh = new Path(scratch, s"cell=$c")
+      if (!fs.rename(live, new Path(trash, s"cell=$c")))
+        throw new java.io.IOException(s"delete: rename $live aside failed")
+      // a cell whose every row was deleted has no fresh dir — it is gone
+      if (fs.exists(fresh) && !fs.rename(fresh, live))
+        throw new java.io.IOException(s"delete: rename $fresh -> $live failed")
+    }
+    fs.delete(trash, true)
+    fs.delete(scratch, true)
+  }
+
+  /** Upsert = delete-the-ids + append-the-rows (the reference's
+    * merge-back pattern, update-etiquetas.ipynb): replaced vectors are
+    * reassigned with the persisted quantizer like any append. */
+  def upsert(spark: SparkSession, indexPath: String, vectors: DataFrame,
+             idCol: String = "vec_id"): Unit = {
+    delete(spark, indexPath, vectors.select(col(idCol)), idCol)
+    append(spark, indexPath, vectors)
+  }
+
   /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.
     * The cell filter prunes partitions — only probed cells are read. */
   def probe(spark: SparkSession, indexPath: String, query: Seq[Float],

@@ -98,6 +98,48 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaCompacted == viaFull, "compaction must not change probe results")
   }
 
+  test("delete rewrites only affected cells; probes equal a rebuild-without") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, SfDir)
+    val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, SfDir)
+    val victims = Seq(3L, 17L, 29L, 41L)
+
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    IvfIndex.buildFrom(spark, e, p, cs)
+    IvfIndex.delete(spark, p, victims.toDF("vec_id"))
+
+    // deleted ids are gone, everything else intact
+    val remaining = spark.read.parquet(s"$p/data")
+    assert(remaining.filter(col("vec_id").isin(victims.map(Long.box): _*)).count() == 0)
+    assert(remaining.count() == e.count() - victims.length)
+
+    // probe equivalence against an index built without the victims
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_del_ref").toString
+    IvfIndex.buildFrom(spark,
+      e.filter(!col("vec_id").isin(victims.map(Long.box): _*)), rebuilt, cs)
+    val queries = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+    def rows(path: String) = IvfIndex.probeBatch(spark, path, queries,
+        "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rk").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(p) == rows(rebuilt),
+      "probes after delete must equal probes over a rebuild-without")
+
+    // upsert: replace vec 3's embedding with vec 0's — it must come back
+    // and rank at full similarity against vec 0's own query
+    val v0 = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    IvfIndex.upsert(spark, p,
+      Seq((3L, v0)).toDF("vec_id", "embedding")
+        .withColumn("label", lit(0)))
+    val hits = IvfIndex.probe(spark, p, v0, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.map(_._1).toSet == Set(0L, 3L), s"got ${hits.toSeq}")
+    assert(hits.forall(_._2 == 1.0), s"got ${hits.toSeq}")
+    assert(spark.read.parquet(s"$p/data")
+      .filter(col("vec_id") === 3L).count() == 1)
+  }
+
   test("lifecycle works on a scheme-qualified (file:) Hadoop path") {
     // the swap goes through Hadoop FileSystem resolved from the path's
     // scheme — the same code must work on hdfs:/object stores; prove the

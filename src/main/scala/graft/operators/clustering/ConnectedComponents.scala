@@ -37,9 +37,10 @@ object ConnectedComponents {
     *               union-find instead of more shuffle rounds — the common
     *               exit even at cluster scale, since contraction shrinks the
     *               graph geometrically.
-    * @return ("id", "component") for every node incident to ≥1 edge;
-    *         component = min node id of its connected component. Isolated
-    *         nodes never appear (callers coalesce to the node's own id).
+    * @return ("id", "component") for every node incident to ≥1 non-loop
+    *         edge; component = min node id of its connected component.
+    *         Isolated nodes and self-loops never appear (callers coalesce
+    *         to the node's own id; GraphPropertySpec pins both).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxRounds: Int = 25, localFinishThreshold: Long = 4000000L): DataFrame = {

@@ -106,6 +106,25 @@ object AnalyticsQueries extends QueryModule {
         round(percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)), 2).as("p95_price"))
       .orderBy("l_returnflag")
 
+  /** MERGEABLE HLL sketches — the half of the sketch story that matters at
+    * 100 TB: per-group partial sketches (here per source) are persistable
+    * state that later UNIONS into coarser rollups without rescanning the
+    * data (per-day sketches → monthly distincts; per-partition → global).
+    * Datasketches HLL via hll_sketch_agg/hll_union_agg; estimates are
+    * engine-specific → rows-only, with error bounds vs exact in
+    * SketchSpec. */
+  def qHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(doc_id)").as("sk"),
+        countDistinct(col("doc_id")).as("exact_docs"))
+    perSource
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+        sum(col("exact_docs")).as("exact_total"),
+        count(lit(1)).as("n_sources"))
+      .select(col("n_sources"), col("exact_total"), col("est_total"))
+  }
+
   /** EXACT distributed percentiles — the oracle-checkable counterpart of
     * qSketchStats' approximate quantiles: percentile_disc is an order
     * statistic (no interpolation), so Spark and DuckDB's quantile_disc
@@ -220,6 +239,7 @@ object AnalyticsQueries extends QueryModule {
     "q_same_cluster_docs" -> (qSameClusterDocs _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_sketch_stats" -> (qSketchStats _),
+    "q_hll_merge" -> (qHllMerge _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),

@@ -187,7 +187,7 @@ object Graft {
   def trainBpe(docs: DataFrame, textCol: String,
                numMerges: Int = 200): Seq[(String, String)] = {
     val freqs = docs
-      .select(explode(split(trim(lower(col(textCol))), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
+      .select(explode(split(trim(lower(col(textCol))), graft.operators.text.TextQueries.WsRe)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))

@@ -130,7 +130,7 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[UTF8String].toString.trim.split("[ \\t\\n\\r\\f\\x0B]+")
+    val words = v.asInstanceOf[UTF8String].toString.trim.split(graft.operators.text.TextQueries.WsRe)
     val out = mutable.ArrayBuffer.empty[UTF8String]
     words.foreach { w =>
       if (w.nonEmpty) {

@@ -25,7 +25,7 @@ object DedupQueries extends QueryModule {
 
   /** Word 3-gram shingle sets for a text column (distinct). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(trim(text), "[ \\t\\n\\r\\f\\x0B]+")
+    val ws = split(trim(text), graft.operators.text.TextQueries.WsRe)
     when(size(ws) >= n,
       array_distinct(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))

@@ -92,12 +92,15 @@ object StreamNearDup extends QueryModule {
   /** Stage the planted corpus as two id-ordered files (originals, then
     * the +1e6 perturbed copies) so the file stream delivers ≥2 real
     * microbatches in arrival order. The staged content is a deterministic
-    * function of `dir`, so a complete prior staging is reused (the
-    * corpus write was the dominant cost of re-running this query). */
+    * function of the SOURCE parquet, so a complete prior staging is
+    * reused (the corpus write was the dominant cost of re-running this
+    * query) — keyed by [[graft.Fs.stageKey]], which fingerprints the
+    * source file so a changed corpus or a sanitization collision can
+    * never serve stale data. */
   private def stageOrderedFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_neardup_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_neardup_stream", graft.Fs.stageKey(dir, "documents.parquet"))
     if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
     graft.Fs.deleteRecursively(stage)
@@ -117,7 +120,7 @@ object StreamNearDup extends QueryModule {
         .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
       finally listing.close()
       val dst = stage.resolve(f"$i%05d.parquet")
-      Files.move(part, dst)
+      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // file source processes oldest-first: force strictly increasing mtimes
       dst.toFile.setLastModified(1700000000000L + i * 600000L)
       graft.Fs.deleteRecursively(scratch)

@@ -37,7 +37,7 @@ object MarkupDecode extends QueryModule {
     private val Images = Pattern.compile("!\\[[^\\]]*\\]\\([^)]*\\)")
     private val Links = Pattern.compile("\\[([^\\]]*)\\]\\([^)]*\\)")
     private val Emphasis = Pattern.compile("[*_#`]")
-    private val Space = Pattern.compile("[ \\t\\n\\r\\f\\x0B]+")
+    private val Space = Pattern.compile(graft.operators.text.TextQueries.WsRe)
 
     def extract(fmt: String, payload: Array[Byte]): String = {
       val s = new String(payload, StandardCharsets.UTF_8)

@@ -95,7 +95,7 @@ object SamplingQueries extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
-        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).cast("long").as("n_tok"))
+        size(split(trim(col("text")), graft.operators.text.TextQueries.WsRe)).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", expr("(cum - n_tok) div " + BinBudget))
       .groupBy(col("source"), col("bin"))

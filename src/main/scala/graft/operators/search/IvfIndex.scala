@@ -113,11 +113,17 @@ object IvfIndex {
   /** Index-lifecycle maintenance: remove vectors by id WITHOUT a rebuild —
     * the Azure-index delete the reference relies on for re-ingestion.
     * Only the cells that actually contain deleted ids are rewritten
-    * (partition-pruned read → anti-join → fresh files), then each cell
-    * directory is swapped individually. A crash mid-loop leaves every
-    * cell either fully old or fully new — the index stays probe-valid —
-    * and leftover scratch is cleared on the next call. Cost scales with
-    * the touched cells, not the corpus. */
+    * (anti-join → fresh files), then each cell directory is swapped
+    * individually via rename-aside + rename-in.
+    *
+    * Crash safety: a cell caught mid-swap (renamed aside, replacement not
+    * yet in) is RESTORED from the aside dir at the start of the next
+    * call — never deleted — so the index converges to probe-valid and a
+    * re-run of the same delete completes the work. Cost: discovering the
+    * affected cells is one full index scan (there is no id→cell sidecar;
+    * the quantizer alone can't place an id without its embedding) — the
+    * REWRITE is pruned to the touched cells. At 10^11 vectors, batch
+    * deletions so the discovery scan amortizes. */
   def delete(spark: SparkSession, indexPath: String, ids: DataFrame,
              idCol: String = "vec_id"): Unit = {
     import org.apache.hadoop.fs.Path
@@ -126,8 +132,20 @@ object IvfIndex {
     val trash = new Path(s"$indexPath/data_del_old")
     val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(data), s"$data missing — not a built index")
+    // recover any cell a previous crashed delete left renamed-aside: if
+    // its live dir is missing, the aside copy is the ONLY copy — restore
+    // it (the interrupted delete simply didn't happen for that cell)
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val live = new Path(data, st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"delete: recovery rename ${st.getPath} -> $live failed — " +
+              "restore manually before deleting again")
+      }
+      fs.delete(trash, true)
+    }
     fs.delete(scratch, true)
-    fs.delete(trash, true)
     val idsOnly = ids.select(col(idCol)).distinct()
     val affected = spark.read.parquet(data.toString)
       .join(broadcast(idsOnly), Seq(idCol), "left_semi")
@@ -146,7 +164,9 @@ object IvfIndex {
         throw new java.io.IOException(s"delete: rename $live aside failed")
       // a cell whose every row was deleted has no fresh dir — it is gone
       if (fs.exists(fresh) && !fs.rename(fresh, live))
-        throw new java.io.IOException(s"delete: rename $fresh -> $live failed")
+        throw new java.io.IOException(
+          s"delete: rename $fresh -> $live failed — cell $c is parked in " +
+            s"$trash and will be restored by the next delete() call")
     }
     fs.delete(trash, true)
     fs.delete(scratch, true)
@@ -154,7 +174,15 @@ object IvfIndex {
 
   /** Upsert = delete-the-ids + append-the-rows (the reference's
     * merge-back pattern, update-etiquetas.ipynb): replaced vectors are
-    * reassigned with the persisted quantizer like any append. */
+    * reassigned with the persisted quantizer like any append.
+    *
+    * The two steps commit independently — a failure between them leaves
+    * the ids absent (deleted, not yet re-added). Recovery is to RE-RUN
+    * the same upsert: delete of already-absent ids is a no-op and the
+    * append completes the replacement, so the operation converges under
+    * retry (delete-first was chosen over append-first, whose failure mode
+    * is duplicate ids in probe results — worse for serving than a
+    * transient gap). */
   def upsert(spark: SparkSession, indexPath: String, vectors: DataFrame,
              idCol: String = "vec_id"): Unit = {
     delete(spark, indexPath, vectors.select(col(idCol)), idCol)

@@ -37,7 +37,7 @@ object KeywordSearch extends QueryModule {
                terms: Seq[String], k: Int): DataFrame = {
     val tokens = docs
       .select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "[ \\t\\n\\r\\f\\x0B]+")).as("term"))
+        explode(split(col(textCol), graft.operators.text.TextQueries.WsRe)).as("term"))
       .filter(length(col("term")) > 0)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i") }

@@ -26,7 +26,7 @@ object BpeQueries extends QueryModule {
   def trainMerges(spark: SparkSession, dir: String,
                   numMerges: Int = NumMerges): Seq[(String, String)] = {
     val freqs = Tables.documents(spark, dir)
-      .select(explode(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f\\x0B]+")).as("w"))
+      .select(explode(split(trim(lower(col("text"))), TextQueries.WsRe)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
@@ -43,7 +43,7 @@ object BpeQueries extends QueryModule {
     val merges = trainMerges(spark, dir)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "[ \\t\\n\\r\\f\\x0B]+")).as("n_words"),
+        size(split(trim(col("text")), TextQueries.WsRe)).as("n_words"),
         size(BpeTokens(trim(lower(col("text"))), merges)).as("n_bpe_tokens"))
       .withColumn("fertility",
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))

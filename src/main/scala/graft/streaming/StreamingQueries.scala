@@ -217,12 +217,13 @@ object StreamingQueries extends QueryModule {
   /** Stage events as three ts-tercile files with increasing mtimes →
     * three real microbatches arriving in event-time order (the invariant
     * a log-replay ingest provides; the global sort is staging-only and
-    * test-scale). Deterministic per `dir` → a complete prior staging is
-    * reused. */
+    * test-scale). Deterministic per SOURCE parquet → a complete prior
+    * staging is reused (keyed by Fs.stageKey: path + size + mtime, so a
+    * changed corpus never serves stale staging). */
   private def stageAsofFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_asof_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      "graft_asof_stream", graft.Fs.stageKey(dir, "events.parquet"))
     if ((0 until 3).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
     graft.Fs.deleteRecursively(stage)

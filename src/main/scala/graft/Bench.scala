@@ -70,10 +70,25 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = selected.map { case (name, _) => name -> median(samples(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // round the reported medians to ms so the one-line JSON stays short
+    // enough that a log-tail capture can't truncate the queries dict
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // complete copy on disk (incl. every raw sample) — log tails truncate,
+    // files don't; lets any reader diff every query across rounds
+    val allSamples = selected.map { case (name, _) =>
+      "\"" + name + "\":[" + samples(name).map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_times.json"),
+      s"""{"line":$line,"samples":$allSamples}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -11,11 +11,23 @@ object Fs {
     * source at the same path would silently serve stale staging. */
   def stageKey(dir: String, sourceFile: String): String = {
     val src = java.nio.file.Paths.get(dir, sourceFile)
-    val sig = s"$dir|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    val sig = s"$src|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.map(b => f"$b%02x").mkString
   }
+
+  private lazy val atExit: java.util.Set[Path] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      s.forEach(p => try deleteRecursively(p) catch { case _: Throwable => () })))
+    s
+  }
+
+  /** Register a scratch directory for recursive deletion at JVM exit —
+    * for small result dirs a caller may still be lazily reading when the
+    * producing query returns (File.deleteOnExit only handles files). */
+  def deleteAtExit(p: Path): Unit = atExit.add(p)
 
   /** Delete a directory tree if it exists. Closes the walk stream
     * (Files.walk holds an open directory handle until closed). */

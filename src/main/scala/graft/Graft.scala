@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  private val semDedupCache = new RollingCache
+
   /** ClusteringCreator.execute_clustering (cluster_creator.py:44-59):
     * KMeans with restarts over an embedding column; returns the input with
     * a `cluster_label` column plus driver-side centroids. */
@@ -252,13 +254,14 @@ object Graft {
     * the surviving rows. */
   def semDedup(df: DataFrame, idCol: String, embeddingCol: String,
                centroids: Seq[Seq[Double]], tau: Double): DataFrame = {
-    // persisted: feeds both pair-join sides AND the anti-join left (same
-    // reasoning as the lazy cache in executeClustering above)
-    val pts = df
+    // persisted: feeds both pair-join sides AND the anti-join left; the
+    // rolling cache bounds repeated calls to one live cached copy (an
+    // eager unpersist here would drop the cache before the lazy result
+    // ever executes — same reasoning as executeClustering above)
+    val pts = semDedupCache.persist(df
       .withColumn("__v", vec_normalize(col(embeddingCol)))
       .withColumn("__cell",
-        NearestCentroid(col("__v"), centroids).getField("centroid_id"))
-      .persist()
+        NearestCentroid(col("__v"), centroids).getField("centroid_id")))
     val a = pts.select(col("__cell"), col(idCol).as("__id1"), col("__v").as("__va"))
     val b = pts.select(col("__cell"), col(idCol).as("__id2"), col("__v").as("__vb"))
     val dropped = a.join(b, Seq("__cell"))

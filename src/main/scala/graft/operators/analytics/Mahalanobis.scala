@@ -200,20 +200,48 @@ object Mahalanobis extends QueryModule {
 
   /** The distributed moment pass under the driver hash: upper-triangle
     * sample covariance (and mean) of the embedding corpus as
-    * (i, j, n, mu_i, cov) rows — the exact arithmetic [[fitInverse]] /
+    * (i, j, n, mu_i, cov) rows — the same algebra [[fitInverse]] /
     * [[fitRobust]] / PCA's Gram stage run before their (driver-side,
     * engine-specific) matrix inversion / eigen step. Ridge 0 here: the
-    * regularizer is a modeling choice, not part of the moment algebra. */
-  def qCovariance(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (n, mu, cov) = moments(Tables.embeddings(spark, dir), "embedding",
-      ridge = 0.0)
-    val d = mu.length
-    val rows = for { i <- 0 until d; j <- i until d }
-      yield ((i + 1).toLong, (j + 1).toLong, n, mu(i), cov(i)(j))
-    rows.toDF("i", "j", "n", "mu_raw", "cov_raw")
+    * regularizer is a modeling choice, not part of the moment algebra.
+    *
+    * Unlike the production `moments` treeAggregate (double sums, fine for
+    * model fitting), this ORACLED twin sums per-row products CAST to
+    * DECIMAL(38,18): per-row float products are exact in double, and
+    * decimal sums are order-independent, so the result is deterministic
+    * and engine-exact — partition-order double summation flipped cells
+    * that sat 1e-9 from a 0.5e-6 rounding boundary (round-3 hash fail).
+    * The (i,j) pair expansion is map-side (flatten/transform — no join);
+    * the single shuffle is the (i,j) groupBy, d(d+1)/2 = 2080 keys. */
+  def qCovariance(spark: SparkSession, dir: String): DataFrame =
+    covarianceDecimal(Tables.embeddings(spark, dir))
+
+  /** Decimal-sum covariance of `embedding` — shared by [[qCovariance]]
+    * and the PCA projection's deterministic eigen stage. */
+  private[graft] def covarianceDecimal(points: DataFrame): DataFrame = {
+    val pairs = points
+      .select(col("embedding").cast("array<double>").as("pe"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(pe)), i ->
+          |  transform(sequence(i, size(pe)), j ->
+          |    named_struct('i', i, 'j', j,
+          |      'p', pe[i-1] * pe[j-1],
+          |      'vi', pe[i-1], 'vj', pe[j-1]))))""".stripMargin)).as("s"))
+      .select(col("s.i").cast("long").as("i"), col("s.j").cast("long").as("j"),
+        col("s.p").as("p"), col("s.vi").as("vi"), col("s.vj").as("vj"))
+    pairs.groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(38,18)")).as("sxx"),
+        sum(col("vi").cast("decimal(38,18)")).as("sxi"),
+        sum(col("vj").cast("decimal(38,18)")).as("sxj"))
       .select(col("i"), col("j"), col("n"),
-        round(col("mu_raw"), 6).as("mu_i"), round(col("cov_raw"), 6).as("cov"))
+        round(col("sxi").cast("double") / col("n"), 6).as("mu_i"),
+        round(
+          (col("sxx").cast("double") -
+            col("n") * (col("sxi").cast("double") / col("n")) *
+            (col("sxj").cast("double") / col("n"))) / (col("n") - 1),
+          6).as("cov"))
       .orderBy("i", "j")
   }
 
@@ -226,21 +254,30 @@ object Mahalanobis extends QueryModule {
     * stay rows-only (invariants incl. planted-contamination recovery in
     * MahalanobisSpec) — but their shared moment pass IS plain aggregation:
     * q_covariance replays Σx/Σxxᵀ → (mean, sample covariance) in DuckDB
-    * with the same μ-centering algebra ((Σxx − n·μ_i·μ_j)/(n−1)). */
+    * with the same μ-centering algebra ((Σxx − n·μ_i·μ_j)/(n−1)). The
+    * sums are DECIMAL(38,18) on BOTH sides (order-independent and
+    * engine-exact; per-row double products are bit-identical across
+    * engines), and the per-cell centering algebra mirrors the Spark
+    * expression token-for-token so the doubles stay bit-identical. */
   override def oracles: Map[String, String] = Map(
     "q_covariance" ->
       """WITH el AS (
         |  SELECT vec_id, generate_subscripts(pe, 1) AS i, unnest(pe) AS v
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings)),
-        |stats AS (SELECT i, sum(v) AS sx, count(*) AS n FROM el GROUP BY i),
-        |mu AS (SELECT i, sx / n AS m, n FROM stats),
-        |xx AS (
-        |  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxx
-        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
-        |  GROUP BY a.i, b.i)
-        |SELECT CAST(x.i AS BIGINT) AS i, CAST(x.j AS BIGINT) AS j,
-        |  CAST(mi.n AS BIGINT) AS n, round(mi.m, 6) AS mu_i,
-        |  round((x.sxx - mi.n * mi.m * mj.m) / (mi.n - 1), 6) AS cov
-        |FROM xx x JOIN mu mi ON x.i = mi.i JOIN mu mj ON x.j = mj.i
-        |ORDER BY i, j""".stripMargin)
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p, a.v AS vi, b.v AS vj
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i),
+        |ag AS (
+        |  SELECT i, j, count(*) AS n,
+        |    sum(CAST(p AS DECIMAL(38,18))) AS sxx,
+        |    sum(CAST(vi AS DECIMAL(38,18))) AS sxi,
+        |    sum(CAST(vj AS DECIMAL(38,18))) AS sxj
+        |  FROM pairs GROUP BY i, j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  round(CAST(sxi AS DOUBLE) / n, 6) AS mu_i,
+        |  round((CAST(sxx AS DOUBLE) -
+        |         n * (CAST(sxi AS DOUBLE) / n) * (CAST(sxj AS DOUBLE) / n))
+        |        / (n - 1), 6) AS cov
+        |FROM ag ORDER BY i, j""".stripMargin)
 }

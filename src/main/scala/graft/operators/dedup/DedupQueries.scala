@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
+  private val ngramCache = new graft.RollingCache
+  private val semDedupCache = new graft.RollingCache
+
   /** Exact duplicate grouping by md5(text); keeper = min doc_id per group
     * (the canonical survivor rule). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -41,9 +44,8 @@ object DedupQueries extends QueryModule {
     * identical counts modulo 2^-64 collisions. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sh = d.select(col("doc_id"),
-      array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("sh"))
-      .persist()
+    val sh = ngramCache.persist(d.select(col("doc_id"),
+      array_distinct(transform(shingles(col("text")), s => xxhash64(s))).as("sh")))
     val a = sh.select(col("doc_id"), col("sh").as("sh_a"))
     val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh_b"))
     a.join(b, "doc_id")
@@ -88,12 +90,13 @@ object DedupQueries extends QueryModule {
     import graft.functions.NearestCentroid
     import graft.operators.clustering.ClusteringQueries
     val cs = ClusteringQueries.centroids(spark, dir)
-    val pts = Tables.embeddings(spark, dir)
+    // both pair-join sides read the same assignment branch; the rolling
+    // cache bounds repeated invocations to one live cached copy
+    val pts = semDedupCache.persist(Tables.embeddings(spark, dir)
       .withColumn("v", vec_normalize(col("embedding")))
       .withColumn("centroid_id",
         NearestCentroid(col("v"), cs).getField("centroid_id"))
-      .select(col("vec_id"), col("centroid_id"), col("v"))
-      .persist() // both pair-join sides read the same assignment branch
+      .select(col("vec_id"), col("centroid_id"), col("v")))
     val a = pts.select(col("centroid_id"), col("vec_id").as("v1"), col("v").as("va"))
     val b = pts.select(col("centroid_id"), col("vec_id").as("v2"), col("v").as("vb"))
     // normalized vectors → dot product IS cosine; round-then-compare keeps

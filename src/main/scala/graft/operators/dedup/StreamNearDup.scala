@@ -21,14 +21,39 @@ import org.apache.spark.sql.types._
   * q_dedup_minhash.
   *
   * Scale: per batch the work is batch-sized (shingle+sketch one pass, band
-  * equi-join against the bucketed store, candidate-only verification); the
-  * store is the compact per-doc (sig, shingle-set) frame (~2 KB/doc)
-  * partitioned by band bucket on disk. Nothing driver-side grows with the
-  * corpus (the driver only accumulates suppression records).
+  * equi-join against the PRUNED store, candidate-only verification), and
+  * nothing driver-side grows with the corpus or the batch count:
+  *  - the band store is hash-PARTITIONED by `pbucket` (a bucket of the
+  *    band key), so each microbatch reads only the partitions its own
+  *    band keys hash into — the same pruned-probe pattern as
+  *    IvfIndex.probeBatch, instead of rescanning the whole store;
+  *  - the shingle-set store is hash-partitioned by `sbucket(doc_id)` and
+  *    read only for the partitions holding candidate d1 docs;
+  *  - suppression records stream to a per-batch parquet sink (at web-scale
+  *    dup rates they are O(n) — a driver buffer would not survive);
+  *  - the only driver-side values are the probed bucket ids, bounded by
+  *    [[StoreBuckets]] by construction, never by data.
+  * [[StoreBuckets]] is 32 here; at 100 TB it scales with corpus size
+  * (like IVF cell counts) so per-partition store files stay bounded.
   */
 object StreamNearDup extends QueryModule {
 
   import MinHashLsh.{Bands, RowsPerBand, MaxBandBucket, coefA, coefB, P}
+
+  /** Partition fan-out of the on-disk band/set stores (per-batch reads
+    * prune to matching partitions). Test-sized here; scales with corpus
+    * size in production, like IVF cell counts. */
+  val StoreBuckets = 32
+
+  private val keyColNames = (0 until RowsPerBand).map(r => s"k$r")
+
+  /** Hash bucket of a band key — the band store's partition column. */
+  private def pbucketCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band") +: keyColNames.map(col): _*), lit(StoreBuckets)).cast("int")
+
+  /** Hash bucket of a doc id — the set store's partition column. */
+  private def sbucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(StoreBuckets)).cast("int")
 
   /** Compact per-doc frame: MinHash signature sketch + distinct shingle
     * set — all the state dedup needs (never the text). */
@@ -64,30 +89,41 @@ object StreamNearDup extends QueryModule {
     * test corpora in StreamNearDupSpec; production corpora near the cap
     * should dedup in batch or tighten banding instead. */
   def pairsAgainst(all: DataFrame, probe: DataFrame,
-                   minJaccard: Double): DataFrame = {
-    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
-    val joinKeys = "band" +: keyCols
-    val bAll = banded(all)
-    val bProbe = banded(probe)
-    val oversized = bAll.groupBy(joinKeys.map(col): _*)
+                   minJaccard: Double): DataFrame =
+    verify(
+      candidatePairs(banded(all), banded(probe)),
+      all.select(col("doc_id").as("d1"), col("s").as("s1")),
+      probe.select(col("doc_id").as("d2"), col("s").as("s2")),
+      minJaccard)
+
+  /** Distinct candidate pairs (d1 < d2) from the band equi-join, with the
+    * mega-bucket skew guard computed over `allBands` (the side whose
+    * buckets can bloat). Extra columns (e.g. pbucket) ride along harmlessly
+    * — only doc_id survives the select. */
+  private def candidatePairs(allBands: DataFrame, probeBands: DataFrame): DataFrame = {
+    val joinKeys = "band" +: keyColNames
+    val oversized = allBands.groupBy(joinKeys.map(col): _*)
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > MaxBandBucket)
       .select(joinKeys.map(col): _*)
-    val okAll = bAll.join(broadcast(oversized), joinKeys, "left_anti")
-    val okProbe = bProbe.join(broadcast(oversized), joinKeys, "left_anti")
-    val cand = okAll.alias("l").join(okProbe.alias("r"), joinKeys)
+    val okAll = allBands.join(broadcast(oversized), joinKeys, "left_anti")
+    val okProbe = probeBands.join(broadcast(oversized), joinKeys, "left_anti")
+    okAll.alias("l").join(okProbe.alias("r"), joinKeys)
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .distinct()
-    val sets1 = all.select(col("doc_id").as("d1"), col("s").as("s1"))
-    val sets2 = probe.select(col("doc_id").as("d2"), col("s").as("s2"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the two shingle
+    * set sides. */
+  private def verify(cand: DataFrame, sets1: DataFrame, sets2: DataFrame,
+                     minJaccard: Double): DataFrame =
     sets1.join(broadcast(cand), Seq("d1")).join(sets2, Seq("d2"))
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
       .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("jaccard"))
-  }
 
   /** Stage the planted corpus as two id-ordered files (originals, then
     * the +1e6 perturbed copies) so the file stream delivers ≥2 real
@@ -128,44 +164,108 @@ object StreamNearDup extends QueryModule {
     stage.toString
   }
 
+  /** Banded rows plus their store partition bucket. */
+  private[dedup] def bandedWithBucket(perDoc: DataFrame): DataFrame =
+    banded(perDoc).withColumn("pbucket", pbucketCol)
+
+  /** Band-store schema on disk (pbucket is the partition column). */
+  private def bandStoreSchema: StructType = StructType(
+    StructField("doc_id", LongType) +: StructField("band", IntegerType) +:
+      keyColNames.map(k => StructField(k, LongType)) :+
+      StructField("pbucket", IntegerType))
+
+  /** Set-store schema on disk (sbucket is the partition column). */
+  private def setStoreSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("s", ArrayType(LongType)),
+    StructField("sbucket", IntegerType)))
+
+  private def supSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dup_of", LongType),
+    StructField("jaccard", DoubleType)))
+
+  /** Read a partitioned store dir if it exists (explicit schema so an
+    * empty/new store never trips parquet schema inference). */
+  private def readStore(spark: SparkSession, dir: String,
+                        schema: StructType): Option[DataFrame] =
+    if (new java.io.File(dir).exists()) Some(spark.read.schema(schema).parquet(dir))
+    else None
+
+  /** The pruned per-batch view of the band store: only the partitions the
+    * probe's own band keys hash into are read (static partition pruning on
+    * the literal bucket list — the IvfIndex.probeBatch pattern). Exposed
+    * for the spec that asserts the scan skips non-matching partitions. */
+  private[dedup] def prunedBandStoreRead(spark: SparkSession, bandsDir: String,
+                                         buckets: Seq[Int]): Option[DataFrame] =
+    readStore(spark, bandsDir, bandStoreSchema)
+      .map(_.filter(col("pbucket").isin(buckets.map(Integer.valueOf): _*)))
+
   /** Suppression record per near-dup detected at ingest: the incoming doc,
     * the earliest stored doc it matched, and that match's Jaccard. */
   def qStreamNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val stage = stageOrderedFiles(spark, dir)
     val storeRoot = java.nio.file.Files.createTempDirectory("graft_neardup_store")
-    val storeDir = storeRoot.toString + "/store"
+    val bandsDir = storeRoot.toString + "/bands"
+    val setsDir = storeRoot.toString + "/sets"
+    val supDir = storeRoot.toString + "/suppressed"
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val suppressed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = perDocSketches(batch).persist()
         b.count() // materialize once; banded + sets both reuse the cache
-        val haveStore = new java.io.File(storeDir).exists()
-        val all = if (haveStore) spark.read.parquet(storeDir).unionByName(b) else b
-        val sup = pairsAgainst(all, b, minJaccard = 0.5)
+        val bBand = bandedWithBucket(b).persist()
+        // driver-side values are BUCKET IDS only — ≤ StoreBuckets by
+        // construction, never data-sized
+        val probed = bBand.select("pbucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val storeBands = prunedBandStoreRead(spark, bandsDir, probed)
+        val allBands = storeBands.map(_.unionByName(bBand)).getOrElse(bBand)
+        val cand = candidatePairs(allBands, bBand).persist()
+        val d1Buckets = cand.select(sbucketOf(col("d1")).as("sb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val bSets1 = b.select(col("doc_id").as("d1"), col("s").as("s1"))
+        val sets1 = readStore(spark, setsDir, setStoreSchema)
+          .filter(_ => d1Buckets.nonEmpty)
+          .map(_.filter(col("sbucket").isin(d1Buckets.map(Integer.valueOf): _*))
+            .select(col("doc_id").as("d1"), col("s").as("s1"))
+            .unionByName(bSets1))
+          .getOrElse(bSets1)
+        val sets2 = b.select(col("doc_id").as("d2"), col("s").as("s2"))
+        // suppressions go straight to a per-batch sink — at real dup rates
+        // they are corpus-sized, so no driver-side buffer
+        verify(cand, sets1, sets2, minJaccard = 0.5)
           .groupBy(col("d2"))
           .agg(min(struct(col("d1"), col("jaccard"))).as("m"))
-          .select(col("d2"), col("m.d1"), col("m.jaccard"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        suppressed.synchronized { suppressed ++= sup }
-        b.write.mode("append").parquet(storeDir)
-        b.unpersist()
+          .select(col("d2").as("doc_id"), col("m.d1").as("dup_of"),
+            col("m.jaccard").as("jaccard"))
+          .write.mode("append").parquet(supDir)
+        // absorb the batch (kept AND suppressed docs — decisions stay
+        // batch-split-independent), partitioned for the next batch's prune
+        bBand.write.partitionBy("pbucket").mode("append").parquet(bandsDir)
+        b.select(col("doc_id"), col("s"))
+          .withColumn("sbucket", sbucketOf(col("doc_id")))
+          .write.partitionBy("sbucket").mode("append").parquet(setsDir)
+        cand.unpersist(); bBand.unpersist(); b.unpersist()
         ()
       }
       .start()
-    // the signature store is per-run scratch: collect the suppression
-    // records, then reclaim it (it used to leak a full corpus of sketches
-    // into tmp per invocation — reps=3 benches tripled that)
-    try q.processAllAvailable() finally {
+    // the sketch stores are per-run scratch: reclaim them eagerly (they
+    // used to leak a full corpus of sketches into tmp per invocation —
+    // reps=3 benches tripled that). The suppression SINK is the result —
+    // returned as a lazy read (never driver-materialized here; a
+    // production ingest owns the sink) and reclaimed at JVM exit.
+    try {
+      q.processAllAvailable()
+      spark.read.schema(supSchema).parquet(supDir).orderBy("doc_id")
+    } finally {
       q.stop()
-      graft.Fs.deleteRecursively(storeRoot)
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(bandsDir))
+      graft.Fs.deleteRecursively(java.nio.file.Paths.get(setsDir))
+      graft.Fs.deleteAtExit(storeRoot)
     }
-    suppressed.toSeq.toDF("doc_id", "dup_of", "jaccard").orderBy("doc_id")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -126,6 +126,7 @@ private[multimodal] object Ooxml {
     val out = Vector.newBuilder[(Int, Int)]
     var i = 0
     while ({ val t = xml.indexOf(open, i); t >= 0 && {
+      require(t + open.length < xml.length, s"unterminated <$tag> tag")
       val after = xml.charAt(t + open.length)
       if (after == '>' || after == ' ' || after == '/') {
         val openEnd = xml.indexOf('>', t)
@@ -155,6 +156,7 @@ private[multimodal] object Ooxml {
     val out = Vector.newBuilder[(Int, String)]
     var i = 0
     while ({ val t = xml.indexOf(open, i); t >= 0 && {
+      require(t + open.length < xml.length, s"unterminated <$tag> tag")
       val after = xml.charAt(t + open.length)
       if (after == '>' || after == ' ' || after == '/') {
         val closeAt = xml.indexOf('>', t)

@@ -155,7 +155,10 @@ object PdfCodec {
         // direct integer lengths only — "/Length 5 0 R" is an indirect
         // object reference whose "5" is NOT a byte count; fall through to
         // the endstream scan for those
-        val lenRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+        // (?!\d) blocks backtracking INTO the capture: without it,
+        // "/Length 123 0 R" backtracks the group to "12" so the lookahead
+        // stops matching, yielding a bogus direct length of 12
+        val lenRe = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
         val end = lenRe.findFirstMatchIn(dict) match {
           case Some(m) => dataStart + m.group(1).toInt
           case None =>

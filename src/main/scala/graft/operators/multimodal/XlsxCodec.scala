@@ -115,6 +115,7 @@ object XlsxCodec {
     val out = Vector.newBuilder[Cell]
     var i = 0
     while ({ val t = row.indexOf("<c", i); t >= 0 && {
+      require(t + 2 < row.length, "unterminated <c> tag")
       val after = row.charAt(t + 2)
       if (after == '>' || after == ' ' || after == '/') {
         val openEnd = row.indexOf('>', t)

@@ -46,6 +46,36 @@ class StreamNearDupSpec extends SparkSpec {
         "diverge from the full-corpus oracle")
   }
 
+  test("per-batch band probe reads ONLY matching store partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = graft.Tables.documents(spark, SfDir).limit(200)
+    val store = java.nio.file.Files.createTempDirectory("graft_neardup_prune")
+    try {
+      val bandsDir = store.toString + "/bands"
+      StreamNearDup.bandedWithBucket(StreamNearDup.perDocSketches(docs))
+        .write.partitionBy("pbucket").mode("overwrite").parquet(bandsDir)
+      val allBuckets = new java.io.File(bandsDir).listFiles()
+        .filter(_.getName.startsWith("pbucket=")).map(_.getName).sorted
+      assert(allBuckets.length > 4, "test corpus must span several buckets")
+      val probe = Seq(allBuckets.head, allBuckets.last)
+        .map(_.stripPrefix("pbucket=").toInt)
+      val pruned = StreamNearDup.prunedBandStoreRead(spark, bandsDir, probe).get
+      val rows = pruned.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Int]("pbucket")).toSet == probe.toSet)
+      // the SCAN itself must skip non-matching partitions, not post-filter
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val totalFiles = new java.io.File(bandsDir).listFiles()
+        .filter(_.getName.startsWith("pbucket="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum
+      assert(filesRead < totalFiles,
+        s"pruned probe read $filesRead of $totalFiles files — no pruning")
+    } finally graft.Fs.deleteRecursively(store)
+  }
+
   test("suppression decisions are independent of batch split") {
     // one-batch run computed straight from the frames (no staging needed)
     val docs = MinHashLsh.withPlantedDups(graft.Tables.documents(spark, SfDir))

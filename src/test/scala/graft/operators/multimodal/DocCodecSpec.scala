@@ -72,6 +72,21 @@ class DocCodecSpec extends AnyFunSuite {
     assert(PdfCodec.decodeText(pdf) == Vector("indirect length"))
   }
 
+  test("pdf decode treats a MULTI-DIGIT indirect /Length as unknown (no " +
+      "backtracking a 123 into a direct length of 12)") {
+    val content = "BT (multi digit indirect) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 123 0 R >>\nstream\n" + content +
+      "endstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfCodec.decodeText(pdf) == Vector("multi digit indirect"))
+  }
+
+  test("ooxml parse fails loudly on a doc truncated mid-open-tag") {
+    intercept[IllegalArgumentException](
+      Ooxml.elementSegments("<a:p>x</a:p><a:p", "a:p"))
+    intercept[IllegalArgumentException](
+      Ooxml.textNodesWithOffsets("<a:t>x</a:t><a:t", "a:t"))
+  }
+
   test("pdf decode reads hex strings, mixed with literals and dicts") {
     // <48 65 6C6C6F> = "Hello"; odd digit count pads with 0: <484> = "H@"
     val content = "BT <48 65 6C6C6F> Tj [(a) <2C20> (b)] TJ <484> Tj ET"

@@ -22,4 +22,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Oracles whose SQL embeds DATA-DERIVED literals (e.g. driver-computed
+    * eigenvectors, replayed like LSH's seeded planes). Generated against
+    * the same (spark, dir) the queries ran on; the generator MUST be
+    * deterministic and memoized so the query and its oracle see identical
+    * literals. Collected by Verify when dumping oracle_sql.json. */
+  def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] =
+    Map.empty
 }

@@ -26,6 +26,7 @@ object SparkEntry {
     graft.operators.multimodal.MediaQueries,
     graft.operators.multimodal.MarkupDecode,
     graft.operators.projection.LandmarkMdsQueries,
+    graft.operators.projection.PcaProjection,
     graft.operators.sampling.SamplingQueries,
     graft.operators.text.BpeQueries,
     graft.operators.text.TfIdfQueries,
@@ -46,4 +47,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Static oracles plus the data-derived ones (SQL embedding literals
+    * computed deterministically from the same corpus the queries ran on —
+    * the LSH seeded-planes pattern generalized). Verify dumps THIS map. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ modules.flatMap(_.dynamicOracles(spark, dir))
 }

@@ -57,6 +57,31 @@ object ProductQuantization {
     PqModel(subDim, books)
   }
 
+  /** DETERMINISTIC codebooks: codeword c of subspace s = the s-th slice of
+    * the L2-NORMALIZED embedding of vec_id c+1 (first-k rows by id — the
+    * same first-K trick q_kmeans_1step uses for replayable centroids).
+    * No sampling, no RNG, no iteration: every value is a pure function of
+    * the corpus, so a SQL oracle can rebuild the exact codebooks and
+    * replay encode→reconstruct→recall bit-for-bit. Codeword quality is
+    * below a trained k-means codebook — this variant exists to put the
+    * whole PQ serving pipeline's arithmetic under the driver hash; [[fit]]
+    * remains the production trainer. */
+  def fitDeterministic(points: DataFrame, vecCol: String, numSub: Int,
+                       k: Int, idCol: String = "vec_id"): PqModel = {
+    val rows = points.filter(col(idCol).between(1, k))
+      .select(col(idCol).cast("long").as("id"),
+        vec_normalize(col(vecCol)).cast("array<double>").as("v"))
+      .orderBy("id").collect() // k rows — driver-sized by construction
+    require(rows.length == k, s"need ids 1..$k present, got ${rows.length}")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
+    val subDim = dim / numSub
+    val books = Array.tabulate(numSub) { s =>
+      rows.map(_.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    PqModel(subDim, books)
+  }
+
   /** Driver-side Lloyd's over the sample (k-means++ init, min-id empty-
     * cluster retention). */
   private def localKMeans(xs: Array[Array[Float]], k: Int, dim: Int,
@@ -134,14 +159,26 @@ object ProductQuantization {
 
 object ProductQuantizationQueries extends QueryModule {
 
+  private val cache = new graft.RollingCache
+  /** Subspaces / codewords of the oracled diagnostic (64-dim → 8×8). */
+  private val NumSub = 8
+  private val SubDim = 8
+  private val Codewords = 32
+
   /** Recall@10 of the full PQ serving pipeline (M=8 subs, k=32 codewords):
     * PQ-approximate scoring shortlists 50 candidates, an exact rerank of
     * just those candidates produces the final 10 — the standard
     * compress-then-refine shape (candidate generation touches only codes;
-    * exact vectors are fetched for 50 rows, not the corpus). */
+    * exact vectors are fetched for 50 rows, not the corpus).
+    *
+    * Codebooks are the DETERMINISTIC first-k variant
+    * ([[ProductQuantization.fitDeterministic]]) so the oracle can rebuild
+    * them in SQL and replay encode→reconstruct→shortlist→rerank→recall —
+    * the entire serving arithmetic sits under the driver hash. */
   def qPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).cache()
-    val model = ProductQuantization.fit(e, "embedding", numSub = 8, k = 32)
+    val e = cache.persist(Tables.embeddings(spark, dir))
+    val model = ProductQuantization.fitDeterministic(
+      e, "embedding", numSub = NumSub, k = Codewords)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
@@ -165,6 +202,49 @@ object ProductQuantizationQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_recall" -> (qPqRecall _))
 
-  /** Codebooks are seeded k-means — engine-specific, rows-only. */
-  override def oracles: Map[String, String] = Map.empty
+  /** Full SQL replay of the deterministic-PQ pipeline. Codebook = slices
+    * of the first-k normalized embeddings (the q_kmeans_1step trick);
+    * assignment = argmin of list_inner_product(diff, diff) (bit-identical
+    * to NearestCentroid's fold; sqrt is monotone so dropping it keeps the
+    * argmin; ties break to the lowest code in both engines);
+    * reconstruction = codeword concatenation in subspace order; ranking on
+    * round(cos, 6) with vec_id tie-break (the q_topk_bruteforce scheme). */
+  override def oracles: Map[String, String] = Map(
+    "q_pq_recall" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
+         |nv AS (SELECT vec_id,
+         |    list_transform(pe, x -> x * (1.0 / sqrt(list_inner_product(pe, pe)))) AS v
+         |  FROM pts),
+         |subs AS (SELECT CAST(unnest(generate_series(0, ${NumSub - 1})) AS INT) AS sub),
+         |cb AS (SELECT s.sub, CAST(n.vec_id - 1 AS INT) AS code,
+         |    n.v[s.sub * $SubDim + 1 : s.sub * $SubDim + $SubDim] AS cw
+         |  FROM nv n CROSS JOIN subs s WHERE n.vec_id BETWEEN 1 AND $Codewords),
+         |sl AS (SELECT n.vec_id, s.sub,
+         |    n.v[s.sub * $SubDim + 1 : s.sub * $SubDim + $SubDim] AS sv
+         |  FROM nv n CROSS JOIN subs s),
+         |d2 AS (SELECT vec_id, sub, code, list_inner_product(df, df) AS dd FROM (
+         |    SELECT sl.vec_id, sl.sub, cb.code,
+         |      list_transform(generate_series(1, $SubDim),
+         |        i -> sl.sv[CAST(i AS INT)] - cb.cw[CAST(i AS INT)]) AS df
+         |    FROM sl JOIN cb USING (sub))),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |recon AS (SELECT e2.vec_id, flatten(list(cb.cw ORDER BY e2.sub)) AS rv
+         |  FROM enc e2 JOIN cb ON e2.sub = cb.sub AND e2.code = cb.code
+         |  GROUP BY e2.vec_id),
+         |q AS (SELECT pe AS qe FROM pts WHERE vec_id = 0),
+         |appx AS (SELECT r.vec_id,
+         |    round(list_cosine_similarity(r.rv, q.qe), 6) AS cos_sim
+         |  FROM recon r CROSS JOIN q WHERE r.vec_id > 0),
+         |short AS (SELECT vec_id FROM appx ORDER BY cos_sim DESC, vec_id LIMIT 50),
+         |exact AS (SELECT p.vec_id,
+         |    round(list_cosine_similarity(p.pe, q.qe), 6) AS cos_sim
+         |  FROM pts p CROSS JOIN q WHERE p.vec_id > 0),
+         |rtop AS (SELECT e3.vec_id, e3.cos_sim FROM exact e3 JOIN short USING (vec_id)
+         |  ORDER BY e3.cos_sim DESC, e3.vec_id LIMIT 10),
+         |etop AS (SELECT vec_id FROM exact ORDER BY cos_sim DESC, vec_id LIMIT 10)
+         |SELECT 10 AS k, round(count(*) / 10.0, 6) AS recall
+         |FROM rtop JOIN etop USING (vec_id)""".stripMargin)
 }

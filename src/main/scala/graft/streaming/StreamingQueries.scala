@@ -232,13 +232,18 @@ object StreamingQueries extends QueryModule {
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("ts_us"), col("value"))
       .persist()
-    // cut at ts VALUES (the row terciles' timestamps), not row counts: all
-    // rows sharing a ts_us must land in one batch, or a same-ts
-    // purchase/probe pair straddling the boundary would see stale state
-    // while the batch oracle's at-or-before includes it
-    val ts = e.select(col("ts_us")).orderBy(col("ts_us"))
-      .collect().map(_.getLong(0))
-    val (q1, q2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    // cut at ts VALUES (approximate terciles), not row counts: all rows
+    // sharing a ts_us must land in one batch, or a same-ts purchase/probe
+    // pair straddling the boundary would see stale state while the batch
+    // oracle's at-or-before includes it. Value cuts preserve that
+    // invariant wherever they fall, so percentile_approx is enough — and
+    // it keeps staging free of the full-column collect the exact terciles
+    // needed (the batch split only needs to be "roughly even", not exact).
+    val cuts = e.agg(
+      percentile_approx(col("ts_us"), array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(10000)).as("c"))
+      .head().getSeq[Long](0)
+    val (q1, q2) = (cuts(0), cuts(1))
     val parts = e.withColumn("part",
       when(col("ts_us") <= q1, 0).when(col("ts_us") <= q2, 1).otherwise(2))
     (0 until 3).foreach { i =>

@@ -1,0 +1,130 @@
+package graft.operators.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+/** Property tests of the ORACLE ROUNDING DISCIPLINE itself (SURVEY §5 /
+  * round-3 verdict ask #6): the oracled aggregate families must be
+  * deterministic under re-partitioning (the failure mode that flipped
+  * q_covariance in round 3 was partition-order double summation) and must
+  * equal an exact sequential replay of the decimal algebra — the same
+  * arithmetic DuckDB performs, since decimal sums are exact in any order.
+  * Boundary flips are data-dependent, so corpora are RANDOM (seeded
+  * generators) and exercised at two sizes, not just the fixed testdata.
+  */
+class RoundingDisciplineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // raw ScalaCheck runner — the scalatestplus bridge isn't in the offline
+  // dependency cache
+  private def checkProp(prop: Prop, min: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Spark's double→DECIMAL(38,18) cast: shortest-repr BigDecimal,
+    * HALF_UP to scale 18 — the per-term quantum both engines sum
+    * exactly. */
+  private def dec18(d: Double): JBig =
+    JBig.valueOf(d).setScale(18, RoundingMode.HALF_UP)
+
+  /** Spark's round(x, 6): shortest-repr BigDecimal, HALF_UP. */
+  private def round6(d: Double): Double =
+    JBig.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  private def corpus(seed: Long, n: Int, d: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(d)((rnd.nextGaussian() * (1 + rnd.nextInt(3))).toFloat))
+  }
+
+  /** Sequential exact replay of covarianceDecimal's algebra: decimal sums
+    * (order-free by exactness), then the same double centering + round. */
+  private def replayCovariance(rows: Seq[Array[Float]]): Seq[(Int, Int, Double, Double)] = {
+    val d = rows.head.length
+    val n = rows.length
+    for { i <- 0 until d; j <- i until d } yield {
+      var sxx = JBig.ZERO; var sxi = JBig.ZERO; var sxj = JBig.ZERO
+      rows.foreach { v =>
+        val vi = v(i).toDouble; val vj = v(j).toDouble
+        sxx = sxx.add(dec18(vi * vj))
+        sxi = sxi.add(dec18(vi)); sxj = sxj.add(dec18(vj))
+      }
+      val (dxx, dxi, dxj) = (sxx.doubleValue(), sxi.doubleValue(), sxj.doubleValue())
+      val mu = round6(dxi / n)
+      val cov = round6((dxx - n * (dxi / n) * (dxj / n)) / (n - 1))
+      (i + 1, j + 1, mu, cov)
+    }
+  }
+
+  private def sparkCovariance(rows: Seq[Array[Float]], parts: Int): Seq[(Int, Int, Double, Double)] =
+    Mahalanobis.covarianceDecimal(
+      rows.toDF("embedding").repartition(parts))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3), r.getDouble(4)))
+      .toSeq
+
+  test("covariance: partition-order-free and equal to the exact decimal replay (two sizes)") {
+    for ((n, seed) <- Seq((60, 11L), (400, 12L))) {
+      val rows = corpus(seed, n, d = 6)
+      val expect = replayCovariance(rows)
+      val p1 = sparkCovariance(rows, 1)
+      val p7 = sparkCovariance(rows, 7)
+      val p32 = sparkCovariance(rows, 32)
+      assert(p1 == p7 && p7 == p32,
+        s"n=$n: repartitioning changed the decimal covariance")
+      assert(p1 == expect, s"n=$n: Spark decimal covariance != exact replay")
+    }
+  }
+
+  test("covariance: random corpora property (ScalaCheck over size and seed)") {
+    val gen = for {
+      n <- Gen.choose(10, 120)
+      seed <- Gen.choose(0L, 100000L)
+    } yield (n, seed)
+    checkProp(Prop.forAllNoShrink(gen) { case (n, seed) =>
+      val rows = corpus(seed, n, d = 4)
+      sparkCovariance(rows, 5) == replayCovariance(rows)
+    }, min = 8)
+  }
+
+  test("percentile_disc: order statistic matches driver replay under repartitioning (two sizes)") {
+    for ((n, seed) <- Seq((97, 21L), (1003, 22L))) {
+      val rnd = new scala.util.Random(seed)
+      val xs = Seq.fill(n)(rnd.nextGaussian() * 100)
+      val sorted = xs.sorted
+      // percentile_disc(p) = smallest value at cumulative position >= p
+      def disc(p: Double): Double = sorted(math.ceil(p * n).toInt.max(1) - 1)
+      for (parts <- Seq(1, 7, 32)) {
+        val got = xs.toDF("v").repartition(parts)
+          .agg(
+            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)").as("p99"))
+          .head()
+        assert(got.getDouble(0) == disc(0.25) && got.getDouble(1) == disc(0.5)
+          && got.getDouble(2) == disc(0.99),
+          s"n=$n parts=$parts: percentile_disc diverged from the order statistic")
+      }
+    }
+  }
+
+  test("tf-idf rounded-score ranking is stable under repartitioning") {
+    val rnd = new scala.util.Random(33L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def run(parts: Int) = {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      graft.operators.text.TfIdfQueries.tfidfTopTerms(df, "doc_id", "text", topK = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+        .toSet
+    }
+    assert(run(1) == run(13), "tf-idf ranking changed under repartitioning")
+  }
+}

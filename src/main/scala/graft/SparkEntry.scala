@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.clustering.ClusteringQueries,
     graft.operators.clustering.KMeansOp,
     graft.operators.clustering.DbscanQueries,
+    graft.operators.clustering.ClusterLabels,
     graft.operators.search.AnnQueries,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,

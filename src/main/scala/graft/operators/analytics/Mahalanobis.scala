@@ -212,29 +212,39 @@ object Mahalanobis extends QueryModule {
     * and engine-exact — partition-order double summation flipped cells
     * that sat 1e-9 from a 0.5e-6 rounding boundary (round-3 hash fail).
     * The (i,j) pair expansion is map-side (flatten/transform — no join);
-    * the single shuffle is the (i,j) groupBy, d(d+1)/2 = 2080 keys. */
+    * the only shuffles are the (i,j) and per-dim groupBys (2080 + d
+    * keys, map-side partial agg). */
   def qCovariance(spark: SparkSession, dir: String): DataFrame =
     covarianceDecimal(Tables.embeddings(spark, dir))
 
   /** Decimal-sum covariance of `embedding` — shared by [[qCovariance]]
-    * and the PCA projection's deterministic eigen stage. */
+    * and the PCA projection's deterministic eigen stage.
+    *
+    * Two aggregations, then a dim-sized join: the d(d+1)/2-per-row pair
+    * expansion sums ONLY the products (one decimal sum over n·d²/2 rows),
+    * while Σx per dimension comes from the d-per-row element expansion (a
+    * d²/2-times smaller frame). Decimal sums are order-independent, so
+    * Σx computed per-dim is EXACTLY the value the pair groups would have
+    * summed — same result, a third of the decimal work. Both aggregates
+    * are map-side partial; the join is 2080×d, broadcast-sized. */
   private[graft] def covarianceDecimal(points: DataFrame): DataFrame = {
-    val pairs = points
-      .select(col("embedding").cast("array<double>").as("pe"))
+    val pe = points.select(col("embedding").cast("array<double>").as("pe"))
+    val sums = pe
+      .select(posexplode(col("pe")).as(Seq("i0", "v")))
+      .groupBy((col("i0") + 1).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,18)")).as("sx"))
+    val pairs = pe
       .select(explode(expr(
         """flatten(transform(sequence(1, size(pe)), i ->
           |  transform(sequence(i, size(pe)), j ->
-          |    named_struct('i', i, 'j', j,
-          |      'p', pe[i-1] * pe[j-1],
-          |      'vi', pe[i-1], 'vj', pe[j-1]))))""".stripMargin)).as("s"))
+          |    named_struct('i', i, 'j', j, 'p', pe[i-1] * pe[j-1]))))""".stripMargin)).as("s"))
       .select(col("s.i").cast("long").as("i"), col("s.j").cast("long").as("j"),
-        col("s.p").as("p"), col("s.vi").as("vi"), col("s.vj").as("vj"))
-    pairs.groupBy("i", "j")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("p").cast("decimal(38,18)")).as("sxx"),
-        sum(col("vi").cast("decimal(38,18)")).as("sxi"),
-        sum(col("vj").cast("decimal(38,18)")).as("sxj"))
+        col("s.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,18)")).as("sxx"))
+    val si = sums.select(col("d").as("i"), col("n"), col("sx").as("sxi"))
+    val sj = sums.select(col("d").as("j"), col("sx").as("sxj"))
+    pairs.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         round(col("sxi").cast("double") / col("n"), 6).as("mu_i"),
         round(

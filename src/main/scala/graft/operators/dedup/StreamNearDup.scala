@@ -33,8 +33,8 @@ import org.apache.spark.sql.types._
   *    dup rates they are O(n) — a driver buffer would not survive);
   *  - the only driver-side values are the probed bucket ids, bounded by
   *    [[StoreBuckets]] by construction, never by data.
-  * [[StoreBuckets]] is 32 here; at 100 TB it scales with corpus size
-  * (like IVF cell counts) so per-partition store files stay bounded.
+  * [[StoreBuckets]] is test-sized here; at 100 TB it scales with corpus
+  * size (like IVF cell counts) so per-partition store files stay bounded.
   */
 object StreamNearDup extends QueryModule {
 
@@ -43,7 +43,7 @@ object StreamNearDup extends QueryModule {
   /** Partition fan-out of the on-disk band/set stores (per-batch reads
     * prune to matching partitions). Test-sized here; scales with corpus
     * size in production, like IVF cell counts. */
-  val StoreBuckets = 32
+  val StoreBuckets = 16
 
   private val keyColNames = (0 until RowsPerBand).map(r => s"k$r")
 
@@ -223,9 +223,17 @@ object StreamNearDup extends QueryModule {
           .collect().map(_.getInt(0)).toSeq
         val storeBands = prunedBandStoreRead(spark, bandsDir, probed)
         val allBands = storeBands.map(_.unionByName(bBand)).getOrElse(bBand)
-        val cand = candidatePairs(allBands, bBand).persist()
-        val d1Buckets = cand.select(sbucketOf(col("d1")).as("sb")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // candidates are broadcast-sized by the band-bucket cap (the same
+        // bound the verify broadcast already assumes) — one collect gives
+        // both the pair list and the d1 bucket ids, replacing a cache +
+        // distinct job + broadcast of the same rows
+        val candRows = candidatePairs(allBands, bBand)
+          .withColumn("sb", sbucketOf(col("d1"))).collect()
+        val d1Buckets = candRows.map(_.getAs[Int]("sb")).distinct.toSeq
+        val cand = {
+          import spark.implicits._
+          candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
+        }
         val bSets1 = b.select(col("doc_id").as("d1"), col("s").as("s1"))
         val sets1 = readStore(spark, setsDir, setStoreSchema)
           .filter(_ => d1Buckets.nonEmpty)
@@ -243,12 +251,17 @@ object StreamNearDup extends QueryModule {
             col("m.jaccard").as("jaccard"))
           .write.mode("append").parquet(supDir)
         // absorb the batch (kept AND suppressed docs — decisions stay
-        // batch-split-independent), partitioned for the next batch's prune
-        bBand.write.partitionBy("pbucket").mode("append").parquet(bandsDir)
+        // batch-split-independent), partitioned for the next batch's
+        // prune. Cluster by the partition key first so each batch writes
+        // ONE file per touched bucket instead of tasks×buckets shards —
+        // store file count stays O(batches·buckets), not O(cores·…)
+        bBand.repartition(col("pbucket"))
+          .write.partitionBy("pbucket").mode("append").parquet(bandsDir)
         b.select(col("doc_id"), col("s"))
           .withColumn("sbucket", sbucketOf(col("doc_id")))
+          .repartition(col("sbucket"))
           .write.partitionBy("sbucket").mode("append").parquet(setsDir)
-        cand.unpersist(); bBand.unpersist(); b.unpersist()
+        bBand.unpersist(); b.unpersist()
         ()
       }
       .start()

@@ -166,8 +166,47 @@ object SamplingQueries extends QueryModule {
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_after"))
       .orderBy("lang")
 
+  /** Temperature-scaled domain mixture — the GPT-3/PaLM data-mixing step
+    * (sampling probability over domains ∝ n^α, α = 1/T; T = 2 upweights
+    * small domains relative to proportional sampling): per-source weight
+    * w = √n̅ (IEEE sqrt is correctly rounded — engine-exact), normalized
+    * over domains, converted to a deterministic hash-acceptance
+    * threshold on the split's exact-integer priority. Determinism chain:
+    * weights are ROUNDED then DECIMAL-summed (order-free normalizer),
+    * every subsequent double op is computed identically on both engines,
+    * so even floor() at the threshold boundary cannot diverge. Shape:
+    * one tiny groupBy(source), a one-row normalizer crossJoin, a
+    * dim-sized broadcast back onto the corpus — pure map after that. */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w", round(sqrt(col("n_s").cast("double")), 6))
+    val z = cnt.agg(
+      sum(col("w").cast("decimal(25,6)")).cast("double").as("zz"),
+      sum(col("n_s")).as("n"))
+    // output budget = N/2 docs; domain s receives share frac_s of it, so
+    // its acceptance RATE is (N/2)·frac/n_s capped at 1 — final
+    // composition ∝ w_s (rate = frac would give composition ∝ w_s·n_s)
+    val rates = cnt.crossJoin(broadcast(z))
+      .withColumn("frac", col("w") / col("zz"))
+      .withColumn("rate", least(lit(1.0),
+        col("n").cast("double") / lit(2.0) * col("frac") / col("n_s").cast("double")))
+      .withColumn("t", floor(col("rate") * lit(SplitMod.toDouble)).cast("long"))
+      .select(col("source"), col("w"), col("frac"), col("t"))
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", prio(col("doc_id")) < col("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        min(col("w")).as("w"),
+        round(min(col("frac")), 6).as("frac"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_after"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> (qSampleSplit _),
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_token_packing" -> (qTokenPacking _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -199,6 +238,28 @@ object SamplingQueries extends QueryModule {
          |  min(doc_id) AS first_doc
          |FROM r WHERE rn <= $Quota
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q_temperature_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT source, count(*) AS n_s,
+         |    round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS w
+         |  FROM documents GROUP BY source),
+         |z AS (SELECT CAST(sum(CAST(w AS DECIMAL(25,6))) AS DOUBLE) AS zz,
+         |             CAST(sum(n_s) AS BIGINT) AS n FROM cnt),
+         |fr AS (SELECT source, n_s, w, n, w / zz AS frac FROM cnt CROSS JOIN z),
+         |rates AS (
+         |  SELECT source, w, frac,
+         |    CAST(floor(least(1.0, CAST(n AS DOUBLE) / 2.0 * frac / CAST(n_s AS DOUBLE))
+         |               * $SplitMod.0) AS BIGINT) AS t
+         |  FROM fr),
+         |k AS (
+         |  SELECT d.source, d.n_chars, r.w, r.frac,
+         |    ${prioSql("d.doc_id")} < r.t AS keep
+         |  FROM documents d JOIN rates r USING (source))
+         |SELECT source, count(*) AS n_before, min(w) AS w,
+         |  round(min(frac), 6) AS frac,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q_mixture_sample" ->
       s"""WITH k AS (
          |  SELECT lang, n_chars,

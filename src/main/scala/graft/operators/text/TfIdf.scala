@@ -85,12 +85,19 @@ object TfIdfQueries extends QueryModule {
     val toks = tokensOf(docs, idCol, textCol)
     val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
     val total = toks.count()
+    // per-token nll is ROUNDED to 6 then decimal-summed: ln() is cross-
+    // engine bit-identical but avg(double) is partition-order-dependent —
+    // the same boundary-flake class the covariance fix closed (decimal
+    // sums of rounded terms are order-free and engine-exact)
     toks.filter(probe)
       .join(cf, Seq("term"))
-      .withColumn("nll", -log(col("cf").cast("double") / lit(total.toDouble)))
+      .withColumn("nll6",
+        round(-log(col("cf").cast("double") / lit(total.toDouble)), 6)
+          .cast("decimal(25,6)"))
       .groupBy(col("doc_id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("nll")), 6).as("mean_neg_logprob"))
+        round(sum(col("nll6")).cast("double") / count(lit(1)), 6)
+          .as("mean_neg_logprob"))
   }
 
   def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
@@ -98,10 +105,48 @@ object TfIdfQueries extends QueryModule {
       probe = col("doc_id") < 500)
       .orderBy("doc_id")
 
+  /** Bigram conditional log-prob quality score — the step past the
+    * unigram proxy towards a real LM filter (CCNet-style): score(d) =
+    * mean over adjacent token pairs of −ln(c(w1,w2)/c(w1·)), with c(w1·)
+    * the bigram-HEAD count (doc-final tokens head nothing, so the
+    * conditional sums to 1 per head — a proper MLE bigram model).
+    * Bigram expansion is MAP-SIDE (array transform over the split, no
+    * shuffle); counts are two partial-agg shuffles; docs with < 2 tokens
+    * have no bigrams and drop out on both engines identically. Per-pair
+    * nll is rounded then decimal-summed (the order-free mean pattern). */
+  def bigramScores(docs: DataFrame, idCol: String, textCol: String,
+                   probe: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(trim(lower(col(textCol))), TextQueries.WsRe),
+          w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i]))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.filter(probe)
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("nll6",
+        round(-log(col("c2").cast("double") / col("c1")), 6).cast("decimal(25,6)"))
+      .groupBy(col("doc_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll6")).cast("double") / count(lit(1)), 6)
+          .as("mean_bigram_nll"))
+  }
+
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramScores(Tables.documents(spark, dir), "doc_id", "text",
+      probe = col("doc_id") < 500)
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_vocab_top" -> (qVocabTop _),
-    "q_unigram_logprob" -> (qUnigramLogprob _))
+    "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_bigram_logprob" -> (qBigramLogprob _))
 
   override def oracles: Map[String, String] = Map(
     "q_tfidf" ->
@@ -141,8 +186,30 @@ object TfIdfQueries extends QueryModule {
         |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(-ln(CAST(cf.cf AS DOUBLE) / t.total)), 6) AS mean_neg_logprob
+        |  round(CAST(sum(CAST(round(-ln(CAST(cf.cf AS DOUBLE) / t.total), 6)
+        |                      AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_neg_logprob
         |FROM toks JOIN cf USING (term) CROSS JOIN t
+        |WHERE doc_id < 500
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |  FROM docs2 WHERE len(ws) > 1),
+        |bg AS (
+        |  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        |  FROM idx),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6)
+        |                      AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_bigram_nll
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |WHERE doc_id < 500
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

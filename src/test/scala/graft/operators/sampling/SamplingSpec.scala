@@ -124,4 +124,31 @@ class SamplingSpec extends SparkSpec {
     assert(binTotals <= SamplingQueries.BinBudget + maxDocTok,
       s"a bin holds $binTotals tokens > budget + one max doc ($maxDocTok)")
   }
+
+  test("temperature mixture: √n weights upweight small domains, fracs " +
+      "normalize, acceptance tracks the target rate") {
+    val rows = SamplingQueries.qTemperatureMix(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    // fracs sum to ~1 across domains
+    val fracSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(fracSum - 1.0) < 1e-4, s"fracs sum to $fracSum")
+    // temperature flattening: the TARGET acceptance rate
+    // min(1, (N/2)·frac/n) falls as the domain grows — smaller domains
+    // keep proportionally more
+    val bySize = rows.sortBy(_.getLong(1))
+    val sizes = bySize.map(_.getLong(1))
+    val target = bySize.map(r => math.min(1.0,
+      sizes.sum / 2.0 * r.getDouble(3) / r.getLong(1)))
+    target.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, "target acceptance must fall as domain grows")
+    }
+    // realized rate within hash noise of target (binomial-ish bound)
+    bySize.zip(target).foreach { case (r, t) =>
+      val n = r.getLong(1)
+      val realized = r.getLong(4).toDouble / n
+      val tol = 4 * math.sqrt(math.min(t, 1.0) / n) + 4.0 / n
+      assert(math.abs(realized - math.min(t, 1.0)) <= tol,
+        s"${r.getString(0)}: realized $realized vs target $t (n=$n)")
+    }
+  }
 }

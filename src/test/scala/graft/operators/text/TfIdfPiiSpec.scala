@@ -51,6 +51,30 @@ class TfIdfPiiSpec extends SparkSpec {
     }
   }
 
+  test("bigram model: conditional probabilities sum to 1 per head; " +
+      "hand-computed score on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // heads: a->3, b->1. p(b|a)=2/3, p(a|b)=1, p(c|a)=1/3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.operators.text.TfIdfQueries
+      .bigramScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val d1 = (r6(-math.log(2.0 / 3)) * 2 + r6(-math.log(1.0))) / 3
+    val d2 = r6(-math.log(1.0 / 3))
+    assert(approx(out(0).getDouble(2), r6(d1), 1e-9), s"${out(0)}")
+    assert(out(0).getLong(1) == 3)
+    assert(approx(out(1).getDouble(2), r6(d2), 1e-9), s"${out(1)}")
+    // single-token / empty docs drop out rather than divide by zero
+    val none = graft.operators.text.TfIdfQueries
+      .bigramScores(Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .count()
+    assert(none == 0)
+  }
+
   test("q_pii_redact: planted counts recovered exactly, nothing left behind") {
     val rows = PiiRedact.qPiiRedact(spark, SfDir).collect()
     assert(rows.nonEmpty)

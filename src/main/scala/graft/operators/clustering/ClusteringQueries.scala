@@ -47,14 +47,28 @@ object ClusteringQueries extends QueryModule {
       .orderBy("vec_id")
 
   /** Per-cluster distance outliers: dist > mean + 1·std within the assigned
-    * cluster (nuevo-kmeans-pre.ipynb plot_histograms_and_identify_outliers). */
+    * cluster (nuevo-kmeans-pre.ipynb plot_histograms_and_identify_outliers).
+    *
+    * The mean/std feed a row-membership FILTER, so they are computed from
+    * DECIMAL window sums of the ROUNDED distance (order-free, engine-
+    * exact — avg/stddev_samp window merges are partition-order-dependent
+    * and could flip a boundary row in or out; same hardening as
+    * q_covariance). d6² is a per-row double product (bit-identical), the
+    * variance algebra mirrors the oracle token-for-token. */
   def qCentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("centroid_id"))
     assigned(spark, dir)
-      .withColumn("mean_d", avg(col("dist")).over(w))
-      .withColumn("std_d", stddev_samp(col("dist")).over(w))
-      .filter(col("dist") > col("mean_d") + lit(1.0) * col("std_d"))
-      .select(col("vec_id"), col("centroid_id"), round(col("dist"), 6).as("dist"),
+      .withColumn("d6", round(col("dist"), 6))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("d6").cast("decimal(25,6)")).over(w).cast("double"))
+      .withColumn("s2",
+        sum((col("d6") * col("d6")).cast("decimal(30,12)")).over(w).cast("double"))
+      .withColumn("mean_d", col("s1") / col("n"))
+      .withColumn("std_d", sqrt(
+        (col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / (col("n") - 1)))
+      .filter(col("d6") > col("mean_d") + lit(1.0) * col("std_d"))
+      .select(col("vec_id"), col("centroid_id"), col("d6").as("dist"),
         round(col("mean_d"), 6).as("mean_d"), round(col("std_d"), 6).as("std_d"))
       .orderBy("vec_id")
   }
@@ -172,13 +186,19 @@ object ClusteringQueries extends QueryModule {
          |SELECT vec_id, centroid_id, round(dist, 6) AS dist FROM asg ORDER BY vec_id""".stripMargin,
     "q_centroid_outliers" ->
       s"""WITH $NrmCte
-         |SELECT vec_id, centroid_id, round(dist, 6) AS dist,
+         |SELECT vec_id, centroid_id, d6 AS dist,
          |  round(mean_d, 6) AS mean_d, round(std_d, 6) AS std_d
-         |FROM (SELECT vec_id, centroid_id, dist,
-         |    avg(dist) OVER (PARTITION BY centroid_id) AS mean_d,
-         |    stddev_samp(dist) OVER (PARTITION BY centroid_id) AS std_d
-         |  FROM asg)
-         |WHERE dist > mean_d + 1.0 * std_d ORDER BY vec_id""".stripMargin,
+         |FROM (SELECT vec_id, centroid_id, d6, mean_d,
+         |    sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS std_d
+         |  FROM (SELECT vec_id, centroid_id, d6, n,
+         |      s1, s2, s1 / n AS mean_d
+         |    FROM (SELECT vec_id, centroid_id, d6,
+         |        count(*) OVER w AS n,
+         |        CAST(sum(CAST(d6 AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s1,
+         |        CAST(sum(CAST(d6 * d6 AS DECIMAL(30,12))) OVER w AS DOUBLE) AS s2
+         |      FROM (SELECT vec_id, centroid_id, round(dist, 6) AS d6 FROM asg)
+         |      WINDOW w AS (PARTITION BY centroid_id))))
+         |WHERE d6 > mean_d + 1.0 * std_d ORDER BY vec_id""".stripMargin,
     "q_centroid_hist" ->
       s"""WITH $NrmCte
          |SELECT centroid_id, CAST(floor(dist * 10) AS BIGINT) AS bucket, count(*) AS n

@@ -88,6 +88,37 @@ object AnnQueries extends QueryModule {
       .select(lit(10).as("k"), col("recall"))
   }
 
+  /** Ranking-quality metrics of the IVF run against exact ground truth —
+    * MRR@10 and (binary-relevance) NDCG@10 alongside q_ann_recall's
+    * recall: the standard retrieval-eval triple for the accuracy/latency
+    * trade-off the thesis studies. Ranks are integers from the rounded-
+    * score ordering (engine-exact); per-rank gains 1/log2(rank+1) are
+    * ROUNDED then DECIMAL-summed so the DCG is partition-order-free;
+    * IDCG is the same sum over the ideal ranks 1..10. Both inputs are
+    * 10-row frames, so every join here is broadcast-bounded. */
+  def qRankMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+    val run = qAnnIvf(spark, dir)
+      .withColumn("rank", row_number().over(wAll))
+      .select(col("vec_id"), col("rank"))
+    val truth = SearchQueries.qTopkBruteforce(spark, dir).select("vec_id")
+    val hits = run.join(truth, Seq("vec_id"))
+    val dcg = hits.agg(
+      coalesce(
+        sum(round(lit(1.0) / log2(col("rank") + 1), 6).cast("decimal(25,6)"))
+          .cast("double"), lit(0.0)).as("dcg"),
+      count(lit(1)).as("n_hits"),
+      min(col("rank")).as("first_rank"))
+    val idcg = spark.range(1, 11)
+      .agg(sum(round(lit(1.0) / log2(col("id") + 1), 6).cast("decimal(25,6)"))
+        .cast("double").as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(10).as("k"), col("n_hits"),
+        round(when(col("n_hits") === 0, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rank")), 6).as("mrr"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   /** The PERSISTENT index, end to end: build (partitionBy(cell) write +
     * centroid sidecar) into a scratch dir, then serve 5 queries in one
     * batched plan ([[IvfIndex.probeBatch]] — dynamic partition pruning
@@ -147,6 +178,7 @@ object AnnQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_rank_metrics" -> (qRankMetrics _),
     "q_ivf_batch" -> (qIvfBatch _),
     "q_ann_serve_stream" -> (qAnnServeStream _),
     "q_lof" -> (qLof _))
@@ -204,6 +236,29 @@ object AnnQueries extends QueryModule {
          |  FROM asg WHERE vec_id > 0) WHERE rn <= 10)
          |SELECT 10 AS k, round(count(*) / 10.0, 6) AS recall
          |FROM ivf JOIN exact USING (vec_id)""".stripMargin,
+    "q_rank_metrics" ->
+      s"""WITH $AsgCte,
+         |ivf AS (SELECT vec_id, rn AS rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY
+         |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+         |  FROM asg WHERE vec_id > 0 AND cell IN (SELECT cid FROM probe)) WHERE rn <= 10),
+         |exact AS (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY
+         |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+         |  FROM asg WHERE vec_id > 0) WHERE rn <= 10),
+         |hits AS (SELECT i.rank FROM ivf i JOIN exact e USING (vec_id)),
+         |dcg AS (SELECT
+         |    coalesce(CAST(sum(CAST(round(1.0 / log2(rank + 1), 6)
+         |                           AS DECIMAL(25,6))) AS DOUBLE), 0.0) AS dcg,
+         |    count(*) AS n_hits, min(rank) AS first_rank
+         |  FROM hits),
+         |idcg AS (SELECT
+         |    CAST(sum(CAST(round(1.0 / log2(i + 1), 6) AS DECIMAL(25,6))) AS DOUBLE) AS idcg
+         |  FROM (SELECT unnest(generate_series(1, 10)) AS i))
+         |SELECT 10 AS k, CAST(d.n_hits AS BIGINT) AS n_hits,
+         |  round(CASE WHEN d.n_hits = 0 THEN 0.0 ELSE 1.0 / d.first_rank END, 6) AS mrr,
+         |  round(d.dcg / i.idcg, 6) AS ndcg
+         |FROM dcg d CROSS JOIN idcg i""".stripMargin,
     "q_ivf_batch" ->
       IvfBatchOracle,
     // the streaming serve path returns the SAME rows as the batch probe

@@ -16,10 +16,11 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_silhouette_exact: the all-pairs diagnostic, hard-guarded to
     *    ≤ ClusteringQueries.MaxSilhouetteRows rows;
     *  - q_decontaminate: crossJoin of two ONE-ROW aggregate summaries;
-    *  - q_temperature_mix: crossJoin with the ONE-ROW weight normalizer. */
+    *  - q_temperature_mix: crossJoin with the ONE-ROW weight normalizer;
+    *  - q_rank_metrics: crossJoin of ONE-ROW DCG and IDCG aggregates. */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
-    "q_decontaminate", "q_temperature_mix")
+    "q_decontaminate", "q_temperature_mix", "q_rank_metrics")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

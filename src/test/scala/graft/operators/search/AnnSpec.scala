@@ -34,4 +34,18 @@ class AnnSpec extends SparkSpec {
     val near1 = lof.count(v => v > 0.6 && v < 1.8)
     assert(near1 > lof.length / 2, "most points should have LOF near 1")
   }
+
+  test("rank metrics: bounds hold and a perfect run scores 1.0 on all three") {
+    val r = AnnQueries.qRankMetrics(spark, SfDir).head()
+    val (hits, mrr, ndcg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(hits >= 0 && hits <= 10)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+    if (hits == 10) assert(math.abs(ndcg - 1.0) < 1e-9,
+      "all-hits run must have ideal DCG")
+    if (hits > 0) assert(mrr > 0.0)
+    // consistency with the recall metric on the same run
+    val recall = AnnQueries.qAnnRecall(spark, SfDir).head().getDouble(1)
+    assert(math.abs(recall - hits / 10.0) < 1e-9)
+  }
 }

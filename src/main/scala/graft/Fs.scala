@@ -17,6 +17,27 @@ object Fs {
     md.map(b => f"$b%02x").mkString
   }
 
+  /** Stage `parts` as consecutively-numbered single parquet files with
+    * strictly increasing mtimes under `stage` — the file-source ingest
+    * layout every streaming query's staging uses (the source processes
+    * oldest-first, so mtimes define arrival order). */
+  def stageParts(stage: Path, parts: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    Files.createDirectories(stage)
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val scratch = Files.createTempDirectory(s"graft_stage_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val listing = Files.list(scratch)
+      val part = try listing.toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
+      finally listing.close()
+      val dst = stage.resolve(f"$i%05d.parquet")
+      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 600000L)
+      deleteRecursively(scratch)
+    }
+  }
+
   private lazy val atExit: java.util.Set[Path] = {
     val s = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

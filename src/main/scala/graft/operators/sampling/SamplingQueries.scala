@@ -46,7 +46,7 @@ object SamplingQueries extends QueryModule {
     * Spark's pmod is always non-negative while SQL `%` keeps the
     * dividend's sign, so the oracle uses the ((x % M) + M) % M form —
     * identical for negative ids too. */
-  private def prio(id: Column): Column =
+  private[graft] def prio(id: Column): Column =
     pmod(pmod(id, lit(SplitMod)) * lit(Mult), lit(SplitMod))
 
   /** Same expression in DuckDB SQL (sign-normalized to match pmod). */

@@ -119,6 +119,25 @@ object AnnQueries extends QueryModule {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** IVF index health: per-cell population, share, and load factor
+    * relative to a uniform spread (imbalance > 1 = hot cell — the probe
+    * cost skew an index tuner watches; Azure's index analytics expose the
+    * same shape). Deterministic centroids → exact integer counts →
+    * fully oracled; one map-side assignment + one tiny groupBy. */
+  def qIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val cs = ClusteringQueries.centroids(spark, dir)
+    val asg = Tables.embeddings(spark, dir)
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+    val k = cs.length
+    asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / col("total"), 6).as("pct"),
+        round(col("n_vecs") * lit(k) / col("total"), 6).as("imbalance"))
+      .orderBy("cell")
+  }
+
   /** The PERSISTENT index, end to end: build (partitionBy(cell) write +
     * centroid sidecar) into a scratch dir, then serve 5 queries in one
     * batched plan ([[IvfIndex.probeBatch]] — dynamic partition pruning
@@ -179,6 +198,7 @@ object AnnQueries extends QueryModule {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_rank_metrics" -> (qRankMetrics _),
+    "q_ivf_stats" -> (qIvfStats _),
     "q_ivf_batch" -> (qIvfBatch _),
     "q_ann_serve_stream" -> (qAnnServeStream _),
     "q_lof" -> (qLof _))
@@ -259,6 +279,14 @@ object AnnQueries extends QueryModule {
          |  round(CASE WHEN d.n_hits = 0 THEN 0.0 ELSE 1.0 / d.first_rank END, 6) AS mrr,
          |  round(d.dcg / i.idcg, 6) AS ndcg
          |FROM dcg d CROSS JOIN idcg i""".stripMargin,
+    "q_ivf_stats" ->
+      s"""WITH $AsgCte,
+         |cnt AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell),
+         |wt AS (SELECT cell, n_vecs, sum(n_vecs) OVER () AS total FROM cnt)
+         |SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  round(n_vecs / total, 6) AS pct,
+         |  round(n_vecs * 8 / total, 6) AS imbalance
+         |FROM wt ORDER BY cell""".stripMargin,
     "q_ivf_batch" ->
       IvfBatchOracle,
     // the streaming serve path returns the SAME rows as the batch probe

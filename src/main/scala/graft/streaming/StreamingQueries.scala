@@ -288,8 +288,87 @@ object StreamingQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Stage documents as two id-halves for an ordered 2-batch ingest
+    * (same stageKey caching scheme as the other streaming stagings). */
+  private def stageQuotaFiles(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_quota_stream", graft.Fs.stageKey(dir, "documents.parquet"))
+    if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
+      return stage.toString
+    graft.Fs.deleteRecursively(stage)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val mid = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    graft.Fs.stageParts(stage, Seq(
+      d.filter(col("doc_id") <= mid), d.filter(col("doc_id") > mid)))
+    stage.toString
+  }
+
+  /** STREAMING per-source quota sampling — the continuous-ingest twin of
+    * q_quota_sample: every microbatch folds into a BOUNDED per-source
+    * leaderboard (≤ Quota rows per source, maintained by the TopKPerGroup
+    * bounded heaps and atomically swapped on disk), so after any prefix
+    * the store holds the best-priority Quota docs per source seen so far.
+    * Top-k under a FIXED hash priority is prefix-mergeable —
+    * topk(topk(A) ∪ B) = topk(A ∪ B) — so the final state equals the
+    * batch query for ANY batch split, and the query SHARES
+    * q_quota_sample's oracle. State is sources×Quota rows, never
+    * corpus-sized; the driver sees only the final per-source summary. */
+  def qQuotaStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.sampling.SamplingQueries.{prio, Quota}
+    val stage = stageQuotaFiles(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_quota_stream_state")
+    val winsDir = root.toString + "/winners"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val storeSchema = schema.add(StructField("h", LongType))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.withColumn("h", prio(col("doc_id")))
+        val prev =
+          if (new java.io.File(winsDir).exists())
+            Some(spark.read.schema(storeSchema).parquet(winsDir))
+          else None
+        val next = graft.plans.TopKPerGroup(
+          prev.map(_.unionByName(b)).getOrElse(b),
+          groupCols = Seq("source"), orderCols = Seq("h", "doc_id"), k = Quota)
+          .select("doc_id", "source", "n_chars", "h")
+        val nextDir = winsDir + "_next"
+        next.coalesce(1).write.mode("overwrite").parquet(nextDir)
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(winsDir))
+        java.nio.file.Files.move(java.nio.file.Paths.get(nextDir),
+          java.nio.file.Paths.get(winsDir))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.schema(storeSchema).parquet(winsDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars_kept"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("source")
+        .collect() // sources-sized summary — driver-bounded by construction
+      val outSchema = StructType(Seq(
+        StructField("source", StringType), StructField("n_kept", LongType),
+        StructField("sum_chars_kept", LongType), StructField("first_doc", LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), outSchema)
+        .orderBy("source")
+    } finally {
+      q.stop()
+      graft.Fs.deleteRecursively(root)
+    }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window_stream" -> (qEventsWindowStream _),
+    "q_quota_stream" -> (qQuotaStream _),
     "q_sessionize" -> (qSessionize _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_events_enrich_stream" -> (qEventsEnrichStream _),
@@ -300,6 +379,9 @@ object StreamingQueries extends QueryModule {
     // identical semantics to the batch as-of join → identical oracle
     "q_asof_stream" ->
       graft.operators.analytics.TemporalJoins.oracles("q_asof_join"),
+    // prefix-mergeable top-k ⇒ final leaderboard == the batch quota query
+    "q_quota_stream" ->
+      graft.operators.sampling.SamplingQueries.oracles("q_quota_sample"),
     "q_events_window_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
         |  count(*) AS n_events,

@@ -36,4 +36,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dedup == batch)
   }
+
+  test("streaming quota leaderboard converges to the batch quota sample") {
+    val streamed = StreamingQueries.qQuotaStream(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.sampling.SamplingQueries
+      .qQuotaSample(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch,
+      "2-batch leaderboard must equal the batch top-k (prefix-mergeable)")
+    // bounded state: never more than Quota kept per source
+    assert(streamed.forall(_._2 <= graft.operators.sampling.SamplingQueries.Quota))
+  }
 }

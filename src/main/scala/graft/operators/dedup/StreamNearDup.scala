@@ -140,27 +140,12 @@ object StreamNearDup extends QueryModule {
     if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
     graft.Fs.deleteRecursively(stage)
-    Files.createDirectories(stage)
     val docs = Tables.documents(spark, dir)
-    val parts = Seq(
+    graft.Fs.stageParts(stage, Seq(
       docs.select(col("doc_id"), col("text")),
       docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
-    parts.zipWithIndex.foreach { case (df, i) =>
-      val scratch = Files.createTempDirectory(s"graft_neardup_part$i")
-      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val listing = Files.list(scratch)
-      val part = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
-      finally listing.close()
-      val dst = stage.resolve(f"$i%05d.parquet")
-      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // file source processes oldest-first: force strictly increasing mtimes
-      dst.toFile.setLastModified(1700000000000L + i * 600000L)
-      graft.Fs.deleteRecursively(scratch)
-    }
+          concat(col("text"), lit(" planted near duplicate suffix")).as("text"))))
     stage.toString
   }
 

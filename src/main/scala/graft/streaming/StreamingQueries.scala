@@ -246,20 +246,8 @@ object StreamingQueries extends QueryModule {
     val (q1, q2) = (cuts(0), cuts(1))
     val parts = e.withColumn("part",
       when(col("ts_us") <= q1, 0).when(col("ts_us") <= q2, 1).otherwise(2))
-    (0 until 3).foreach { i =>
-      val scratch = Files.createTempDirectory(s"graft_asof_part$i")
-      parts.filter(col("part") === i).drop("part")
-        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val listing = Files.list(scratch)
-      val part = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .find(_.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet part in $scratch"))
-      finally listing.close()
-      val dst = stage.resolve(f"$i%05d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + i * 600000L)
-      graft.Fs.deleteRecursively(scratch)
-    }
+    graft.Fs.stageParts(stage,
+      (0 until 3).map(i => parts.filter(col("part") === i).drop("part")))
     e.unpersist()
     stage.toString
   }

@@ -38,4 +38,26 @@ class QuantizationSpec extends SparkSpec {
     // SQ8 on 64-dim loses little: expect most of the exact top-10 back
     assert(recall >= 0.7, s"suspiciously low SQ8 recall: $recall")
   }
+
+  test("binary quantization: candidates beat random, rerank recovers most of top-10") {
+    val r = Quantization.qBqRecall(spark, SfDir).head()
+    assert(r.getInt(0) == 10 && r.getInt(1) == 100)
+    val recall = r.getDouble(2)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // 100 Hamming candidates out of ~500 vectors: a random 20% subset would
+    // keep ~2 of the exact top-10; sign codes must do clearly better
+    assert(recall >= 0.5, s"BQ candidates no better than random: recall=$recall")
+  }
+
+  test("matryoshka sweep is monotone-ish and exact at full dim") {
+    val rows = Quantization.qMatryoshkaRecall(spark, SfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Quantization.MatryoshkaDims)
+    val byDim = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byDim(64) == 1.0, "full-dim arm must reproduce the exact top-10")
+    assert(byDim.values.forall(r => r >= 0.0 && r <= 1.0))
+    // the synthetic gaussian corpus is not Matryoshka-trained, so no floor
+    // on prefix recall — but some prefix arm must retain some signal
+    assert(byDim.filterKeys(_ < 64).values.sum > 0.0,
+      s"every truncated arm lost the entire top-10: $byDim")
+  }
 }

@@ -26,6 +26,66 @@ object DedupQueries extends QueryModule {
       .withColumn("is_dup", col("n_copies") > 1)
       .orderBy("h")
 
+  /** Incremental (cross-snapshot) exact dedup with a Bloom prefilter —
+    * the "don't re-ingest what the corpus already has" step of a rolling
+    * 100 TB pipeline. History = 80% of the corpus (doc_id%10 < 8); the
+    * incoming batch = the remaining fresh docs PLUS re-crawled copies of
+    * every doc_id%10 == 0 history doc under a new id (re-ingestion is
+    * exactly how exact dups arise in production).
+    *
+    * Scale shape: the history is summarized ONCE into a Bloom filter via
+    * `bloom_filter_agg` (a mergeable partial-agg sketch — one pass, no
+    * shuffle of history content), sized from the history count at 16
+    * bits/item (~1.1% FPP). The batch probes the broadcast filter
+    * MAP-SIDE; only `might_contain` survivors (true dups + ~1% FPs) pay
+    * the exact md5 semi-join, so the verify shuffle carries the dup rate,
+    * not the batch. Blooms have no false negatives and the semi-join
+    * kills false positives, so the RESULT is exact regardless of FPP —
+    * the oracle replays plain IN-history semantics and never sees the
+    * filter. */
+  def qBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") % 10 < 8)
+      .select(md5(col("text")).as("h"), xxhash64(col("text")).as("hx"))
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+    val nHist = math.max(hist.count(), 1L)
+    val bloom = hist
+      .agg(graft.functions.SketchOps.bloom_filter_agg(col("hx"), nHist, nHist * 16))
+      .head().getAs[Array[Byte]](0)
+    val candidates = batch.filter(
+      graft.functions.SketchOps.might_contain(lit(bloom), xxhash64(col("text"))))
+    val nb = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+    val nd = candidates.withColumn("h", md5(col("text")))
+      .join(hist.select("h"), Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    nb.join(nd, Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_batch") - coalesce(col("n_dup"), lit(0L))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** The batch's Bloom-prefilter survivors (exposed for the spec: every
+    * true dup MUST survive — no false negatives — and FPs stay bounded). */
+  private[dedup] def bloomCandidates(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") % 10 < 8).select(xxhash64(col("text")).as("hx"))
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0).select(col("text")))
+    val nHist = math.max(hist.count(), 1L)
+    val bloom = hist
+      .agg(graft.functions.SketchOps.bloom_filter_agg(col("hx"), nHist, nHist * 16))
+      .head().getAs[Array[Byte]](0)
+    val surv = batch.filter(
+      graft.functions.SketchOps.might_contain(lit(bloom), xxhash64(col("text")))).count()
+    val trueDups = docs.filter(col("doc_id") % 10 === 0).count()
+    (batch.count(), surv, trueDups)
+  }
+
   /** Word 3-gram shingle sets for a text column (distinct). */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(trim(text), graft.operators.text.TextQueries.WsRe)
@@ -118,9 +178,23 @@ object DedupQueries extends QueryModule {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_embed" -> (qDedupEmbed _),
-    "q_sem_dedup" -> (qSemDedup _))
+    "q_sem_dedup" -> (qSemDedup _),
+    "q_bloom_dedup" -> (qBloomDedup _))
 
   override def oracles: Map[String, String] = Map(
+    "q_bloom_dedup" ->
+      """WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
+        |batch AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0),
+        |nb AS (SELECT source, CAST(count(*) AS BIGINT) AS n_batch FROM batch GROUP BY source),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup FROM batch
+        |       WHERE md5(text) IN (SELECT h FROM hist) GROUP BY source)
+        |SELECT nb.source, nb.n_batch,
+        |  COALESCE(nd.n_dup, 0) AS n_dup,
+        |  nb.n_batch - COALESCE(nd.n_dup, 0) AS n_kept
+        |FROM nb LEFT JOIN nd USING (source) ORDER BY nb.source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper,
         |  count(*) > 1 AS is_dup

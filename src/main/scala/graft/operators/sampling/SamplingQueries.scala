@@ -204,7 +204,64 @@ object SamplingQueries extends QueryModule {
       .orderBy("source")
   }
 
+  /** DSIR feature-space size (hashed n-gram buckets). Tiny here so the
+    * sf-scale corpus populates every bucket; production would use 10^4. */
+  val DsirBuckets = 64
+  private val DsirHashMod = 1000003L
+  private val dsirCache = new graft.RollingCache
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): features are hashed
+    * word uni+bigrams; log w(d) = Σ_f cnt_f(d)·(ln p_target(f) − ln
+    * p_raw(f)) with add-1 smoothing, target = the English slice of the
+    * corpus. Docs ranked by weight = the resampling order.
+    *
+    * Scale shape: feature expansion and bucket hashing are MAP-SIDE
+    * (array transform + char-Horner fold, codegen'd — no UDF); the
+    * distributions are two partial-agg shuffles collapsing to B=64 rows;
+    * scoring joins the B-row ratio table BROADCAST, so the whole pipeline
+    * is one scan + two bounded shuffles regardless of corpus size.
+    *
+    * Oracle determinism: the bucket hash is exact integer arithmetic both
+    * engines replay char-for-char; per-feature log-ratios are round(ln,6)
+    * → DECIMAL(9,6), summed exactly (order-free), per the QueryModule
+    * discipline. Totals are collected as exact longs (2 scalars).
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
+    val ws = filter(split(trim(lower(col("text"))),
+      graft.operators.text.TextQueries.WsRe), w => length(w) > 0)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), ws.as("ws"))
+    val uni = base.select(col("doc_id"), col("lang"), explode(col("ws")).as("f"))
+    val bi = base.filter(size(col("ws")) > 1)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("f"))
+    val feats = dsirCache.persist(uni.unionByName(bi)
+      .withColumn("bkt", expr(
+        s"aggregate(sequence(1, length(f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(f, i, 1))) % $DsirHashMod) % $B")))
+    val totRow = feats
+      .agg(count(lit(1)), count(when(col("lang") === "en", 1))).head()
+    val (tr, tt) = (totRow.getLong(0), totRow.getLong(1))
+    val raw = feats.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val lrs = spark.range(B).select(col("id").as("bkt"))
+      .join(raw, Seq("bkt"), "left").join(tgt, Seq("bkt"), "left")
+      .select(col("bkt"),
+        round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") * lit(tr + B)
+          / ((coalesce(col("cr"), lit(0L)) + 1) * lit(tt + B))), 6)
+          .cast("decimal(9,6)").as("lr6"))
+    feats.join(broadcast(lrs), Seq("bkt"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr6")).cast("double"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(25)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_sample_split" -> (qSampleSplit _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_quota_sample" -> (qQuotaSample _),
@@ -213,6 +270,36 @@ object SamplingQueries extends QueryModule {
     "q_mixture_sample" -> (qMixtureSample _))
 
   override def oracles: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, lang, list_filter(
+         |    string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM docs2),
+         |bi AS (
+         |  SELECT doc_id, lang, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS f
+         |  FROM (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM docs2 WHERE len(ws) > 1)),
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_transform(range(1, len(f) + 1),
+         |      i -> CAST(ord(f[i]) AS BIGINT)), (a, b) -> (a * 31 + b) % $DsirHashMod) % $DsirBuckets AS bkt
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |tots AS (SELECT count(*) AS tr,
+         |                count(*) FILTER (lang = 'en') AS tt FROM feats),
+         |raw AS (SELECT bkt, count(*) AS cr FROM feats GROUP BY bkt),
+         |tgt AS (SELECT bkt, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY bkt),
+         |lrs AS (
+         |  SELECT b.bkt,
+         |    CAST(round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * (s.tr + $DsirBuckets)
+         |      / ((COALESCE(r.cr, 0) + 1) * (s.tt + $DsirBuckets))), 6) AS DECIMAL(9,6)) AS lr6
+         |  FROM (SELECT unnest(range(0, $DsirBuckets)) AS bkt) b
+         |  LEFT JOIN raw r USING (bkt) LEFT JOIN tgt t USING (bkt) CROSS JOIN tots s)
+         |SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
+         |  round(CAST(sum(l.lr6) AS DOUBLE), 6) AS logw
+         |FROM feats f JOIN lrs l USING (bkt)
+         |GROUP BY f.doc_id, f.lang
+         |ORDER BY logw DESC, f.doc_id LIMIT 25""".stripMargin,
     "q_sample_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, n_chars, ${prioSql("doc_id")} % 100 AS bucket

@@ -151,4 +151,25 @@ class SamplingSpec extends SparkSpec {
         s"${r.getString(0)}: realized $realized vs target $t (n=$n)")
     }
   }
+
+  test("DSIR bucket hash: char-Horner fold matches the cross-engine constant") {
+    import spark.implicits._
+    // DuckDB replay of the same fold over 'hello wo' yields bucket 33
+    val b = Seq("hello wo").toDF("f").selectExpr(
+      "aggregate(sequence(1, length(f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(f, i, 1))) % 1000003) % 64")
+      .head().getLong(0)
+    assert(b == 33L, s"bucket hash drifted from the oracle arithmetic: $b")
+  }
+
+  test("DSIR weights: ranked output favors the target (English) slice") {
+    val rows = SamplingQueries.qDsirWeights(spark, SfDir).collect()
+    assert(rows.length == 25)
+    val ws = rows.map(_.getDouble(3))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "logw not descending")
+    val enShare = rows.count(_.getString(1) == "en").toDouble / rows.length
+    val corpus = Tables.documents(spark, SfDir)
+    val corpusEn = corpus.filter(org.apache.spark.sql.functions.col("lang") === "en").count().toDouble / corpus.count()
+    assert(enShare > corpusEn,
+      s"top-25 en share $enShare not above corpus share $corpusEn — importance weights carry no signal")
+  }
 }

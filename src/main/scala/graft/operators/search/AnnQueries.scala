@@ -194,7 +194,48 @@ object AnnQueries extends QueryModule {
     spark.read.parquet(outDir).orderBy("qid", "rk")
   }
 
+  /** Probe breadths for the recall-vs-cost sweep; 8 = every cell = the
+    * exact answer, pinning the curve's right edge at recall 1.0. */
+  val NprobeArms: Seq[Int] = Seq(1, 2, 4, 8)
+  private val nprobeCache = new graft.RollingCache
+
+  /** nprobe sweep: recall@10 of the IVF probe as the probe breadth grows
+    * 1→2→4→8 cells — THE tuning curve of the thesis (accuracy vs probe
+    * cost; Azure AI Search's `defaultSearchClusterCount`/nProbes knob).
+    * One cached assignment scan feeds every arm; cell ranking happens on
+    * the driver against the K-row centroid set, so each arm is a
+    * partition-prunable filter + bounded top-k — the arm count multiplies
+    * probe cost only, never the scan. */
+  def qNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cs = ClusteringQueries.centroids(spark, dir)
+    val e = nprobeCache.persist(Tables.embeddings(spark, dir)
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))
+    }
+    val ranked = cs.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy { case (i, d) => (d, i) }.map(_._1)
+    val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
+    def top10(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), round(cosine_sim(col("embedding"), qCol), 6).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10).select("vec_id")
+    val exact = top10(e.filter(col("vec_id") > 0))
+    NprobeArms.map { np =>
+      top10(e.filter(col("vec_id") > 0 && col("cell").isin(ranked.take(np): _*)))
+        .join(exact, Seq("vec_id"))
+        .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
+        .select(lit(np).as("nprobe"), col("recall"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nprobe_sweep" -> (qNprobeSweep _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_rank_metrics" -> (qRankMetrics _),
@@ -237,7 +278,30 @@ object AnnQueries extends QueryModule {
        |  FROM hits) WHERE rk <= 10
        |ORDER BY qid, rk""".stripMargin
 
+  private lazy val NprobeSweepOracle: String = {
+    val arms = NprobeArms.map { np =>
+      s"""SELECT $np AS nprobe, round(count(*) / 10.0, 6) AS recall
+         |FROM (SELECT vec_id FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY
+         |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+         |  FROM asg WHERE vec_id > 0
+         |    AND cell IN (SELECT cid FROM rankedc WHERE rn <= $np)) WHERE rn <= 10) t
+         |JOIN exact USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $AsgCte,
+       |rankedc AS (
+       |  SELECT c.cid, row_number() OVER (ORDER BY list_distance(q.v, c.cv), c.cid) AS rn
+       |  FROM c, (SELECT v FROM nrm WHERE vec_id = 0) q),
+       |exact AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |    round(list_cosine_similarity(raw, (SELECT raw FROM asg WHERE vec_id = 0)), 6) DESC, vec_id) AS rn
+       |  FROM asg WHERE vec_id > 0) WHERE rn <= 10)
+       |$arms
+       |ORDER BY nprobe""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q_nprobe_sweep" -> NprobeSweepOracle,
     "q_ann_ivf" ->
       s"""WITH $AsgCte
          |SELECT vec_id, cell,

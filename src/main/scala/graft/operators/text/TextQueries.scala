@@ -82,6 +82,38 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style per-language stratified quality filtering (Wenzek et al.
+    * 2020): one global threshold over-prunes low-resource languages, so
+    * the cut is the PER-LANGUAGE median of the quality score — keep docs
+    * at or above their own language's median. The threshold is an exact
+    * order statistic (`percentile_disc`), i.e. a value drawn from the
+    * rounded score set, so the keep/drop boundary is engine-exact with no
+    * float-mean ambiguity. Plan: one scan computes scores map-side, one
+    * bounded groupBy(lang) finds the medians, and the scored rows join the
+    * lang-row threshold table BROADCAST — corpus-size-independent state. */
+  def qLangQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(ws).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double").as("n_punct"),
+        stopHits(ws, StopEn).cast("double").as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(lit(0.4) * least(lit(1.0), col("n_words") / lit(50.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m"))
+          + lit(0.3) * (col("n_stop") / col("n_words")), 6).as("s"))
+    val thr = scored.groupBy("lang")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("thr")), 6).as("threshold"),
+        sum(when(col("s") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("s") >= col("thr"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Repetition scoring — the MassiveText/Gopher-style repetition filters
     * the quality heuristic doesn't capture: distinct-word ratio and
     * top-word mass per document. Classic wordcount shape: explode → two
@@ -193,6 +225,7 @@ object TextQueries extends QueryModule {
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_lang_quality_filter" -> (qLangQualityFilter _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_chunking" -> (qChunking _),
@@ -267,6 +300,26 @@ object TextQueries extends QueryModule {
          |  ${scoreSql("s_es", StopEs)},
          |  ${scoreSql("s_fr", StopFr)}
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_lang_quality_filter" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    round(0.4 * least(1.0, n_words / 50.0)
+         |        + 0.3 * (1.0 - n_punct / n_chars_m)
+         |        + 0.3 * (n_stop / n_words), 6) AS s
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
+         |         w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
+         |    FROM documents)),
+         |thr AS (SELECT lang, quantile_disc(s, 0.5) AS thr FROM sc GROUP BY lang)
+         |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(min(t.thr), 6) AS threshold,
+         |  CAST(sum(CASE WHEN sc.s >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN sc.s >= t.thr THEN sc.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM sc JOIN thr t USING (lang)
+         |GROUP BY sc.lang ORDER BY sc.lang""".stripMargin,
     "q_quality_score" ->
       s"""SELECT doc_id, n_words,
          |  round(n_punct / n_chars_m, 6) AS punct_ratio,

@@ -48,4 +48,13 @@ class AnnSpec extends SparkSpec {
     val recall = AnnQueries.qAnnRecall(spark, SfDir).head().getDouble(1)
     assert(math.abs(recall - hits / 10.0) < 1e-9)
   }
+
+  test("nprobe sweep: recall is monotone nondecreasing and exact at full probe") {
+    val rows = AnnQueries.qNprobeSweep(spark, SfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == AnnQueries.NprobeArms)
+    val rs = rows.map(_.getDouble(1))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as nprobe grows: ${rs.toSeq}")
+    assert(rs.last == 1.0, "probing every cell must reproduce the exact top-10")
+  }
 }

@@ -46,4 +46,19 @@ class TextQueriesSpec extends SparkSpec {
       .filter(col("n_words") =!= col("n_ws_tokens")).count()
     assert(mismatch == 0)
   }
+
+  test("per-language quality filter keeps roughly half of each language at its own median") {
+    val rows = TextQueries.qLangQualityFilter(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, n, kept) = (r.getString(0), r.getLong(1), r.getLong(3))
+      // median-disc cut: at least half survives (>=), never everything
+      // unless all scores tie
+      assert(kept * 2 >= n, s"$lang: kept $kept of $n — below its own median?")
+      assert(kept <= n)
+    }
+    // thresholds must differ across languages (the point of stratification)
+    assert(rows.map(_.getDouble(2)).distinct.length > 1,
+      "all language thresholds identical — stratification is a no-op")
+  }
 }

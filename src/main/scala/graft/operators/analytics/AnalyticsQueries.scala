@@ -234,7 +234,58 @@ object AnalyticsQueries extends QueryModule {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("all_same")
 
+  /** Embedding-distribution drift monitor: Population Stability Index of
+    * a dimension marginal (dim 0 — the corpus is pre-normalized, so norms
+    * carry no signal; production monitors one PSI per tracked dimension)
+    * between a reference slice (even vec_ids, standing in for "last
+    * snapshot") and the current slice (odd vec_ids). Bins are DECILES OF THE REFERENCE via exact
+    * percentile_disc order statistics, so bin edges — and therefore
+    * every bin count — are engine-exact; PSI terms use add-1-smoothed
+    * exact-integer fractions, rounded then decimal-summed. PSI > 0.2 is
+    * the classic "retrain/reindex" alarm an embedding pipeline watches.
+    *
+    * Scale shape: one scan computes norms map-side; the reference
+    * quantile pass is one order-statistic aggregate; binning is a 9-way
+    * literal comparison (no join); counts collapse to 10 rows. */
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val nBins = 10
+    val base = driftCache.persist(Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("x"),
+        (col("vec_id") % 2 === 0).as("is_ref")))
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edgeRow = base.filter(col("is_ref"))
+      .agg(expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY x)"),
+        qs.tail.map(q => expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY x)")): _*)
+      .head()
+    val edges = (0 until nBins - 1).map(edgeRow.getDouble)
+    val totRow = base.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)),
+      sum(when(!col("is_ref"), 1L).otherwise(0L))).head()
+    val (nr, nc) = (totRow.getLong(0), totRow.getLong(1))
+    val bin = edges.map(e => when(col("x") > lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(base.groupBy(bin.as("bin")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")),
+        Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val pr = (col("n_ref") + lit(1.0)) / lit(nr + nBins)
+    val pc = (col("n_cur") + lit(1.0)) / lit(nc + nBins)
+    counts
+      .withColumn("term", round((pc - pr) * log(pc / pr), 6))
+      .withColumn("psi", round(
+        sum(col("term").cast("decimal(9,6)")).over(Window.partitionBy())
+          .cast("double"), 6))
+      .orderBy("bin")
+  }
+  private val driftCache = new graft.RollingCache
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_cluster_category" -> (qClusterCategory _),
     "q_same_cluster_docs" -> (qSameClusterDocs _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -294,6 +345,34 @@ object AnalyticsQueries extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_embedding_drift" ->
+      """WITH nv AS (
+        |  SELECT vec_id,
+        |    round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+        |    vec_id % 2 = 0 AS is_ref
+        |  FROM embeddings),
+        |ed AS (SELECT quantile_disc(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+        |       FROM nv WHERE is_ref),
+        |bd AS (SELECT is_ref,
+        |    len(list_filter((SELECT es FROM ed), e -> x > e)) AS bin
+        |  FROM nv),
+        |cnt AS (
+        |  SELECT g.bin,
+        |    CAST(coalesce(sum(CASE WHEN bd.is_ref THEN 1 END), 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(sum(CASE WHEN NOT bd.is_ref THEN 1 END), 0) AS BIGINT) AS n_cur
+        |  FROM (SELECT unnest(range(0, 10)) AS bin) g
+        |  LEFT JOIN bd ON bd.bin = g.bin
+        |  GROUP BY g.bin),
+        |tots AS (SELECT count(*) FILTER (is_ref) AS nr,
+        |                count(*) FILTER (NOT is_ref) AS nc FROM nv),
+        |terms AS (
+        |  SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+        |    round(((n_cur + 1.0) / (t.nc + 10) - (n_ref + 1.0) / (t.nr + 10))
+        |      * ln(((n_cur + 1.0) / (t.nc + 10)) / ((n_ref + 1.0) / (t.nr + 10))), 6) AS term
+        |  FROM cnt CROSS JOIN tots t)
+        |SELECT bin, n_ref, n_cur, term,
+        |  round(CAST(sum(CAST(term AS DECIMAL(9,6))) OVER () AS DOUBLE), 6) AS psi
+        |FROM terms ORDER BY bin""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |  quantile_disc(value, 0.25) AS p25, quantile_disc(value, 0.5) AS p50,

@@ -157,7 +157,79 @@ object ClusteringQueries extends QueryModule {
       .orderBy("label")
   }
 
+  /** Cluster-validity indices the reference's k-sweeps pair with the
+    * silhouette (sklearn's other two standard metrics): Calinski-Harabasz
+    * = (B/(k−1))/(W/(n−k)) and Davies-Bouldin = mean_i max_{j≠i}
+    * (s_i+s_j)/d(c_i,c_j), over the deterministic first-K centroids so
+    * both engines replay the identical assignment.
+    *
+    * Scale shape: ONE scan computes all per-point terms map-side
+    * (NearestCentroid distance); W and the per-dim global mean are
+    * decimal-summed partial aggregates; everything after collapses to
+    * k-sized frames (k=8) — the k×k Davies-Bouldin pair table is a
+    * driver-built literal frame joined by equi-key, never a nested-loop
+    * join. Rounding discipline: per-row terms rounded(6) → DECIMAL sums;
+    * all downstream algebra token-identical in the oracle. */
+  def qClusterValidity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cs = centroids(spark, dir)
+    val k = cs.length
+    val pts = validityCache.persist(Tables.embeddings(spark, dir)
+      .withColumn("v", vec_normalize(col("embedding")))
+      .withColumn("asg", NearestCentroid(col("v"), cs))
+      .select(col("vec_id"), col("v"),
+        col("asg.centroid_id").as("cell"), col("asg.dist").as("dist")))
+    // global count + within-cluster sum of squares (decimal: order-free)
+    val glob = pts.agg(
+      count(lit(1)).as("n_pts"),
+      sum(round(col("dist") * col("dist"), 6).cast("decimal(25,6)"))
+        .cast("double").as("w_raw"))
+    // per-dim global mean of the normalized vectors (64 rows, driver-bounded)
+    val gRows = pts.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg((sum(round(col("x"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1))).as("m"))
+      .collect()
+    val gbar = new Array[Double](gRows.length)
+    gRows.foreach(r => gbar(r.getInt(0)) = r.getDouble(1))
+    val gbarCol = array(gbar.map(lit).toIndexedSeq: _*)
+    // per-centroid squared distance to the global mean (k literal rows)
+    val centDf = cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+    val bDf = centDf.select(col("cell"),
+      round(aggregate(zip_with(col("cv"), gbarCol, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6).as("bd6"))
+    // per-cluster size + mean distance to own centroid
+    val si = pts.groupBy("cell").agg(
+      count(lit(1)).as("n_i"),
+      round(sum(round(col("dist"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1)), 6).as("s_i"))
+    val bSum = si.join(broadcast(bDf), Seq("cell"))
+      .agg(sum(col("n_i").cast("decimal(9,0)") * col("bd6").cast("decimal(9,6)"))
+        .cast("double").as("b_raw"))
+    // Davies-Bouldin: k(k−1) literal centroid-pair distances, equi-joined
+    val pairSeq = for {
+      i <- cs.indices; j <- cs.indices if i != j
+    } yield (i, j, math.sqrt(cs(i).zip(cs(j)).map { case (a, b) => (a - b) * (a - b) }.sum))
+    val pairs = pairSeq.toDF("ci", "cj", "dij")
+    val dbv = pairs
+      .join(broadcast(si.select(col("cell").as("ci"), col("s_i").as("s1"))), Seq("ci"))
+      .join(broadcast(si.select(col("cell").as("cj"), col("s_i").as("s2"))), Seq("cj"))
+      .groupBy("ci")
+      .agg(max(round((col("s1") + col("s2")) / col("dij"), 6)).as("db_i"))
+      .agg(round(sum(col("db_i").cast("decimal(9,6)")).cast("double")
+        / count(lit(1)), 6).as("db_index"))
+    glob.crossJoin(broadcast(bSum)).crossJoin(broadcast(dbv))
+      .select(lit(k).as("k"), col("n_pts"),
+        round(col("w_raw"), 6).as("w_ssq"),
+        round(col("b_raw"), 6).as("b_ssq"),
+        round((col("b_raw") / (lit(k) - 1)) / (col("w_raw") / (col("n_pts") - lit(k))), 6)
+          .as("ch_index"),
+        col("db_index"))
+  }
+  private val validityCache = new graft.RollingCache
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_validity" -> (qClusterValidity _),
     "q_nearest_centroid" -> (qNearestCentroid _),
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_centroid_hist" -> (qCentroidHist _),
@@ -181,6 +253,40 @@ object ClusteringQueries extends QueryModule {
       |    FROM nrm n CROSS JOIN c) WHERE rn = 1)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q_cluster_validity" ->
+      s"""WITH $NrmCte,
+         |tot AS (SELECT count(*) AS n,
+         |  CAST(sum(CAST(round(dist * dist, 6) AS DECIMAL(25,6))) AS DOUBLE) AS w_raw
+         |  FROM asg),
+         |dims AS (SELECT ord,
+         |    CAST(sum(CAST(round(x, 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS ord FROM nrm)
+         |  GROUP BY ord),
+         |gb AS (SELECT list(m ORDER BY ord) AS g FROM dims),
+         |bc AS (SELECT c.cid AS cell,
+         |    round(list_reduce(list_transform(range(1, len(c.cv) + 1),
+         |      i -> (c.cv[i] - g.g[i]) * (c.cv[i] - g.g[i])), (a, b) -> a + b), 6) AS bd6
+         |  FROM c CROSS JOIN gb g),
+         |si AS (SELECT centroid_id AS cell, count(*) AS n_i,
+         |    round(CAST(sum(CAST(round(dist, 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS s_i
+         |  FROM asg GROUP BY centroid_id),
+         |bsum AS (SELECT
+         |    CAST(sum(CAST(s.n_i AS DECIMAL(9,0)) * CAST(b.bd6 AS DECIMAL(9,6))) AS DOUBLE) AS b_raw
+         |  FROM si s JOIN bc b USING (cell)),
+         |cd AS (SELECT a.cid AS ci, b.cid AS cj, list_distance(a.cv, b.cv) AS dij
+         |  FROM c a JOIN c b ON a.cid <> b.cid),
+         |ratios AS (SELECT cd.ci, max(round((s1.s_i + s2.s_i) / cd.dij, 6)) AS db_i
+         |  FROM cd JOIN si s1 ON s1.cell = cd.ci JOIN si s2 ON s2.cell = cd.cj
+         |  GROUP BY cd.ci),
+         |dbv AS (SELECT
+         |    round(CAST(sum(CAST(db_i AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS db_index
+         |  FROM ratios)
+         |SELECT $K AS k, CAST(g.n AS BIGINT) AS n_pts,
+         |  round(g.w_raw, 6) AS w_ssq,
+         |  round(bs.b_raw, 6) AS b_ssq,
+         |  round((bs.b_raw / ($K - 1)) / (g.w_raw / (g.n - $K)), 6) AS ch_index,
+         |  d.db_index
+         |FROM tot g CROSS JOIN bsum bs CROSS JOIN dbv d""".stripMargin,
     "q_nearest_centroid" ->
       s"""WITH $NrmCte
          |SELECT vec_id, centroid_id, round(dist, 6) AS dist FROM asg ORDER BY vec_id""".stripMargin,

@@ -17,10 +17,13 @@ class QueriesSmokeSpec extends SparkSpec {
     *    ≤ ClusteringQueries.MaxSilhouetteRows rows;
     *  - q_decontaminate: crossJoin of two ONE-ROW aggregate summaries;
     *  - q_temperature_mix: crossJoin with the ONE-ROW weight normalizer;
-    *  - q_rank_metrics: crossJoin of ONE-ROW DCG and IDCG aggregates. */
+    *  - q_rank_metrics: crossJoin of ONE-ROW DCG and IDCG aggregates;
+    *  - q_cluster_validity: crossJoin of three ONE-ROW summaries (global
+    *    W/n, B, and the k-row-derived Davies-Bouldin scalar). */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
-    "q_decontaminate", "q_temperature_mix", "q_rank_metrics")
+    "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
+    "q_cluster_validity")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

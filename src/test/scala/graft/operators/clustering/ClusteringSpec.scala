@@ -54,4 +54,17 @@ class ClusteringSpec extends SparkSpec {
     val docsWithChunks = (nEmb + graft.Tables.ChunksPerDoc - 1) / graft.Tables.ChunksPerDoc
     assert(lm.filter(col("etiqueta_cluster").isNotNull).count() == docsWithChunks)
   }
+
+  test("cluster validity: CH and DB are positive, finite, and self-consistent") {
+    val r = ClusteringQueries.qClusterValidity(spark, SfDir).head()
+    val (k, n) = (r.getInt(0), r.getLong(1))
+    val (w, b, ch, db) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(k == ClusteringQueries.K)
+    assert(n == graft.Tables.embeddings(spark, SfDir).count())
+    assert(w > 0 && b > 0, s"sums of squares must be positive: W=$w B=$b")
+    // CH must equal its definition re-derived from the reported sums
+    val chRef = (b / (k - 1)) / (w / (n - k))
+    assert(approx(ch, chRef, 1e-5), s"CH $ch != (B/(k-1))/(W/(n-k)) = $chRef")
+    assert(db > 0 && !db.isNaN && !db.isInfinite, s"bad Davies-Bouldin: $db")
+  }
 }

@@ -316,4 +316,162 @@ object Graft {
                           minJaccard: Double = 0.5): DataFrame =
     operators.dedup.StreamNearDup.pairsAgainst(store.unionByName(batch),
       batch, minJaccard)
+
+  /** Incremental exact dedup against an already-ingested history: drops
+    * every batch row whose `textCol` content the history contains. The
+    * history is summarized once into a Bloom filter (mergeable one-pass
+    * sketch, 16 bits/item ≈ 1.1% FPP) probed MAP-SIDE by the batch; only
+    * survivors pay the exact md5 semi-join, so the verify shuffle carries
+    * the dup rate, not the batch. Exact regardless of FPP (no bloom false
+    * negatives; false positives die in the join) — q_bloom_dedup's
+    * primitive. */
+  def bloomDedupFilter(history: DataFrame, batch: DataFrame,
+                       textCol: String): DataFrame = {
+    val hist = history.select(md5(col(textCol)).as("__h"),
+      xxhash64(col(textCol)).as("__hx"))
+    val nHist = math.max(hist.count(), 1L)
+    val bloom = hist
+      .agg(functions.SketchOps.bloom_filter_agg(col("__hx"), nHist, nHist * 16))
+      .head().getAs[Array[Byte]](0)
+    val candidates = batch
+      .filter(functions.SketchOps.might_contain(lit(bloom), xxhash64(col(textCol))))
+      .withColumn("__h", md5(col(textCol)))
+      .join(hist.select("__h"), Seq("__h"), "left_semi")
+      .select(md5(col(textCol)).as("__dup_h")).distinct()
+    batch.join(candidates, md5(col(textCol)) === col("__dup_h"), "left_anti")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023) of every document against a
+    * target slice: hashed word uni+bigram features, add-1-smoothed
+    * target/raw log-ratios, per-doc Σcnt·lr. Returns (idCol, n_feats,
+    * logw); resample by ranking on logw. `isTarget` marks the
+    * high-quality slice (e.g. `col("lang") === "en"`). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val ws = filter(split(trim(lower(col(textCol))),
+      operators.text.TextQueries.WsRe), w => length(w) > 0)
+    val base = docs.select(col(idCol).as("__id"), isTarget.as("__tgt"), ws.as("__ws"))
+    val uni = base.select(col("__id"), col("__tgt"), explode(col("__ws")).as("__f"))
+    val bi = base.filter(size(col("__ws")) > 1)
+      .select(col("__id"), col("__tgt"), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> concat(__ws[i-1], ' ', __ws[i]))")).as("__f"))
+    val feats = dsirFacadeCache.persist(uni.unionByName(bi).withColumn("__bkt", expr(
+      s"aggregate(sequence(1, length(__f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(__f, i, 1))) % 1000003) % $buckets")))
+    val tot = feats.agg(count(lit(1)), count(when(col("__tgt"), 1))).head()
+    val (tr, tt) = (tot.getLong(0), tot.getLong(1))
+    val raw = feats.groupBy("__bkt").agg(count(lit(1)).as("__cr"))
+    val tgt = feats.filter(col("__tgt")).groupBy("__bkt").agg(count(lit(1)).as("__ct"))
+    val lrs = feats.sparkSession.range(buckets).select(col("id").as("__bkt"))
+      .join(raw, Seq("__bkt"), "left").join(tgt, Seq("__bkt"), "left")
+      .select(col("__bkt"),
+        round(log((coalesce(col("__ct"), lit(0L)) + 1).cast("double") * lit(tr + buckets)
+          / ((coalesce(col("__cr"), lit(0L)) + 1) * lit(tt + buckets))), 6)
+          .cast("decimal(9,6)").as("__lr"))
+    feats.join(broadcast(lrs), Seq("__bkt"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("__lr")).cast("double"), 6).as("logw"))
+  }
+  private val dsirFacadeCache = new RollingCache
+
+  /** Calinski-Harabasz + Davies-Bouldin validity indices of a clustering
+    * over `centroids` (nuevo-kmeans-pre.ipynb pairs these sweeps with the
+    * silhouette): one scan of per-point terms, k-sized everything after.
+    * Returns a single row (k, n_pts, w_ssq, b_ssq, ch_index, db_index). */
+  def clusterValidity(df: DataFrame, embeddingCol: String,
+                      centroids: Seq[Seq[Double]]): DataFrame = {
+    // the oracled diagnostic is the same shape over the testdata tables
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = centroids.length
+    val pts = validityFacadeCache.persist(df
+      .withColumn("__v", vec_normalize(col(embeddingCol)))
+      .withColumn("__asg", NearestCentroid(col("__v"), centroids))
+      .select(col("__v"), col("__asg.centroid_id").as("__cell"),
+        col("__asg.dist").as("__dist")))
+    val glob = pts.agg(count(lit(1)).as("n_pts"),
+      sum(round(col("__dist") * col("__dist"), 6).cast("decimal(25,6)"))
+        .cast("double").as("__w"))
+    val gRows = pts.select(posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg((sum(round(col("__x"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1))).as("__m")).collect()
+    val gbar = new Array[Double](gRows.length)
+    gRows.foreach(r => gbar(r.getInt(0)) = r.getDouble(1))
+    val gbarCol = array(gbar.map(lit).toIndexedSeq: _*)
+    val bDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__cell", "__cv")
+      .select(col("__cell"),
+        round(aggregate(zip_with(col("__cv"), gbarCol, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6).as("__bd"))
+    val si = pts.groupBy("__cell").agg(count(lit(1)).as("__ni"),
+      round(sum(round(col("__dist"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1)), 6).as("__si"))
+    val bSum = si.join(broadcast(bDf), Seq("__cell"))
+      .agg(sum(col("__ni").cast("decimal(9,0)") * col("__bd").cast("decimal(9,6)"))
+        .cast("double").as("__b"))
+    val pairSeq = for {
+      i <- centroids.indices; j <- centroids.indices if i != j
+    } yield (i, j,
+      math.sqrt(centroids(i).zip(centroids(j)).map { case (a, b) => (a - b) * (a - b) }.sum))
+    val dbv = pairSeq.toDF("__ci", "__cj", "__dij")
+      .join(broadcast(si.select(col("__cell").as("__ci"), col("__si").as("__s1"))), Seq("__ci"))
+      .join(broadcast(si.select(col("__cell").as("__cj"), col("__si").as("__s2"))), Seq("__cj"))
+      .groupBy("__ci")
+      .agg(max(round((col("__s1") + col("__s2")) / col("__dij"), 6)).as("__dbi"))
+      .agg(round(sum(col("__dbi").cast("decimal(9,6)")).cast("double")
+        / count(lit(1)), 6).as("db_index"))
+    glob.crossJoin(broadcast(bSum)).crossJoin(broadcast(dbv))
+      .select(lit(k).as("k"), col("n_pts"),
+        round(col("__w"), 6).as("w_ssq"), round(col("__b"), 6).as("b_ssq"),
+        round((col("__b") / (lit(k) - 1)) / (col("__w") / (col("n_pts") - lit(k))), 6)
+          .as("ch_index"),
+        col("db_index"))
+  }
+  private val validityFacadeCache = new RollingCache
+
+  /** Population Stability Index of `valueCol` between a reference and a
+    * current frame — the drift alarm over any scalar marginal (embedding
+    * dimension, norm, quality score). Bins are exact reference deciles;
+    * returns per-bin rows with the PSI total repeated. PSI > 0.2 is the
+    * classic "retrain/reindex" threshold. */
+  def psiDrift(reference: DataFrame, current: DataFrame,
+               valueCol: String, bins: Int = 10): DataFrame = {
+    val both = reference.select(round(col(valueCol), 6).as("__x"), lit(true).as("__ref"))
+      .unionByName(current.select(round(col(valueCol), 6).as("__x"), lit(false).as("__ref")))
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val edgeRow = both.filter(col("__ref"))
+      .agg(expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY __x)"),
+        qs.tail.map(q => expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY __x)")): _*)
+      .head()
+    val edges = (0 until bins - 1).map(edgeRow.getDouble)
+    val tot = both.agg(sum(when(col("__ref"), 1L).otherwise(0L)),
+      sum(when(!col("__ref"), 1L).otherwise(0L))).head()
+    val (nr, nc) = (tot.getLong(0), tot.getLong(1))
+    val binCol = edges.map(e => when(col("__x") > lit(e), 1).otherwise(0)).reduce(_ + _)
+    val counts = both.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+      .join(both.groupBy(binCol.as("bin")).agg(
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur")), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val pr = (col("n_ref") + lit(1.0)) / lit(nr + bins)
+    val pc = (col("n_cur") + lit(1.0)) / lit(nc + bins)
+    counts.withColumn("term", round((pc - pr) * log(pc / pr), 6))
+      .withColumn("psi", round(
+        sum(col("term").cast("decimal(9,6)")).over(Window.partitionBy())
+          .cast("double"), 6))
+      .orderBy("bin")
+  }
+
+  /** Per-group stratified filter: keep rows at or above their own group's
+    * exact `quantile` of `scoreCol` (CCNet's per-language cut —
+    * q_lang_quality_filter's primitive). */
+  def stratifiedFilter(df: DataFrame, groupCol: String, scoreCol: String,
+                       quantile: Double = 0.5): DataFrame = {
+    val thr = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile_disc($quantile) WITHIN GROUP (ORDER BY $scoreCol)").as("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

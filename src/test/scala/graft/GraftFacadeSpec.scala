@@ -175,4 +175,64 @@ class GraftFacadeSpec extends SparkSpec {
     assert(approx(r.getDouble(1), 5.0))
     assert(approx(r.getDouble(2), 1.0))
   }
+
+  test("bloomDedupFilter drops exactly the history-contained batch rows") {
+    import spark.implicits._
+    val history = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val batch = Seq((10L, "beta"), (11L, "delta"), (12L, "gamma"), (13L, "epsilon"))
+      .toDF("id", "text")
+    val kept = Graft.bloomDedupFilter(history, batch, "text")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 13L), s"expected fresh rows only, got $kept")
+  }
+
+  test("importanceWeights ranks target-like docs above off-target docs") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the quick brown fox jumps over the lazy dog", true)
+      else (i.toLong, "zzz qqq xxx vvv kkk www yyy uuu ooo ppp", false)
+    }.toDF("id", "text", "is_en")
+    val w = Graft.importanceWeights(docs, "id", "text", org.apache.spark.sql.functions.col("is_en"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val evenMean = (0 until 40 by 2).map(i => w(i.toLong)).sum / 20
+    val oddMean = (1 until 40 by 2).map(i => w(i.toLong)).sum / 20
+    assert(evenMean > oddMean,
+      s"target-matching docs must outweigh off-target: $evenMean <= $oddMean")
+  }
+
+  test("psiDrift is ~0 for identical halves and large for disjoint ranges") {
+    import spark.implicits._
+    val a = (0 until 200).map(i => i.toDouble % 50).toDF("x")
+    val same = Graft.psiDrift(a, a, "x").head().getDouble(4)
+    assert(same < 0.05, s"identical distributions must have ~zero PSI: $same")
+    val b = (0 until 200).map(i => 1000.0 + i % 50).toDF("x")
+    val far = Graft.psiDrift(a, b, "x").head().getDouble(4)
+    assert(far > 0.2, s"disjoint distributions must trip the PSI alarm: $far")
+  }
+
+  test("stratifiedFilter keeps at least half of each group, cut at its own median") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 0 until 20)
+      yield (g, if (g == "a") i.toDouble else i * 100.0)).toDF("g", "s")
+    val kept = Graft.stratifiedFilter(df, "g", "s")
+    val counts = kept.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") >= 10 && counts("b") >= 10, s"median cut must keep >= half: $counts")
+    // group a's absolute scores are far below b's kept rows — per-group cut, not global
+    assert(counts("a") > 0, "a would be empty under a global threshold")
+  }
+
+  test("clusterValidity on separated synthetic clusters: CH high, DB low vs mixed") {
+    import spark.implicits._
+    def mk(center: Double, n: Int, off: Int) =
+      (0 until n).map { i =>
+        (off + i.toLong, Array(center.toFloat, (center + 0.1 * (i % 5)).toFloat,
+          (center - 0.05 * (i % 3)).toFloat, center.toFloat))
+      }
+    val pts = (mk(1.0, 20, 0) ++ mk(-1.0, 20, 100)).toDF("vec_id", "embedding")
+    val cents = Seq(Seq.fill(4)(0.5), Seq.fill(4)(-0.5))
+    val r = Graft.clusterValidity(pts, "embedding", cents).head()
+    assert(r.getInt(0) == 2 && r.getLong(1) == 40)
+    assert(r.getDouble(4) > 100.0, s"well-separated clusters need high CH: ${r.getDouble(4)}")
+    assert(r.getDouble(5) < 0.5, s"well-separated clusters need low DB: ${r.getDouble(5)}")
+  }
 }

@@ -176,10 +176,21 @@ object Mahalanobis extends QueryModule {
     out
   }
 
+  // memoized per corpus dir: the query and the dynamic-oracle generator
+  // MUST embed bit-identical (mu, Σ⁻¹) literals — the fit itself uses
+  // partition-order-dependent double treeAggregate sums, which is fine
+  // exactly because both sides replay the SAME fitted constants
+  private val classicalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Array[Double]])]()
+
+  def classicalModel(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
+    classicalCache.computeIfAbsent(dir,
+      _ => fitInverse(Tables.embeddings(spark, dir), "embedding"))
+
   /** Top-20 Mahalanobis outliers of the embedding corpus. */
   def qMahalanobis(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (mu, inv) = fitInverse(e, "embedding")
+    val (mu, inv) = classicalModel(spark, dir)
     e.select(col("vec_id"),
       round(MahalanobisSq(col("embedding"), mu.toIndexedSeq,
         inv.map(_.toIndexedSeq).toIndexedSeq), 4).as("maha_sq"))
@@ -260,9 +271,41 @@ object Mahalanobis extends QueryModule {
     "q_mahalanobis_robust" -> (qMahalanobisRobust _),
     "q_covariance" -> (qCovariance _))
 
-  /** Matrix inversion is not SQL-expressible — the two distance queries
-    * stay rows-only (invariants incl. planted-contamination recovery in
-    * MahalanobisSpec) — but their shared moment pass IS plain aggregation:
+  /** Replays the driver-fitted (μ, Σ⁻¹) as SQL literals and the
+    * [[MahalanobisSq]] fold ADDITION-FOR-ADDITION: per i ascending, the
+    * diagonal term M_ii·z_i², then 2·z_i·(Σ_{j>i} M_ij·z_j) with the inner
+    * fold ascending — flatten + list_reduce reproduces the exact
+    * accumulation order, so every per-row double is bit-identical and
+    * q_mahalanobis sits under the driver hash (the same literal-replay
+    * trick as q_pca_proj). The ROBUST twin stays rows-only: its C-step
+    * support thresholds come from percentile_approx sketches. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val (mu, inv) = classicalModel(spark, dir)
+    val muL = mu.mkString("[", ", ", "]")
+    val mL = inv.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    Map("q_mahalanobis" ->
+      s"""WITH lits AS (SELECT $muL AS mu, $mL AS m),
+         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |mz AS (SELECT vec_id, len(x) AS d, l.m AS m,
+         |  list_transform(range(1, len(x) + 1), i -> x[i] - l.mu[i]) AS z
+         |  FROM pts CROSS JOIN lits l),
+         |sc AS (SELECT vec_id,
+         |  list_reduce(flatten(list_transform(range(1, d + 1), i ->
+         |    [ m[i][i] * z[i] * z[i],
+         |      2.0 * z[i] * (CASE WHEN i = d THEN 0.0 ELSE
+         |        list_reduce(list_transform(range(i + 1, d + 1), j -> m[i][j] * z[j]),
+         |          (p, q) -> p + q) END) ])),
+         |    (p, q) -> p + q) AS m2
+         |  FROM mz)
+         |SELECT vec_id, round(m2, 4) AS maha_sq FROM sc
+         |ORDER BY maha_sq DESC, vec_id LIMIT 20""".stripMargin)
+  }
+
+  /** Matrix inversion is not SQL-expressible in static form — the ROBUST
+    * distance query stays rows-only (invariants incl. planted-contamination
+    * recovery in MahalanobisSpec); the classical one is oracled via
+    * [[dynamicOracles]] literal replay. The shared moment pass IS plain
+    * aggregation:
     * q_covariance replays Σx/Σxxᵀ → (mean, sample covariance) in DuckDB
     * with the same μ-centering algebra ((Σxx − n·μ_i·μ_j)/(n−1)). The
     * sums are DECIMAL(38,18) on BOTH sides (order-independent and

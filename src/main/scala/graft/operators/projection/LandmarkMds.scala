@@ -139,15 +139,38 @@ object LandmarkMdsQueries extends QueryModule {
   /** Per-label centroid of the 2-D embedding + spread — the scatter-plot
     * summary the reference reads off its UMAP figures. Model is
     * data-dependent (rows-only); geometry invariants in LandmarkMdsSpec. */
+  // memoized per dir: the query and the dynamic-oracle generator must
+  // embed bit-identical model literals (fit is deterministic driver
+  // arithmetic, but sharing one instance makes that contract structural)
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LandmarkMds.Model]()
+
+  def model(spark: SparkSession, dir: String): LandmarkMds.Model =
+    modelCache.computeIfAbsent(dir,
+      _ => LandmarkMds.fit(Tables.embeddings(spark, dir), "vec_id", "embedding"))
+
+  /** Per-label centroid/σ of the 2-D LMDS projection. The per-row
+    * projections are literal linear combinations (map-side, replayable);
+    * the means/σ use ROUNDED-then-DECIMAL sums so the label stats are
+    * partition-order-free — which is what lets the whole query sit under
+    * the driver hash via [[dynamicOracles]] literal replay (r4; was
+    * rows-only while it aggregated with avg/stddev_samp). */
   def qLmds(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val model = LandmarkMds.fit(e, "vec_id", "embedding")
-    LandmarkMds.transform(e, "embedding", model)
+    val mdl = model(spark, dir)
+    def mean(c: String) =
+      round(sum(col(c).cast("decimal(25,6)")).cast("double") / count(lit(1)), 4)
+    def std(c: String) = {
+      val n = count(lit(1))
+      val s1 = sum(col(c).cast("decimal(25,6)")).cast("double")
+      val s2 = sum((col(c) * col(c)).cast("decimal(30,12)")).cast("double")
+      round(sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)), 4)
+    }
+    LandmarkMds.transform(e, "embedding", mdl)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("p0")), 4).as("c0"), round(avg(col("p1")), 4).as("c1"),
-        round(stddev_samp(col("p0")), 4).as("s0"),
-        round(stddev_samp(col("p1")), 4).as("s1"))
+        mean("p0").as("c0"), mean("p1").as("c1"),
+        std("p0").as("s0"), std("p1").as("s1"))
       .orderBy("label")
   }
 
@@ -155,4 +178,48 @@ object LandmarkMdsQueries extends QueryModule {
     "q_lmds" -> (qLmds _))
 
   override def oracles: Map[String, String] = Map.empty
+
+  /** Replays the fitted landmarks / Δ-means / axis weights as SQL
+    * literals, the VecEuclideanSq and Σⱼ folds addition-for-addition, and
+    * the decimal label stats token-for-token (the q_mahalanobis pattern;
+    * literals hoisted into a one-row CTE so DuckDB materializes them once,
+    * not per lambda call). */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val mdl = model(spark, dir)
+    val m = mdl.landmarks.length
+    def l(v: Array[Double]): String = v.mkString("[", ", ", "]")
+    val lms = mdl.landmarks.map(l).mkString("[", ", ", "]")
+    // per-axis coefficients fold the -0.5 in, exactly as transform does
+    val w0 = l(mdl.weights(0).map(-0.5 * _))
+    val w1 = l(mdl.weights(1).map(-0.5 * _))
+    Map("q_lmds" ->
+      s"""WITH lits AS (SELECT $lms AS lms, ${l(mdl.deltaMean)} AS dm,
+         |                     $w0 AS w0, $w1 AS w1),
+         |pts AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         |dz AS (SELECT label,
+         |  list_transform(range(1, $m + 1), j ->
+         |    list_reduce(list_transform(range(1, len(x) + 1),
+         |      i -> (x[i] - l.lms[j][i]) * (x[i] - l.lms[j][i])), (p, q) -> p + q)
+         |    - l.dm[j]) AS d,
+         |  l.w0 AS w0, l.w1 AS w1
+         |  FROM pts CROSS JOIN lits l),
+         |pr AS (SELECT label,
+         |  round(list_reduce(list_transform(range(1, $m + 1), j -> d[j] * w0[j]),
+         |    (p, q) -> p + q), 6) AS p0,
+         |  round(list_reduce(list_transform(range(1, $m + 1), j -> d[j] * w1[j]),
+         |    (p, q) -> p + q), 6) AS p1
+         |  FROM dz)
+         |SELECT label, count(*) AS n,
+         |  round(CAST(sum(CAST(p0 AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS c0,
+         |  round(CAST(sum(CAST(p1 AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS c1,
+         |  round(sqrt((CAST(sum(CAST(p0 * p0 AS DECIMAL(30,12))) AS DOUBLE)
+         |    - count(*) * (CAST(sum(CAST(p0 AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+         |      * (CAST(sum(CAST(p0 AS DECIMAL(25,6))) AS DOUBLE) / count(*)))
+         |    / (count(*) - 1)), 4) AS s0,
+         |  round(sqrt((CAST(sum(CAST(p1 * p1 AS DECIMAL(30,12))) AS DOUBLE)
+         |    - count(*) * (CAST(sum(CAST(p1 AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+         |      * (CAST(sum(CAST(p1 AS DECIMAL(25,6))) AS DOUBLE) / count(*)))
+         |    / (count(*) - 1)), 4) AS s1
+         |FROM pr GROUP BY label ORDER BY label""".stripMargin)
+  }
 }

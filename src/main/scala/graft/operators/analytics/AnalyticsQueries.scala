@@ -284,7 +284,75 @@ object AnalyticsQueries extends QueryModule {
   }
   private val driftCache = new graft.RollingCache
 
+  /** Ordered, WINDOWED funnel conversion over the event stream: users
+    * who viewed, then clicked within 1 h of their first view, then
+    * purchased within 24 h of that first qualifying click — strict
+    * ordering plus per-step conversion windows, the semantics product
+    * analytics means by "funnel". Timestamps stay exact epoch-NANOS longs
+    * end to end (integer comparisons, no float time). Each stage is one
+    * groupBy(user) min + one equi-join on user_id — shuffle-partitioned
+    * by user, no window over global order, user cardinality never on the
+    * driver. */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").as("ts_ns"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val HourNs = 3600L * 1000000000L
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_ns") > col("t1") && col("ts_ns") <= col("t1") + lit(HourNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_ns") > col("t2") && col("ts_ns") <= col("t2") + lit(24L * HourNs))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    val stages = Seq("1_view" -> s1, "2_click_within_1h" -> s2,
+      "3_purchase_within_24h" -> s3)
+    val unioned = stages.map { case (nm, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy("stage") // 3 rows — the tiny final window is fine
+    unioned.withColumn("pct_of_prev",
+        round(col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention over HIGH-VALUE purchases (value > 75 —
+    * P80-ish; the raw event stream is dense enough that every user is
+    * active every week, which measures nothing): users grouped by the
+    * week of their first qualifying purchase; retention(c, o) = distinct
+    * users of cohort c purchasing again in week c+o over the cohort size.
+    * Day/week indices are exact integer divisions of epoch-nanos; the
+    * only float is the final rounded ratio. Plan: one distinct
+    * (user, week) shuffle + one groupBy(user) for the cohort assignment +
+    * a user-keyed equi-join — the 100 TB shape (everything keyed by
+    * user/cohort, nothing driver-side). */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val DayNs = 86400L * 1000000000L
+    val ev = Tables.eventsNanos(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 75.0)
+      .select(col("user_id"), expr(s"ts DIV $DayNs").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("d0"))
+    val active = ev.distinct()
+    val joined = active.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        expr("d0 DIV 7").as("cohort_week"),
+        (expr("day DIV 7") - expr("d0 DIV 7")).as("week_offset"))
+    val ret = joined.groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = first.groupBy(expr("d0 DIV 7").as("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ret.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel" -> (qEventFunnel _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_cluster_category" -> (qClusterCategory _),
     "q_same_cluster_docs" -> (qSameClusterDocs _),
@@ -345,6 +413,42 @@ object AnalyticsQueries extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+        |s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts_ns) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_ns > t1
+        |         AND ts_ns <= t1 + 3600000000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts_ns) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_ns > t2
+        |         AND ts_ns <= t2 + 86400000000000 GROUP BY e.user_id),
+        |u AS (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click_within_1h', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_purchase_within_24h', CAST(count(*) AS BIGINT) FROM s3)
+        |SELECT stage, n_users,
+        |  round(n_users / coalesce(lag(n_users) OVER (ORDER BY stage), n_users), 6) AS pct_of_prev
+        |FROM u ORDER BY stage""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |  WHERE event_type = 'purchase' AND value > 75.0),
+        |first AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM e),
+        |joined AS (
+        |  SELECT a.user_id, f.d0 // 7 AS cohort_week,
+        |    (a.day // 7) - (f.d0 // 7) AS week_offset
+        |  FROM active a JOIN first f USING (user_id)),
+        |ret AS (SELECT cohort_week, week_offset,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM joined GROUP BY cohort_week, week_offset),
+        |sizes AS (SELECT d0 // 7 AS cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM first GROUP BY 1)
+        |SELECT r.cohort_week, r.week_offset, r.n_active, s.cohort_size,
+        |  round(r.n_active / s.cohort_size, 6) AS retention
+        |FROM ret r JOIN sizes s USING (cohort_week)
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
     "q_embedding_drift" ->
       """WITH nv AS (
         |  SELECT vec_id,

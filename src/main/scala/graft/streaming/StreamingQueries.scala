@@ -276,6 +276,104 @@ object StreamingQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  // ---- streaming funnel ----------------------------------------------------
+
+  case class FunnelEv(event_id: Long, user_id: Long, event_type: String,
+                      ts_ns: Long)
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = stage unreached
+  case class FunnelAdv(user_id: Long, stage: Int)
+
+  private val FunnelHourNs = 3600L * 1000000000L
+
+  /** Per-user funnel state machine mirroring q_event_funnel's strict
+    * ordered windows EXACTLY (same epoch-nanos integer comparisons):
+    * first view opens the funnel; the first click in (t1, t1+1h] and the
+    * first purchase in (t2, t2+24h] advance it. Within a batch events are
+    * processed in (ts, event_id) order; equal-ts view/click pairs cannot
+    * qualify each other under the strict `>` on either processing order —
+    * matching the batch min-aggregation semantics. Emits one row per
+    * stage ADVANCE (stages only move forward), so max(stage) per user is
+    * the user's final funnel depth. State: three longs per active user. */
+  private def funnelStep(userId: Long, it: Iterator[FunnelEv],
+                         state: GroupState[FunnelState]): Iterator[FunnelAdv] = {
+    val evs = it.toIndexedSeq.sortBy(e => (e.ts_ns, e.event_id))
+    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdv]
+    evs.foreach { e =>
+      e.event_type match {
+        case "view" if st.t1 < 0 =>
+          st = st.copy(t1 = e.ts_ns); out += FunnelAdv(userId, 1)
+        case "click" if st.t1 >= 0 && st.t2 < 0 &&
+            e.ts_ns > st.t1 && e.ts_ns <= st.t1 + FunnelHourNs =>
+          st = st.copy(t2 = e.ts_ns); out += FunnelAdv(userId, 2)
+        case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+            e.ts_ns > st.t2 && e.ts_ns <= st.t2 + 24L * FunnelHourNs =>
+          st = st.copy(t3 = e.ts_ns); out += FunnelAdv(userId, 3)
+        case _ =>
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Stage events as three ts-tercile files KEEPING epoch-nanos (the
+    * funnel windows compare raw ns) — value cuts preserve the
+    * same-ts-same-batch invariant, so per-user event order is global ts
+    * order across batches. */
+  private def stageFunnelFiles(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_funnel_stream", graft.Fs.stageKey(dir, "events.parquet"))
+    if ((0 until 3).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
+      return stage.toString
+    graft.Fs.deleteRecursively(stage)
+    val e = Tables.eventsNanos(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").as("ts_ns"))
+      .persist()
+    val cuts = e.agg(
+      percentile_approx(col("ts_ns"), array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(10000)).as("c"))
+      .head().getSeq[Long](0)
+    val parts = e.withColumn("part",
+      when(col("ts_ns") <= cuts(0), 0).when(col("ts_ns") <= cuts(1), 1).otherwise(2))
+    graft.Fs.stageParts(stage,
+      (0 until 3).map(i => parts.filter(col("part") === i).drop("part")))
+    e.unpersist()
+    stage.toString
+  }
+
+  /** STREAMING funnel conversion — the online twin of q_event_funnel:
+    * per-user ordered-window state machine over real microbatches, a
+    * click in batch 1 qualifying a purchase in batch 3 through the state
+    * store. The final stage counts are batch-split-independent (stages
+    * advance on exactly the events the batch min-aggregations pick), so
+    * the query SHARES q_event_funnel's oracle. */
+  def qFunnelStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = stageFunnelFiles(spark, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_ns", LongType)))
+    val adv = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(funnelStep)
+    val t = runToTable(spark, adv.toDF(), "funnel_stream", OutputMode.Append())
+    val maxStage = t.groupBy("user_id").agg(max(col("stage")).as("ms"))
+    val stages = Seq(1 -> "1_view", 2 -> "2_click_within_1h",
+      3 -> "3_purchase_within_24h")
+    val unioned = stages.map { case (k, nm) =>
+      maxStage.filter(col("ms") >= k).agg(count(lit(1)).as("n_users"))
+        .select(lit(nm).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    unioned.withColumn("pct_of_prev",
+        round(col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
+      .orderBy("stage")
+  }
+
   /** Stage documents as two id-halves for an ordered 2-batch ingest
     * (same stageKey caching scheme as the other streaming stagings). */
   private def stageQuotaFiles(spark: SparkSession, dir: String): String = {
@@ -361,12 +459,17 @@ object StreamingQueries extends QueryModule {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_events_enrich_stream" -> (qEventsEnrichStream _),
     "q_stream_classify" -> (qStreamClassify _),
-    "q_asof_stream" -> (qAsofStream _))
+    "q_asof_stream" -> (qAsofStream _),
+    "q_funnel_stream" -> (qFunnelStream _))
 
   override def oracles: Map[String, String] = Map(
     // identical semantics to the batch as-of join → identical oracle
     "q_asof_stream" ->
       graft.operators.analytics.TemporalJoins.oracles("q_asof_join"),
+    // stage advances mirror the batch min-aggregations exactly ⇒ final
+    // counts are batch-split-independent and share the batch oracle
+    "q_funnel_stream" ->
+      graft.operators.analytics.AnalyticsQueries.oracles("q_event_funnel"),
     // prefix-mergeable top-k ⇒ final leaderboard == the batch quota query
     "q_quota_stream" ->
       graft.operators.sampling.SamplingQueries.oracles("q_quota_sample"),

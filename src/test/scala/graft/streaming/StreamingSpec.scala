@@ -48,4 +48,17 @@ class StreamingSpec extends SparkSpec {
     // bounded state: never more than Quota kept per source
     assert(streamed.forall(_._2 <= graft.operators.sampling.SamplingQueries.Quota))
   }
+
+  test("streaming funnel equals the batch funnel row-for-row") {
+    val stream = StreamingQueries.qFunnelStream(spark, SfDir).collect()
+    val batch = graft.operators.analytics.AnalyticsQueries
+      .qEventFunnel(spark, SfDir).collect()
+    assert(stream.length == 3 && batch.length == 3)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      assert(s.getLong(1) == b.getLong(1),
+        s"${s.getString(0)}: stream ${s.getLong(1)} != batch ${b.getLong(1)}")
+      assert(s.getDouble(2) == b.getDouble(2))
+    }
+  }
 }

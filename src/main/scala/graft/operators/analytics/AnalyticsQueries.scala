@@ -350,7 +350,55 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** The salted-join utility under the driver hash: orders⋈customer on
+    * custkey through [[Skew.saltedJoin]] (salt 8 — the hot-key spread a
+    * broadcast-ineligible dim join needs), rolled up per market segment.
+    * Salting is pure plan shape for a 1:N join, so the oracle replays the
+    * PLAIN join — any salting bug (dropped salt row, wrong replication)
+    * breaks the hash. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.analytics.Skew.saltedJoin(o, c, Seq("c_custkey"), 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The skew-aware exact distinct under the driver hash: distinct
+    * suppliers per returnflag via the two-stage (key, value) spread —
+    * equivalent to countDistinct but without the single-reducer hot
+    * group; the oracle replays plain COUNT(DISTINCT). */
+  def qSkewDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.analytics.Skew.skewAwareDistinctCount(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_suppkey")
+      .orderBy("l_returnflag")
+
+  /** The bucketed co-located join under the driver hash: both sides
+    * written bucketed by custkey (the write-once shuffle), then joined
+    * exchange-free (BucketingSpec asserts the plan; THIS query checks the
+    * results). Oracle replays the plain join. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.analytics.Bucketing
+    Bucketing.saveBucketed(Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice")),
+      "graft_q_orders_b", "o_custkey", 8)
+    Bucketing.saveBucketed(Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "graft_q_customer_b", "o_custkey", 8)
+    Bucketing.bucketedJoin(spark, "graft_q_orders_b", "graft_q_customer_b", "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_skew_distinct" -> (qSkewDistinct _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_event_funnel" -> (qEventFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
@@ -413,6 +461,19 @@ object AnalyticsQueries extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_skew_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_l_suppkey
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
         |s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM e

@@ -8,7 +8,9 @@ object ExplainAudit {
     val spark = GraftSession.build("8") // registers GraftExtensions (TopKPerGroup etc.)
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q1_agg", "q_join_agg", "q_topk_bruteforce", "q_chunk_sim_stats", "q_nearest_centroid")
+      else Seq("q1_agg", "q_join_agg", "q_topk_bruteforce", "q_chunk_sim_stats",
+        "q_nearest_centroid", "q_dsir_weights", "q_bloom_dedup", "q_nprobe_sweep",
+        "q_bucketed_join", "q_event_funnel")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

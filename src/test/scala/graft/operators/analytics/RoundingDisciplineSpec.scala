@@ -113,6 +113,53 @@ class RoundingDisciplineSpec extends SparkSpec {
     }
   }
 
+  test("PSI drift terms: partition-order-free and equal to an exact driver replay") {
+    for ((n, seed) <- Seq((120, 41L), (900, 42L))) {
+      val rnd = new scala.util.Random(seed)
+      val ref = Seq.fill(n)(rnd.nextGaussian() * 10)
+      val cur = Seq.fill(n)(rnd.nextGaussian() * 12 + 1)
+      def run(parts: Int) =
+        graft.Graft.psiDrift(
+          ref.toDF("x").repartition(parts), cur.toDF("x").repartition(parts), "x")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSeq
+      val p1 = run(1); val p9 = run(9); val p32 = run(32)
+      assert(p1 == p9 && p9 == p32, s"n=$n: PSI changed under repartitioning")
+      // exact replay: bins from sorted reference deciles, add-1 terms
+      val r6 = ref.map(round6).sorted
+      val edges = (1 until 10).map(q => r6(math.ceil(q / 10.0 * n).toInt.max(1) - 1))
+      def binOf(x: Double) = edges.count(e => round6(x) > e)
+      val nr = ref.size; val nc = cur.size
+      val expect = (0 until 10).map { b =>
+        val cr = ref.count(x => binOf(x) == b).toLong
+        val cc = cur.count(x => binOf(x) == b).toLong
+        val pr = (cr + 1.0) / (nr + 10); val pc = (cc + 1.0) / (nc + 10)
+        (b, cr, cc, round6((pc - pr) * math.log(pc / pr)))
+      }
+      assert(p1.map(t => (t._1, t._2, t._3, t._4)) == expect,
+        s"n=$n: PSI terms != exact driver replay")
+      val psiExpect = round6(expect.map(t => JBig.valueOf(t._4).setScale(6, RoundingMode.HALF_UP))
+        .foldLeft(JBig.ZERO)(_.add(_)).doubleValue())
+      assert(p1.head._5 == psiExpect, s"n=$n: PSI total != decimal term sum")
+    }
+  }
+
+  test("DSIR importance weights are stable under repartitioning") {
+    val rnd = new scala.util.Random(51L)
+    val vocab = Vector("the", "a", "of", "zz", "qq", "xx", "vv", "kk")
+    val docs = (0 until 60).map { i =>
+      val tgt = i % 2 == 0
+      val words = Seq.fill(6 + rnd.nextInt(10))(
+        if (tgt) vocab(rnd.nextInt(4)) else vocab(4 + rnd.nextInt(4)))
+      (i.toLong, words.mkString(" "), tgt)
+    }
+    def run(parts: Int) =
+      graft.Graft.importanceWeights(
+        docs.toDF("id", "text", "t").repartition(parts), "id", "text", col("t"), buckets = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(1) == run(11), "DSIR weights changed under repartitioning")
+  }
+
   test("tf-idf rounded-score ranking is stable under repartitioning") {
     val rnd = new scala.util.Random(33L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")

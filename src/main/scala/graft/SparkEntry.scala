@@ -32,6 +32,7 @@ object SparkEntry {
     graft.operators.text.BpeQueries,
     graft.operators.text.TfIdfQueries,
     graft.operators.text.PiiRedact,
+    graft.operators.text.QualityClassifier,
     graft.operators.analytics.Mahalanobis,
     graft.operators.analytics.TemporalJoins,
     graft.streaming.StreamingQueries)

@@ -1,7 +1,7 @@
 package graft.operators.analytics
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,24 +248,14 @@ object AnalyticsQueries extends QueryModule {
     * quantile pass is one order-statistic aggregate; binning is a 9-way
     * literal comparison (no join); counts collapse to 10 rows. */
   def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
-    val nBins = 10
-    val base = driftCache.persist(Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        round(element_at(col("embedding"), 1).cast("double"), 6).as("x"),
-        (col("vec_id") % 2 === 0).as("is_ref")))
-    val qs = (1 until nBins).map(i => i.toDouble / nBins)
-    val edgeRow = base.filter(col("is_ref"))
-      .agg(expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY x)"),
-        qs.tail.map(q => expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY x)")): _*)
-      .head()
-    val edges = (0 until nBins - 1).map(edgeRow.getDouble)
+    val base = driftCache.persist(driftBase(spark, dir))
+    val edges = driftEdges(base)
     val totRow = base.agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)),
       sum(when(!col("is_ref"), 1L).otherwise(0L))).head()
     val (nr, nc) = (totRow.getLong(0), totRow.getLong(1))
-    val bin = edges.map(e => when(col("x") > lit(e), 1).otherwise(0))
-      .reduce(_ + _)
-    val counts = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val bin = driftBin(edges, col("x"))
+    val counts = spark.range(DriftBins).select(col("id").cast("int").as("bin"))
       .join(base.groupBy(bin.as("bin")).agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")),
@@ -273,8 +263,30 @@ object AnalyticsQueries extends QueryModule {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val pr = (col("n_ref") + lit(1.0)) / lit(nr + nBins)
-    val pc = (col("n_cur") + lit(1.0)) / lit(nc + nBins)
+    driftAssemble(counts, nr, nc)
+  }
+  private val driftCache = new graft.RollingCache
+
+  /** Shared drift plumbing (the streaming twin reuses every piece). */
+  private[graft] val DriftBins = 10
+  private[graft] def driftBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("x"),
+        (col("vec_id") % 2 === 0).as("is_ref"))
+  private[graft] def driftEdges(base: DataFrame): Seq[Double] = {
+    val qs = (1 until DriftBins).map(i => i.toDouble / DriftBins)
+    val edgeRow = base.filter(col("is_ref"))
+      .agg(expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY x)"),
+        qs.tail.map(q => expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY x)")): _*)
+      .head()
+    (0 until DriftBins - 1).map(edgeRow.getDouble)
+  }
+  private[graft] def driftBin(edges: Seq[Double], x: Column): Column =
+    edges.map(e => when(x > lit(e), 1).otherwise(0)).reduce(_ + _)
+  private[graft] def driftAssemble(counts: DataFrame, nr: Long, nc: Long): DataFrame = {
+    val pr = (col("n_ref") + lit(1.0)) / lit(nr + DriftBins)
+    val pc = (col("n_cur") + lit(1.0)) / lit(nc + DriftBins)
     counts
       .withColumn("term", round((pc - pr) * log(pc / pr), 6))
       .withColumn("psi", round(
@@ -282,7 +294,6 @@ object AnalyticsQueries extends QueryModule {
           .cast("double"), 6))
       .orderBy("bin")
   }
-  private val driftCache = new graft.RollingCache
 
   /** Ordered, WINDOWED funnel conversion over the event stream: users
     * who viewed, then clicked within 1 h of their first view, then

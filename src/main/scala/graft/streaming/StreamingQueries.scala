@@ -374,6 +374,61 @@ object StreamingQueries extends QueryModule {
       .orderBy("stage")
   }
 
+  /** Stage the CURRENT drift slice (odd vec_ids) as two id-halves —
+    * two real microbatches of "new" embeddings arriving. */
+  private def stageDriftFiles(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_drift_stream", graft.Fs.stageKey(dir, "embeddings.parquet"))
+    if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
+      return stage.toString
+    graft.Fs.deleteRecursively(stage)
+    val cur = graft.operators.analytics.AnalyticsQueries.driftBase(spark, dir)
+      .filter(!col("is_ref")).select(col("vec_id"), col("x"))
+    val mid = cur.agg(max(col("vec_id"))).head().getLong(0) / 2
+    graft.Fs.stageParts(stage, Seq(
+      cur.filter(col("vec_id") <= mid), cur.filter(col("vec_id") > mid)))
+    stage.toString
+  }
+
+  /** STREAMING drift monitor — the online twin of q_embedding_drift: the
+    * reference slice and its decile edges are STATIC (the "last snapshot"
+    * a monitor holds); the current slice STREAMS in microbatches, each
+    * vector binned map-side against the literal edges and folded into
+    * 10 cumulative bin counters (Complete-mode groupBy — state is 10
+    * rows, never corpus-sized). Cumulative counts after the final batch
+    * equal the batch counts, so the query SHARES q_embedding_drift's
+    * oracle. PSI per microbatch is exactly what a production monitor
+    * alerts on. */
+  def qDriftStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.analytics.AnalyticsQueries
+    val base = AnalyticsQueries.driftBase(spark, dir).persist()
+    val edges = AnalyticsQueries.driftEdges(base)
+    val ref = base.filter(col("is_ref"))
+    val nr = ref.count()
+    val refCounts = ref
+      .groupBy(AnalyticsQueries.driftBin(edges, col("x")).as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    base.unpersist()
+    val stage = stageDriftFiles(spark, dir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("x", DoubleType)))
+    val curAgg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .groupBy(AnalyticsQueries.driftBin(edges, col("x")).as("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val curCounts = runToTable(spark, curAgg, "drift_stream", OutputMode.Complete())
+    val nc = curCounts.agg(sum(col("n_cur"))).head().getLong(0)
+    val counts = spark.range(AnalyticsQueries.DriftBins)
+      .select(col("id").cast("int").as("bin"))
+      .join(refCounts, Seq("bin"), "left")
+      .join(curCounts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    AnalyticsQueries.driftAssemble(counts, nr, nc)
+  }
+
   /** Stage documents as two id-halves for an ordered 2-batch ingest
     * (same stageKey caching scheme as the other streaming stagings). */
   private def stageQuotaFiles(spark: SparkSession, dir: String): String = {
@@ -460,7 +515,8 @@ object StreamingQueries extends QueryModule {
     "q_events_enrich_stream" -> (qEventsEnrichStream _),
     "q_stream_classify" -> (qStreamClassify _),
     "q_asof_stream" -> (qAsofStream _),
-    "q_funnel_stream" -> (qFunnelStream _))
+    "q_funnel_stream" -> (qFunnelStream _),
+    "q_drift_stream" -> (qDriftStream _))
 
   override def oracles: Map[String, String] = Map(
     // identical semantics to the batch as-of join → identical oracle
@@ -470,6 +526,9 @@ object StreamingQueries extends QueryModule {
     // counts are batch-split-independent and share the batch oracle
     "q_funnel_stream" ->
       graft.operators.analytics.AnalyticsQueries.oracles("q_event_funnel"),
+    // cumulative Complete-mode bin counts after the last batch == batch counts
+    "q_drift_stream" ->
+      graft.operators.analytics.AnalyticsQueries.oracles("q_embedding_drift"),
     // prefix-mergeable top-k ⇒ final leaderboard == the batch quota query
     "q_quota_stream" ->
       graft.operators.sampling.SamplingQueries.oracles("q_quota_sample"),

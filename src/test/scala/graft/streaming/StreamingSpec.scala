@@ -61,4 +61,17 @@ class StreamingSpec extends SparkSpec {
       assert(s.getDouble(2) == b.getDouble(2))
     }
   }
+
+  test("streaming drift monitor equals the batch PSI row-for-row") {
+    val stream = StreamingQueries.qDriftStream(spark, SfDir).collect()
+    val batch = graft.operators.analytics.AnalyticsQueries
+      .qEmbeddingDrift(spark, SfDir).collect()
+    assert(stream.length == 10 && batch.length == 10)
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getInt(0) == b.getInt(0))
+      assert(s.getLong(1) == b.getLong(1) && s.getLong(2) == b.getLong(2),
+        s"bin ${s.getInt(0)}: stream counts != batch counts")
+      assert(s.getDouble(3) == b.getDouble(3) && s.getDouble(4) == b.getDouble(4))
+    }
+  }
 }

@@ -64,6 +64,48 @@ object StreamingQueries extends QueryModule {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** SLIDING-window aggregation (2 h windows every 1 h) — the overlap
+    * variant of q_events_window_stream: every event lands in exactly two
+    * windows; watermark bounds state to the open windows. The oracle
+    * replays the overlap as an exact cross with k∈{0,1} hour shifts. */
+  def qEventsSlidingStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+    runToTable(spark, agg, "events_sliding_stream", OutputMode.Complete())
+      .select(col("window.start").cast("string").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** STREAM-STREAM inner join — the attribution primitive (purchases
+    * matched to the clicks they followed within 1 h, per user): both
+    * sides are watermarked streams, the time-bound join condition lets
+    * Spark expire state (a side's rows are droppable once the other
+    * side's watermark passes the bound). Exact µs integer time end to
+    * end; the oracle replays the plain range join. */
+  def qStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(purch,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToTable(spark, joined, "stream_stream_join", OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"),
+        col("value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   // ---- sessionization ----------------------------------------------------
 
   val SessionGapSec = 1800L
@@ -516,7 +558,9 @@ object StreamingQueries extends QueryModule {
     "q_stream_classify" -> (qStreamClassify _),
     "q_asof_stream" -> (qAsofStream _),
     "q_funnel_stream" -> (qFunnelStream _),
-    "q_drift_stream" -> (qDriftStream _))
+    "q_drift_stream" -> (qDriftStream _),
+    "q_events_sliding_stream" -> (qEventsSlidingStream _),
+    "q_stream_join" -> (qStreamStreamJoin _))
 
   override def oracles: Map[String, String] = Map(
     // identical semantics to the batch as-of join → identical oracle
@@ -529,6 +573,27 @@ object StreamingQueries extends QueryModule {
     // cumulative Complete-mode bin counts after the last batch == batch counts
     "q_drift_stream" ->
       graft.operators.analytics.AnalyticsQueries.oracles("q_embedding_drift"),
+    "q_events_sliding_stream" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |w AS (SELECT h - k.k * INTERVAL 1 HOUR AS ws, event_type, value
+        |      FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT CAST(ws AS VARCHAR) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts_us AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  p.p_ts - c.c_ts AS gap_us, p.value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // prefix-mergeable top-k ⇒ final leaderboard == the batch quota query
     "q_quota_stream" ->
       graft.operators.sampling.SamplingQueries.oracles("q_quota_sample"),

@@ -406,7 +406,36 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Hourly event-rate anomaly detection: per (hour, type) counts scored
+    * against their type's mean/σ over all observed hours; |z| > 2 rows
+    * are the alert set (the ingestion-volume monitor every pipeline
+    * runs). Counts are exact BIGINTs, so the moment sums need no decimal
+    * casts; the variance algebra and the round-then-filter boundary are
+    * token-identical in the oracle. One groupBy + a type-row broadcast. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("k")
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("s1"),
+      sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"), col("k"),
+        mean.as("mean_n"),
+        sqrt((col("s2").cast("double") - col("k") * mean * mean) / (col("k") - 1))
+          .as("std_n"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("n") - col("mean_n")) / col("std_n"), 6))
+      .filter(abs(col("z")) > 2)
+      .select(col("hour").cast("string").as("hour_ts"), col("event_type"), col("n"),
+        round(col("mean_n"), 6).as("mean_n"), round(col("std_n"), 6).as("std_n"),
+        col("z"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_anomaly" -> (qEventAnomaly _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -472,6 +501,24 @@ object AnalyticsQueries extends QueryModule {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_event_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS k,
+        |    CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+        |    sqrt((CAST(sum(n * n) AS DOUBLE)
+        |      - count(*) * (CAST(sum(n) AS DOUBLE) / count(*)) * (CAST(sum(n) AS DOUBLE) / count(*)))
+        |      / (count(*) - 1)) AS std_n
+        |  FROM hourly GROUP BY event_type)
+        |SELECT CAST(h.hour AS VARCHAR) AS hour_ts, h.event_type, h.n,
+        |  round(st.mean_n, 6) AS mean_n, round(st.std_n, 6) AS std_n,
+        |  round((h.n - st.mean_n) / st.std_n, 6) AS z
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE abs(round((h.n - st.mean_n) / st.std_n, 6)) > 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

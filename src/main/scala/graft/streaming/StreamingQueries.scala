@@ -99,8 +99,17 @@ object StreamingQueries extends QueryModule {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-    runToTable(spark, joined, "stream_stream_join", OutputMode.Append())
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
+    // state-store count is fixed at stream START by shuffle.partitions; a
+    // 2-sided stateful join instantiates 4 stores per partition, so size
+    // the partition count to the stream's throughput (8 here), not the
+    // batch default — at production volume this is the knob an operator
+    // raises, and it must be set BEFORE the query starts (checkpointed)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val t =
+      try runToTable(spark, joined, "stream_stream_join", OutputMode.Append())
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t.select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"),
         col("value"))
       .orderBy("click_id", "purchase_id")

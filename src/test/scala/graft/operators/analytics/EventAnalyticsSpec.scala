@@ -31,4 +31,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(firstWeeks.map(_.getLong(3)).sum ==
       firstWeeks.map(_.getLong(2)).sum)
   }
+
+  test("event anomaly: every flagged row really exceeds 2 sigma, both tails present") {
+    val rows = AnalyticsQueries.qEventAnomaly(spark, SfDir).collect()
+    assert(rows.nonEmpty, "the synthetic stream has hourly bursts — expect alerts")
+    rows.foreach { r =>
+      val (n, mean, std, z) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(z) > 2, s"unflagged-magnitude row leaked: z=$z")
+      // z must re-derive from the reported stats (which are themselves
+      // rounded to 1e-6, so the re-derivation matches only to ~1e-3)
+      assert(approx(z, (n - mean) / std, 1e-3),
+        s"z=$z inconsistent with (n=$n, mean=$mean, std=$std)")
+    }
+  }
 }

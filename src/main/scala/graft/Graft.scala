@@ -463,6 +463,65 @@ object Graft {
       .orderBy("bin")
   }
 
+  /** Ordered, windowed funnel over an event frame: stage i counts users
+    * whose first qualifying `eventType` event falls strictly after their
+    * stage-(i−1) time and within `windowFromPrev` of it (≤ 0 = unbounded;
+    * the first stage's window is ignored). Timestamps are compared as-is
+    * — pass exact integer epoch units. Returns (stage, n_users,
+    * pct_of_prev) — q_event_funnel's primitive. Each stage is one
+    * groupBy(user) min + a user-keyed equi-join; nothing driver-side. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[(String, String, Long)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var reached: DataFrame = null
+    val counts = stages.zipWithIndex.map { case ((label, eventType, windowFromPrev), i) =>
+      val ev = events.filter(col(typeCol) === eventType)
+      reached =
+        if (i == 0) ev.groupBy(col(userCol)).agg(min(col(tsCol)).as(s"__t$i"))
+        else {
+          val inWindow =
+            if (windowFromPrev > 0)
+              col(tsCol) > col(s"__t${i - 1}") &&
+                col(tsCol) <= col(s"__t${i - 1}") + lit(windowFromPrev)
+            else col(tsCol) > col(s"__t${i - 1}")
+          ev.join(reached, Seq(userCol)).filter(inWindow)
+            .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"__t$i"))
+        }
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("stage"), col("n_users"))
+    }
+    val w = Window.orderBy("stage")
+    counts.reduce(_.unionByName(_))
+      .withColumn("pct_of_prev", round(
+        col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
+      .orderBy("stage")
+  }
+
+  /** Periodic cohort retention over an activity frame: users grouped by
+    * the period of their first activity; retention(c, o) = distinct users
+    * of cohort c active in period c+o over the cohort size. `tsCol` must
+    * be an exact integer epoch unit; `periodLen` the cohort period in the
+    * same unit — q_retention_cohorts' primitive. */
+  def cohortRetention(activity: DataFrame, userCol: String, tsCol: String,
+                      periodLen: Long): DataFrame = {
+    // integer DIV: epoch nanos exceed double's mantissa (Tables.events)
+    val ev = activity.select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+      .select(col("__u"), expr(s"__ts DIV $periodLen").as("__p"))
+    val first = ev.groupBy("__u").agg(min("__p").as("__p0"))
+    val joined = ev.distinct().join(first, Seq("__u"))
+      .select(col("__u"), col("__p0").as("cohort"),
+        (col("__p") - col("__p0")).as("period_offset"))
+    val ret = joined.groupBy("cohort", "period_offset")
+      .agg(countDistinct(col("__u")).as("n_active"))
+    val sizes = first.groupBy(col("__p0").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ret.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+      .orderBy("cohort", "period_offset")
+  }
+
   /** Per-group stratified filter: keep rows at or above their own group's
     * exact `quantile` of `scoreCol` (CCNet's per-language cut —
     * q_lang_quality_filter's primitive). */

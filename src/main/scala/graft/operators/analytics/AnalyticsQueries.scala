@@ -305,28 +305,14 @@ object AnalyticsQueries extends QueryModule {
     * by user, no window over global order, user cardinality never on the
     * driver. */
   def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsNanos(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts").as("ts_ns"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_ns").as("t1"))
     val HourNs = 3600L * 1000000000L
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, Seq("user_id"))
-      .filter(col("ts_ns") > col("t1") && col("ts_ns") <= col("t1") + lit(HourNs))
-      .groupBy("user_id").agg(min("ts_ns").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, Seq("user_id"))
-      .filter(col("ts_ns") > col("t2") && col("ts_ns") <= col("t2") + lit(24L * HourNs))
-      .groupBy("user_id").agg(min("ts_ns").as("t3"))
-    val stages = Seq("1_view" -> s1, "2_click_within_1h" -> s2,
-      "3_purchase_within_24h" -> s3)
-    val unioned = stages.map { case (nm, df) =>
-      df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"), col("n_users"))
-    }.reduce(_.unionByName(_))
-    val w = Window.orderBy("stage") // 3 rows — the tiny final window is fine
-    unioned.withColumn("pct_of_prev",
-        round(col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
-      .orderBy("stage")
+    graft.Graft.funnel(
+      Tables.eventsNanos(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts").as("ts_ns")),
+      "user_id", "event_type", "ts_ns",
+      Seq(("1_view", "view", 0L),
+        ("2_click_within_1h", "click", HourNs),
+        ("3_purchase_within_24h", "purchase", 24L * HourNs)))
   }
 
   /** Weekly cohort retention over HIGH-VALUE purchases (value > 75 —
@@ -340,25 +326,14 @@ object AnalyticsQueries extends QueryModule {
     * a user-keyed equi-join — the 100 TB shape (everything keyed by
     * user/cohort, nothing driver-side). */
   def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val DayNs = 86400L * 1000000000L
-    val ev = Tables.eventsNanos(spark, dir)
-      .filter(col("event_type") === "purchase" && col("value") > 75.0)
-      .select(col("user_id"), expr(s"ts DIV $DayNs").as("day"))
-    val first = ev.groupBy("user_id").agg(min("day").as("d0"))
-    val active = ev.distinct()
-    val joined = active.join(first, Seq("user_id"))
-      .select(col("user_id"),
-        expr("d0 DIV 7").as("cohort_week"),
-        (expr("day DIV 7") - expr("d0 DIV 7")).as("week_offset"))
-    val ret = joined.groupBy("cohort_week", "week_offset")
-      .agg(countDistinct(col("user_id")).as("n_active"))
-    val sizes = first.groupBy(expr("d0 DIV 7").as("cohort_week"))
-      .agg(count(lit(1)).as("cohort_size"))
-    ret.join(sizes, Seq("cohort_week"))
-      .select(col("cohort_week"), col("week_offset"), col("n_active"),
-        col("cohort_size"),
-        round(col("n_active") / col("cohort_size"), 6).as("retention"))
-      .orderBy("cohort_week", "week_offset")
+    val WeekNs = 7L * 86400L * 1000000000L
+    graft.Graft.cohortRetention(
+      Tables.eventsNanos(spark, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 75.0)
+        .select(col("user_id"), col("ts")),
+      "user_id", "ts", WeekNs)
+      .withColumnsRenamed(Map("cohort" -> "cohort_week",
+        "period_offset" -> "week_offset"))
   }
 
   /** The salted-join utility under the driver hash: orders⋈customer on

@@ -82,6 +82,36 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-source data-audit report card — the rollup a corpus pipeline
+    * publishes per ingest batch: volume, language spread, token mass,
+    * mean quality, and the share of docs clearing a fixed quality bar.
+    * One scan computes every per-doc term map-side; one groupBy(source)
+    * with decimal mean sums (order-free) and round-then-compare for the
+    * bar membership. */
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(ws).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double").as("n_punct"),
+        stopHits(ws, StopEn).cast("double").as("n_stop"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        col("n_words").cast("long").as("n_tokens"),
+        round(lit(0.4) * least(lit(1.0), col("n_words") / lit(50.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m"))
+          + lit(0.3) * (col("n_stop") / col("n_words")), 6).as("q6"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("q6").cast("decimal(25,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        sum(when(col("q6") >= 0.5, 1L).otherwise(0L)).as("n_above_bar"))
+      .orderBy("source")
+  }
+
   /** CCNet-style per-language stratified quality filtering (Wenzek et al.
     * 2020): one global threshold over-prunes low-resource languages, so
     * the cut is the PER-LANGUAGE median of the quality score — keep docs
@@ -226,6 +256,7 @@ object TextQueries extends QueryModule {
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_quality_filter" -> (qLangQualityFilter _),
+    "q_source_report" -> (qSourceReport _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_chunking" -> (qChunking _),
@@ -300,6 +331,26 @@ object TextQueries extends QueryModule {
          |  ${scoreSql("s_es", StopEs)},
          |  ${scoreSql("s_fr", StopFr)}
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_source_report" ->
+      s"""WITH sc AS (
+         |  SELECT source, lang, n_chars, CAST(n_words AS BIGINT) AS n_tokens,
+         |    round(0.4 * least(1.0, n_words / 50.0)
+         |        + 0.3 * (1.0 - n_punct / n_chars_m)
+         |        + 0.3 * (n_stop / n_words), 6) AS q6
+         |  FROM (SELECT source, lang, n_chars,
+         |    CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
+         |         w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
+         |    FROM documents))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(CAST(q6 AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN q6 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_bar
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_quality_filter" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, n_chars,

@@ -61,4 +61,16 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).distinct.length > 1,
       "all language thresholds identical — stratification is a no-op")
   }
+
+  test("source report card: totals reconcile with the corpus") {
+    val rows = TextQueries.qSourceReport(spark, SfDir).collect()
+    val docs = graft.Tables.documents(spark, SfDir)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "n_docs must cover the corpus")
+    assert(rows.map(_.getLong(3)).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0))
+    rows.foreach { r =>
+      assert(r.getLong(6) <= r.getLong(1), "above-bar count bounded by doc count")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "quality is a [0,1] blend")
+    }
+  }
 }

@@ -214,55 +214,78 @@ object Mahalanobis extends QueryModule {
     * (i, j, n, mu_i, cov) rows — the same algebra [[fitInverse]] /
     * [[fitRobust]] / PCA's Gram stage run before their (driver-side,
     * engine-specific) matrix inversion / eigen step. Ridge 0 here: the
-    * regularizer is a modeling choice, not part of the moment algebra.
-    *
-    * Unlike the production `moments` treeAggregate (double sums, fine for
-    * model fitting), this ORACLED twin sums per-row products CAST to
-    * DECIMAL(38,18): per-row float products are exact in double, and
-    * decimal sums are order-independent, so the result is deterministic
-    * and engine-exact — partition-order double summation flipped cells
-    * that sat 1e-9 from a 0.5e-6 rounding boundary (round-3 hash fail).
-    * The (i,j) pair expansion is map-side (flatten/transform — no join);
-    * the only shuffles are the (i,j) and per-dim groupBys (2080 + d
-    * keys, map-side partial agg). */
+    * regularizer is a modeling choice, not part of the moment algebra. */
   def qCovariance(spark: SparkSession, dir: String): DataFrame =
-    covarianceDecimal(Tables.embeddings(spark, dir))
+    covarianceExact(Tables.embeddings(spark, dir))
 
-  /** Decimal-sum covariance of `embedding` — shared by [[qCovariance]]
+  /** Engine-exact covariance of `embedding` — shared by [[qCovariance]]
     * and the PCA projection's deterministic eigen stage.
     *
-    * Two aggregations, then a dim-sized join: the d(d+1)/2-per-row pair
-    * expansion sums ONLY the products (one decimal sum over n·d²/2 rows),
-    * while Σx per dimension comes from the d-per-row element expansion (a
-    * d²/2-times smaller frame). Decimal sums are order-independent, so
-    * Σx computed per-dim is EXACTLY the value the pair groups would have
-    * summed — same result, a third of the decimal work. Both aggregates
-    * are map-side partial; the join is 2080×d, broadcast-sized. */
-  private[graft] def covarianceDecimal(points: DataFrame): DataFrame = {
-    val pe = points.select(col("embedding").cast("array<double>").as("pe"))
-    val sums = pe
-      .select(posexplode(col("pe")).as(Seq("i0", "v")))
+    * EVERY prior version of this query diverged between Spark and DuckDB
+    * because it fed a data-dependent raw double into an engine-divergent
+    * operation — round-3: partition-order double sums; round-4: the
+    * double→DECIMAL(38,18) cast (Spark converts via the shortest decimal
+    * repr, DuckDB scales the raw binary value: 1.0/3.0 lands on …333300
+    * vs …333312) plus a final round(_, 6) on a raw double. This version
+    * has NO decimal cast and NO fractional rounding of a raw double —
+    * the only operations on data-dependent values are ones that are
+    * provably bit-identical across IEEE-754 engines:
+    *
+    *  1. Quantize each component to an exact micro-unit integer,
+    *     `k = CAST(round(v * 1e6) AS BIGINT)`. Integer rounding of the
+    *     SAME double always agrees across engines: every half-integer
+    *     below 2^52 is exactly representable in binary, so a double is
+    *     either exactly on the tie (both engines round away from zero —
+    *     BigDecimal HALF_UP ≡ C++ std::round) or strictly on one side of
+    *     it, and Spark's shortest-repr detour cannot cross a representable
+    *     boundary. (Rounding to a FRACTIONAL scale has no such guarantee —
+    *     (2k+1)/2·10⁻¹² is not representable — which is why round(p, 12)
+    *     alone would not close the gap.)
+    *  2. Sum the k and k_i·k_j as integers (DECIMAL(38,0) accumulators on
+    *     the Spark side, HUGEINT in DuckDB: exact at any corpus size —
+    *     plain BIGINT sums would overflow past ~9e6 rows — and the
+    *     integer→decimal cast is exact, unlike the double→decimal one).
+    *     Exact sums are order-independent: repartitioning cannot move the
+    *     result (the round-3 failure mode).
+    *  3. Final algebra on doubles DERIVED from those exact integers, with
+    *     token-identical expression trees both sides — individual IEEE
+    *     ops on identical inputs are bit-identical — and the 6-decimal
+    *     output rounding done as round-to-INTEGER in micro units
+    *     (guarantee 1 again), never round(x, 6) on a raw double.
+    *
+    * Shape: two aggregations, then a dim-sized join — the d(d+1)/2-per-row
+    * pair expansion sums only the products (one sum over n·d²/2 rows),
+    * while Σk per dimension comes from the d-per-row element expansion (a
+    * d²/2-times smaller frame); exactness makes the per-dim Σk identical
+    * to what the pair groups would have summed. Both aggregates are
+    * map-side partial; the join is 2080×d, broadcast-sized. */
+  private[graft] def covarianceExact(points: DataFrame): DataFrame = {
+    val ke = points.select(expr(
+      "transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
+      .as("ke"))
+    val sums = ke
+      .select(posexplode(col("ke")).as(Seq("i0", "k")))
       .groupBy((col("i0") + 1).cast("long").as("d"))
-      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(38,18)")).as("sx"))
-    val pairs = pe
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("decimal(38,0)")).as("sx"))
+    val pairs = ke
       .select(explode(expr(
-        """flatten(transform(sequence(1, size(pe)), i ->
-          |  transform(sequence(i, size(pe)), j ->
-          |    named_struct('i', i, 'j', j, 'p', pe[i-1] * pe[j-1]))))""".stripMargin)).as("s"))
+        """flatten(transform(sequence(1, size(ke)), i ->
+          |  transform(sequence(i, size(ke)), j ->
+          |    named_struct('i', i, 'j', j, 'p', ke[i-1] * ke[j-1]))))""".stripMargin)).as("s"))
       .select(col("s.i").cast("long").as("i"), col("s.j").cast("long").as("j"),
         col("s.p").as("p"))
       .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(38,18)")).as("sxx"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sxx"))
     val si = sums.select(col("d").as("i"), col("n"), col("sx").as("sxi"))
     val sj = sums.select(col("d").as("j"), col("sx").as("sxj"))
+    val sxxD = col("sxx").cast("double")
+    val sxiD = col("sxi").cast("double")
+    val sxjD = col("sxj").cast("double")
     pairs.join(broadcast(si), Seq("i")).join(broadcast(sj), Seq("j"))
       .select(col("i"), col("j"), col("n"),
-        round(col("sxi").cast("double") / col("n"), 6).as("mu_i"),
-        round(
-          (col("sxx").cast("double") -
-            col("n") * (col("sxi").cast("double") / col("n")) *
-            (col("sxj").cast("double") / col("n"))) / (col("n") - 1),
-          6).as("cov"))
+        (round(sxiD / col("n")).cast("long") / lit(1000000.0)).as("mu_i"),
+        (round((sxxD - sxiD * sxjD / col("n")) / (col("n") - 1) / lit(1000000.0))
+          .cast("long") / lit(1000000.0)).as("cov"))
       .orderBy("i", "j")
   }
 
@@ -305,32 +328,31 @@ object Mahalanobis extends QueryModule {
     * distance query stays rows-only (invariants incl. planted-contamination
     * recovery in MahalanobisSpec); the classical one is oracled via
     * [[dynamicOracles]] literal replay. The shared moment pass IS plain
-    * aggregation:
-    * q_covariance replays Σx/Σxxᵀ → (mean, sample covariance) in DuckDB
-    * with the same μ-centering algebra ((Σxx − n·μ_i·μ_j)/(n−1)). The
-    * sums are DECIMAL(38,18) on BOTH sides (order-independent and
-    * engine-exact; per-row double products are bit-identical across
-    * engines), and the per-cell centering algebra mirrors the Spark
-    * expression token-for-token so the doubles stay bit-identical. */
+    * aggregation: q_covariance replays [[covarianceExact]]'s micro-unit
+    * algebra — quantize to BIGINT (engine-exact integer rounding), exact
+    * integer sums (HUGEINT here, DECIMAL(38,0) on the Spark side), then
+    * the identical double expression tree with round-to-integer output
+    * quantization. No double→decimal cast and no fractional round of a
+    * raw double on either side. */
   override def oracles: Map[String, String] = Map(
     "q_covariance" ->
       """WITH el AS (
-        |  SELECT vec_id, generate_subscripts(pe, 1) AS i, unnest(pe) AS v
-        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings)),
+        |  SELECT vec_id, generate_subscripts(ke, 1) AS i, unnest(ke) AS k
+        |  FROM (SELECT vec_id,
+        |          list_transform(CAST(embedding AS DOUBLE[]),
+        |                         v -> CAST(round(v * 1000000.0) AS BIGINT)) AS ke
+        |        FROM embeddings)),
         |pairs AS (
-        |  SELECT a.i AS i, b.i AS j, a.v * b.v AS p, a.v AS vi, b.v AS vj
+        |  SELECT a.i AS i, b.i AS j, a.k * b.k AS p, a.k AS ki, b.k AS kj
         |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i),
         |ag AS (
         |  SELECT i, j, count(*) AS n,
-        |    sum(CAST(p AS DECIMAL(38,18))) AS sxx,
-        |    sum(CAST(vi AS DECIMAL(38,18))) AS sxi,
-        |    sum(CAST(vj AS DECIMAL(38,18))) AS sxj
+        |    sum(p) AS sxx, sum(ki) AS sxi, sum(kj) AS sxj
         |  FROM pairs GROUP BY i, j)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         |  CAST(n AS BIGINT) AS n,
-        |  round(CAST(sxi AS DOUBLE) / n, 6) AS mu_i,
-        |  round((CAST(sxx AS DOUBLE) -
-        |         n * (CAST(sxi AS DOUBLE) / n) * (CAST(sxj AS DOUBLE) / n))
-        |        / (n - 1), 6) AS cov
+        |  CAST(round(CAST(sxi AS DOUBLE) / n) AS BIGINT) / 1000000.0 AS mu_i,
+        |  CAST(round((CAST(sxx AS DOUBLE) - CAST(sxi AS DOUBLE) * CAST(sxj AS DOUBLE) / n)
+        |             / (n - 1) / 1000000.0) AS BIGINT) / 1000000.0 AS cov
         |FROM ag ORDER BY i, j""".stripMargin)
 }

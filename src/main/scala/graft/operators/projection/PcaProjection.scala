@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** ORACLE-CHECKED PCA projection (nuevo-kmeans-pre.ipynb's 2D projection,
   * the half of PCA that IS deterministic): top-2 eigenvectors of the
-  * DETERMINISTIC decimal-sum covariance ([[Mahalanobis.covarianceDecimal]])
+  * DETERMINISTIC engine-exact covariance ([[Mahalanobis.covarianceExact]])
   * are computed once on the driver (64×64 cyclic Jacobi — d²-sized, no
   * engine-specific solver), then each row's |projection| onto them is a
   * map-side plan-constant dot product. The oracle replays the SAME
@@ -39,7 +39,7 @@ object PcaProjection extends QueryModule {
     cached.computeIfAbsent(dir, _ => compute(spark, dir))
 
   private def compute(spark: SparkSession, dir: String): Model = {
-    val rows = Mahalanobis.covarianceDecimal(Tables.embeddings(spark, dir))
+    val rows = Mahalanobis.covarianceExact(Tables.embeddings(spark, dir))
       .collect() // d(d+1)/2 rows — driver-sized by construction
     val d = rows.map(_.getLong(0)).max.toInt
     val cov = Array.ofDim[Double](d, d)

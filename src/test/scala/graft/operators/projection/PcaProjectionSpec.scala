@@ -27,7 +27,7 @@ class PcaProjectionSpec extends SparkSpec {
     assert(math.abs(d12) < 1e-9, s"v1·v2 = $d12")
     // residual ||Cv - λv|| small for the top eigenpair, λ1 >= λ2
     val rows = graft.operators.analytics.Mahalanobis
-      .covarianceDecimal(graft.Tables.embeddings(spark, SfDir)).collect()
+      .covarianceExact(graft.Tables.embeddings(spark, SfDir)).collect()
     val d = rows.map(_.getLong(0)).max.toInt
     val cov = Array.ofDim[Double](d, d)
     rows.foreach { r =>

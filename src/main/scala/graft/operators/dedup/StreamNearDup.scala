@@ -188,6 +188,18 @@ object StreamNearDup extends QueryModule {
   /** Suppression record per near-dup detected at ingest: the incoming doc,
     * the earliest stored doc it matched, and that match's Jaccard. */
   def qStreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    // microbatch-sized shuffles: each batch is corpus/batches rows, so 32
+    // shuffle partitions is pure task overhead across the ~8 jobs a batch
+    // runs (the q_stream_join lesson: size shuffles to the stream's real
+    // per-batch throughput, restore after). Store partitioning/pruning is
+    // governed by StoreBuckets, not this.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try qStreamNeardupInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def qStreamNeardupInner(spark: SparkSession, dir: String): DataFrame = {
     val stage = stageOrderedFiles(spark, dir)
     val storeRoot = java.nio.file.Files.createTempDirectory("graft_neardup_store")
     val bandsDir = storeRoot.toString + "/bands"
@@ -198,27 +210,36 @@ object StreamNearDup extends QueryModule {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def timed[T](st: String)(f: => T): T =
+          if (!sys.env.contains("GRAFT_PROFILE")) f
+          else {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(
+              f"[neardup] batch $batchId $st%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
         val b = perDocSketches(batch).persist()
-        b.count() // materialize once; banded + sets both reuse the cache
         val bBand = bandedWithBucket(b).persist()
+        // no explicit materialize: the probed-buckets collect below is the
+        // first action and fills both caches in one pass
         // driver-side values are BUCKET IDS only — ≤ StoreBuckets by
         // construction, never data-sized
-        val probed = bBand.select("pbucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val probed = timed("sketch+probe")(bBand.select("pbucket").distinct()
+          .collect().map(_.getInt(0)).toSeq)
+        // cache the pruned store+batch union: candidatePairs consumes it
+        // twice (skew-guard groupBy + the band equi-join) — without the
+        // cache the store partitions are scanned twice per batch
         val storeBands = prunedBandStoreRead(spark, bandsDir, probed)
-        val allBands = storeBands.map(_.unionByName(bBand)).getOrElse(bBand)
-        // candidates are broadcast-sized by the band-bucket cap (the same
-        // bound the verify broadcast already assumes) — one collect gives
-        // both the pair list and the d1 bucket ids, replacing a cache +
-        // distinct job + broadcast of the same rows
-        val candRows = candidatePairs(allBands, bBand)
-          .withColumn("sb", sbucketOf(col("d1"))).collect()
-        val d1Buckets = candRows.map(_.getAs[Int]("sb")).distinct.toSeq
-        val cand = {
-          import spark.implicits._
-          candRows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("d1", "d2")
-        }
+        val allBands = storeBands.map(_.unionByName(bBand)).getOrElse(bBand).persist()
+        // candidate PAIRS stay distributed (cached for the two consumers);
+        // the only data-dependent values that visit the driver are the
+        // DISTINCT d1 store-bucket ids — ≤ StoreBuckets by construction
+        val cand = candidatePairs(allBands, bBand).persist()
+        val d1Buckets = timed("candidates")(
+          cand.select(sbucketOf(col("d1")).cast("int").as("sb"))
+            .distinct().collect().map(_.getInt(0)).toSeq)
         val bSets1 = b.select(col("doc_id").as("d1"), col("s").as("s1"))
         val sets1 = readStore(spark, setsDir, setStoreSchema)
           .filter(_ => d1Buckets.nonEmpty)
@@ -229,23 +250,25 @@ object StreamNearDup extends QueryModule {
         val sets2 = b.select(col("doc_id").as("d2"), col("s").as("s2"))
         // suppressions go straight to a per-batch sink — at real dup rates
         // they are corpus-sized, so no driver-side buffer
-        verify(cand, sets1, sets2, minJaccard = 0.5)
+        timed("verify+sink")(verify(cand, sets1, sets2, minJaccard = 0.5)
           .groupBy(col("d2"))
           .agg(min(struct(col("d1"), col("jaccard"))).as("m"))
           .select(col("d2").as("doc_id"), col("m.d1").as("dup_of"),
             col("m.jaccard").as("jaccard"))
-          .write.mode("append").parquet(supDir)
+          .write.mode("append").parquet(supDir))
+        cand.unpersist(blocking = false)
+        allBands.unpersist(blocking = false)
         // absorb the batch (kept AND suppressed docs — decisions stay
         // batch-split-independent), partitioned for the next batch's
         // prune. Cluster by the partition key first so each batch writes
         // ONE file per touched bucket instead of tasks×buckets shards —
         // store file count stays O(batches·buckets), not O(cores·…)
-        bBand.repartition(col("pbucket"))
-          .write.partitionBy("pbucket").mode("append").parquet(bandsDir)
-        b.select(col("doc_id"), col("s"))
+        timed("band-store")(bBand.repartition(col("pbucket"))
+          .write.partitionBy("pbucket").mode("append").parquet(bandsDir))
+        timed("set-store")(b.select(col("doc_id"), col("s"))
           .withColumn("sbucket", sbucketOf(col("doc_id")))
           .repartition(col("sbucket"))
-          .write.partitionBy("sbucket").mode("append").parquet(setsDir)
+          .write.partitionBy("sbucket").mode("append").parquet(setsDir))
         bBand.unpersist(); b.unpersist()
         ()
       }

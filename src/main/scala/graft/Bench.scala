@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   * cross-round comparisons twice; the passes are run as full round-robin
   * sweeps (q1..qN, q1..qN, ...) rather than back-to-back repeats so one
   * stall window can't hit all reps of the same query.
+  *
+  * Bench protocol (round-5 finding): cross-round deltas on UNCHANGED
+  * queries are environment noise until reproduced in isolation. Round-4
+  * reported 1.7-2.7x "regressions" on q_knn/q_knn_outlier/q_lof/q_ksweep/
+  * q_kmeans_1step whose source had not changed since round-3; an isolated
+  * SPARK_GRAFT_BENCH_ONLY rerun (reps=5) and the round-5 full sweep both
+  * measured them at 0.7-1.3x of their round-3 times — JVM/GC crowding as
+  * 27 extra queries joined the shared round-robin, not code. Before
+  * chasing any cross-round delta: rerun the affected queries isolated
+  * with reps>=5 and compare THAT to the prior round's full-sweep number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,7 +82,9 @@ object Bench {
     val results = selected.map { case (name, _) => name -> median(samples(name)) }
     // round the reported medians to ms so the one-line JSON stays short
     // enough that a log-tail capture can't truncate the queries dict
-    def ms(v: Double): String = f"$v%.3f"
+    // (Locale.ROOT: a comma-decimal default locale would emit invalid JSON)
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -488,13 +488,20 @@ object Graft {
             .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"__t$i"))
         }
       reached.agg(count(lit(1)).as("n_users"))
-        .select(lit(label).as("stage"), col("n_users"))
+        .select(lit(i).as("__idx"), lit(label).as("stage"), col("n_users"))
     }
-    val w = Window.orderBy("stage")
+    // window over the POSITIONAL stage index, not the label: caller-supplied
+    // labels need not sort lexically in stage order, and a lag over label
+    // order would silently pair a stage with the wrong predecessor
+    val w = Window.orderBy("__idx")
     counts.reduce(_.unionByName(_))
-      .withColumn("pct_of_prev", round(
-        col("n_users") / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
-      .orderBy("stage")
+      .withColumn("__prev", coalesce(lag(col("n_users"), 1).over(w), col("n_users")))
+      // explicit 0-guard: a dead predecessor stage means pct is undefined
+      // (null), not a DIVIDE_BY_ZERO crash under ANSI mode
+      .withColumn("pct_of_prev",
+        when(col("__prev") =!= 0, round(col("n_users") / col("__prev"), 6)))
+      .orderBy("__idx")
+      .select(col("stage"), col("n_users"), col("pct_of_prev"))
   }
 
   /** Periodic cohort retention over an activity frame: users grouped by

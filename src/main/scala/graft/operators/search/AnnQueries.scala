@@ -349,7 +349,7 @@ object AnnQueries extends QueryModule {
          |wt AS (SELECT cell, n_vecs, sum(n_vecs) OVER () AS total FROM cnt)
          |SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
          |  round(n_vecs / total, 6) AS pct,
-         |  round(n_vecs * 8 / total, 6) AS imbalance
+         |  round(n_vecs * ${graft.operators.clustering.ClusteringQueries.K} / total, 6) AS imbalance
          |FROM wt ORDER BY cell""".stripMargin,
     "q_ivf_batch" ->
       IvfBatchOracle,

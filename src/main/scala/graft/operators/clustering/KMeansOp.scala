@@ -159,12 +159,62 @@ object KMeansOp extends QueryModule {
       .orderBy("cluster", "dim")
   }
 
+  /** The ORACLED slice of the k-sweep (q_ksweep itself stays rows-only —
+    * full Lloyd fits are engine-specific): every k in 2..K evaluated at
+    * the SAME deterministic first-K seed centroids for one assignment
+    * pass, sharing one scan across all k (each point computes its K
+    * seed distances once; sweep metrics are prefix minima over them).
+    * Per k: inertia under the seed centroids (exact decimal sum of
+    * per-row rounded min-d2 quanta) and the SIMPLIFIED silhouette
+    * (centroid-based: a = dist to nearest seed, b = dist to second
+    * nearest, s = (b−a)/max(a,b) — closed-form per row, unlike the
+    * pairwise silhouette, so it is plain SQL). This pins the sweep
+    * machinery's assignment/argmin/prefix arithmetic under the driver
+    * hash the way q_kmeans_1step pins the mean update. */
+  def qKsweep1Step(spark: SparkSession, dir: String): DataFrame = {
+    val kMax = ClusteringQueries.K
+    val e = Tables.embeddings(spark, dir)
+    val cen = e.filter(col("vec_id") < kMax).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cen.length == kMax, s"need $kMax seed vectors, got ${cen.length}")
+    val pe = col("embedding").cast("array<double>")
+    // d2 to each seed centroid: ascending 0.0-init fold of squared diffs —
+    // addition-for-addition the fold DuckDB's list_inner_product(df, df)
+    // runs (the q_kmeans_1step-green kernel), so the doubles match
+    val d2s = array(cen.map { c =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      aggregate(zip_with(pe, cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.toIndexedSeq: _*)
+    val perK = e.select(d2s.as("d2s"))
+      .select(explode(expr(
+        s"""transform(sequence(2, $kMax), k -> named_struct(
+           |  'k', k,
+           |  'a2', array_min(slice(d2s, 1, k)),
+           |  'b2', element_at(sort_array(slice(d2s, 1, k)), 2)))""".stripMargin)).as("s"))
+      .select(col("s.k").cast("long").as("k"), col("s.a2").as("a2"), col("s.b2").as("b2"))
+    val a = sqrt(col("a2")); val b = sqrt(col("b2"))
+    perK
+      .select(col("k"), round(col("a2"), 6).as("qin"),
+        when(greatest(a, b) > 0, round((b - a) / greatest(a, b), 6))
+          .otherwise(0.0).as("s"))
+      .groupBy("k")
+      .agg(sum(col("qin").cast("decimal(25,6)")).as("si"),
+        sum(col("s").cast("decimal(25,6)")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("k"), col("si").cast("double").as("inertia"),
+        round(col("ss").cast("double") / col("n"), 6).as("silhouette"))
+      .orderBy("k")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_sizes" -> (qKmeansSizes _),
     "q_kmeans_inertia" -> (qKmeansInertia _),
     "q_kmeans_restarts" -> (qKmeansRestarts _),
     "q_kmeans_1step" -> (qKmeans1Step _),
     "q_ksweep" -> (qKsweep _),
+    "q_ksweep_1step" -> (qKsweep1Step _),
     "q_pca" -> (qPca _))
 
   /** Full iterative/eigen fits are engine-specific — no SQL oracles (driver
@@ -209,5 +259,38 @@ object KMeansOp extends QueryModule {
         |  round(COALESCE(m.coord, g.seed), 6) AS coord, i.inertia AS inertia
         |FROM grid g LEFT JOIN means m ON m.cid = g.cid AND m.dim = g.dim
         |CROSS JOIN inert i
-        |ORDER BY cluster, dim""".stripMargin)
+        |ORDER BY cluster, dim""".stripMargin,
+    // the sweep twin: per-point distances to ALL K seed centroids once,
+    // per-k metrics as prefix minima; inertia/silhouette under the
+    // round-then-DECIMAL(25,6)-sum discipline (engine-exact sums)
+    "q_ksweep_1step" ->
+      s"""WITH cen AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id < ${ClusteringQueries.K}),
+        |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
+        |d2s AS (
+        |  SELECT vec_id, cid, list_inner_product(df, df) AS d2
+        |  FROM (
+        |    SELECT p.vec_id, c.cid,
+        |      list_transform(generate_series(1, len(p.pe)), i -> p.pe[i] - c.ce[i]) AS df
+        |    FROM pts p CROSS JOIN cen c)),
+        |darr AS (
+        |  SELECT vec_id, list(d2 ORDER BY cid) AS ds FROM d2s GROUP BY vec_id),
+        |per_k AS (
+        |  SELECT vec_id, k, ds[1:CAST(k AS INT)] AS pre
+        |  FROM darr CROSS JOIN
+        |    (SELECT unnest(generate_series(2, ${ClusteringQueries.K})) AS k)),
+        |scored AS (
+        |  SELECT k, round(list_min(pre), 6) AS qin,
+        |    sqrt(list_min(pre)) AS a, sqrt(list_sort(pre)[2]) AS b
+        |  FROM per_k),
+        |s2 AS (
+        |  SELECT k, qin,
+        |    CASE WHEN greatest(a, b) > 0
+        |         THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS s
+        |  FROM scored)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(sum(CAST(qin AS DECIMAL(25,6))) AS DOUBLE) AS inertia,
+        |  round(CAST(sum(CAST(s AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS silhouette
+        |FROM s2 GROUP BY k ORDER BY k""".stripMargin)
 }

@@ -39,4 +39,15 @@ class KMeansOpSpec extends SparkSpec {
     val m = p.agg(max(abs(col("pc1")))).head().getDouble(0)
     assert(m > 0 && m < 10)
   }
+
+  test("ksweep 1-step: one row per k, inertia non-increasing in k, silhouette bounded") {
+    val rows = KMeansOp.qKsweep1Step(spark, SfDir).collect()
+    val K = ClusteringQueries.K
+    assert(rows.map(_.getLong(0)).toSeq == (2L to K).toSeq)
+    // adding a candidate centroid can only shrink a point's min distance
+    val inertias = rows.map(_.getDouble(1))
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => b <= a },
+      s"inertia not monotone: ${inertias.toSeq}")
+    assert(rows.map(_.getDouble(2)).forall(s => s >= -1 && s <= 1))
+  }
 }

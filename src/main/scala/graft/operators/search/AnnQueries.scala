@@ -182,15 +182,21 @@ object AnnQueries extends QueryModule {
     val qSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    val served = spark.readStream.schema(qSchema).parquet(inDir)
-      .writeStream
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        IvfIndex.probeBatch(spark, idx, batch.toDF(), "vec_id", "embedding", k = 10)
-          .write.mode("append").parquet(outDir)
-      }
-      .start()
-    try served.processAllAvailable() finally served.stop()
+    // micro-batch shuffles sized to the tiny query batch, not the session
+    // default (the StreamingQueries.runToTable convention)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val served = spark.readStream.schema(qSchema).parquet(inDir)
+        .writeStream
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          IvfIndex.probeBatch(spark, idx, batch.toDF(), "vec_id", "embedding", k = 10)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try served.processAllAvailable() finally served.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(outDir).orderBy("qid", "rk")
   }
 

@@ -44,11 +44,25 @@ object StreamingQueries extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Run a streaming frame to completion into a memory sink. */
+  /** Run a streaming frame to completion into a memory sink.
+    *
+    * Shuffle partitions are pinned to 8 for the stream's lifetime (and
+    * restored after): the state-store count is fixed at stream START by
+    * `shuffle.partitions`, and every stateful query here keys on a
+    * low-cardinality-per-batch stream, so the session's batch default
+    * (32, = cores) buys nothing but 4× state stores and task-launch
+    * overhead per microbatch. Production raises this knob to the
+    * stream's real throughput BEFORE the first start (it's checkpointed)
+    * — the q_stream_join lesson (5.9 s → 2.3 s at 8), now applied to
+    * every memory-sink stream uniformly. */
   private def runToTable(spark: SparkSession, df: DataFrame, name: String,
                          mode: OutputMode): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -99,16 +113,10 @@ object StreamingQueries extends QueryModule {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-    // state-store count is fixed at stream START by shuffle.partitions; a
-    // 2-sided stateful join instantiates 4 stores per partition, so size
-    // the partition count to the stream's throughput (8 here), not the
-    // batch default — at production volume this is the knob an operator
-    // raises, and it must be set BEFORE the query starts (checkpointed)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val t =
-      try runToTable(spark, joined, "stream_stream_join", OutputMode.Append())
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // a 2-sided stateful join instantiates 4 state stores per partition —
+    // runToTable's uniform 8-partition pinning is exactly this query's
+    // original lesson, now shared by every stream here
+    val t = runToTable(spark, joined, "stream_stream_join", OutputMode.Append())
     t.select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"),
         col("value"))
@@ -508,6 +516,14 @@ object StreamingQueries extends QueryModule {
     * q_quota_sample's oracle. State is sources×Quota rows, never
     * corpus-sized; the driver sees only the final per-source summary. */
   def qQuotaStream(spark: SparkSession, dir: String): DataFrame = {
+    // same micro-batch shuffle sizing as runToTable (foreachBatch path)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try qQuotaStreamInner(spark, dir)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def qQuotaStreamInner(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.sampling.SamplingQueries.{prio, Quota}
     val stage = stageQuotaFiles(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("graft_quota_stream_state")

@@ -1,11 +1,13 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.VectorOps._
-import graft.operators.clustering.Dbscan
+import graft.operators.clustering.{ConnectedComponents, Dbscan}
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the DBSCAN pipeline stages. */
+/** The one DBSCAN stage profiler (consolidates the former ProfileDbscan /
+  * ProfileDbscan2 / ProfileDbscan3 scratch mains): epsPairs, the
+  * counts/core/CC/border internals of Dbscan.label, and the full
+  * run + sweep shapes at the bench operating point. */
 object ProfileDbscan {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,33 +19,53 @@ object ProfileDbscan {
     val pts = Tables.embeddings(spark, sfDir)
     pts.write.format("noop").mode("overwrite").save()
 
-    val a = pts.select(col("vec_id").as("i"), col("embedding").as("va"))
-    val b = pts.select(col("vec_id").as("j"), col("embedding").as("vb"))
-    val pairs = a.join(b, col("i") =!= col("j"))
-      .filter(euclidean_dist(col("va"), col("vb")) <= 1.26)
-      .select(col("i"), col("j"))
-    time("eps-pairs (noop)") { pairs.write.format("noop").mode("overwrite").save() }
-    time("eps-pairs again") { pairs.write.format("noop").mode("overwrite").save() }
-    // stage-by-stage replica of Dbscan.run
-    val pc = pairs.cache()
-    val counts = pc.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
+    val pairs = Dbscan.epsPairs(pts, "vec_id", "embedding", 1.26)
+      .select(col("i"), col("j")).cache()
+    time("pairs materialize") { println("  pairs=" + pairs.count()) }
+
+    val counts = pairs.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
     val core = counts.filter(col("n_nb") >= 4).select(col("i")).cache()
-    val coreEdges = pc
+    time("core materialize") { println("  core=" + core.count()) }
+
+    val coreEdges = pairs
       .join(core.select(col("i")), Seq("i"))
       .join(core.select(col("i").as("j")), Seq("j"))
     time("coreEdges count") { println("  edges=" + coreEdges.count()) }
-    val cc = time("dataframe CC") {
-      graft.operators.clustering.ConnectedComponents.run(coreEdges, "i", "j")
+
+    val cc = time("CC.run (plan)") {
+      ConnectedComponents.run(coreEdges, "i", "j", maxRounds = 20)
     }
-    time("cc count") { println("  verts=" + cc.count()) }
-    time("full dbscan run") {
+    time("CC materialize") { println("  verts=" + cc.count()) }
+
+    val labels = core.join(
+        cc.select(col("id").as("i"), col("component").as("cl")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("cl"), col("i")).as("cl")).cache()
+    time("labels materialize") { println("  labels=" + labels.count()) }
+
+    val borderLabels = pairs
+      .join(labels.select(col("i").as("j"), col("cl")), Seq("j"))
+      .groupBy(col("i")).agg(min(col("cl")).as("border_cl"))
+    val out = pts.select(col("vec_id").as("i"))
+      .join(labels.withColumnRenamed("cl", "core_cl"), Seq("i"), "left")
+      .join(borderLabels, Seq("i"), "left")
+      .select(col("i"),
+        coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"),
+        col("core_cl").isNotNull.as("is_core"))
+      .groupBy(col("cluster"), col("is_core")).agg(count(lit(1)).as("n"))
+    time("border+final agg") {
+      out.write.format("noop").mode("overwrite").save()
+    }
+
+    time("full run q_dbscan shape") {
       Dbscan.run(pts, "vec_id", "embedding", 1.26, 4)
+        .groupBy(col("cluster"), col("is_core")).agg(count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("full dbscan again") {
-      Dbscan.run(pts, "vec_id", "embedding", 1.26, 4)
+    time("sweep (2 eps)") {
+      Dbscan.sweep(pts, "vec_id", "embedding", Seq(1.20, 1.26), 4)
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
 }
+

@@ -4,7 +4,7 @@ import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
 import graft.functions.NearestCentroid
 import graft.operators.clustering.ClusteringQueries
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,6 +240,66 @@ object AnnQueries extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy("nprobe")
   }
 
+  /** PQ geometry of the IVF-PQ composite (64-dim → 8 subspaces × 32
+    * codewords — the same oracled-deterministic setup as q_pq_recall). */
+  private val IvfPqSub = 8
+  private val IvfPqCodewords = 32
+
+  /** IVF-PQ composite search — the FAISS `IVFx,PQy` / SPANN-style shape a
+    * 100 TB index actually serves: (1) coarse-quantize into the K
+    * deterministic cells and probe the 2 nearest the query (candidate set
+    * = probed cells only, never the corpus); (2) inside the candidates,
+    * score by PQ-compressed approximation (cosine against the
+    * reconstruction — on subspace-partitioned dims this is exactly the
+    * ADC codeword-table sum, since ‖q−recon(x)‖² = Σ_s ‖q_s−cw_s‖²);
+    * (3) exact-rerank only the 50-row shortlist; recall@10 graded against
+    * the exact full-corpus answer, so the metric prices BOTH the cell
+    * truncation and the compression. Everything is one map-side scan of
+    * the probed cells (plan-constant centroids + codebooks, no join until
+    * the broadcast shortlist); at scale the candidate read is the
+    * partition-pruned IvfIndex.probeBatch path and the codes column is
+    * 32× smaller than the vectors it shortlists for.
+    *
+    * Deterministic first-k cells AND codebooks → the full
+    * cell→encode→ADC→rerank→recall arithmetic replays in SQL. */
+  def qIvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val cs = ClusteringQueries.centroids(spark, dir)
+    val e = nprobeCache.persist(Tables.embeddings(spark, dir)
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id")))
+    val model = ProductQuantization.fitDeterministic(
+      e, "embedding", numSub = IvfPqSub, k = IvfPqCodewords)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qNorm = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))
+    }
+    val probeCells = cs.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy { case (i, d) => (d, i) }.take(2).map(_._1)
+    val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
+    val cands = e.filter(col("vec_id") > 0 && col("cell").isin(probeCells: _*))
+    val approxVec = ProductQuantization.reconstruct(
+      ProductQuantization.encode(col("embedding"), model), model)
+    def topN(df: DataFrame, scoreCol: Column, n: Int): DataFrame =
+      df.select(col("vec_id"), round(scoreCol, 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(n)
+        .select("vec_id")
+    val shortlist = topN(cands, cosine_sim(approxVec, qCol), 50)
+    val reranked = topN(e.join(broadcast(shortlist), Seq("vec_id")),
+      cosine_sim(col("embedding"), qCol), 10)
+    val exact = topN(e.filter(col("vec_id") > 0),
+      cosine_sim(col("embedding"), qCol), 10)
+    val nCand = cands.agg(count(lit(1)).as("n_cand"))
+    reranked.join(exact, Seq("vec_id"))
+      .agg(round(count(lit(1)) / 10.0, 6).as("recall"))
+      .crossJoin(broadcast(nCand))
+      .select(lit(10).as("k"), lit(2).as("nprobe"), col("n_cand"), col("recall"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nprobe_sweep" -> (qNprobeSweep _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -248,6 +308,7 @@ object AnnQueries extends QueryModule {
     "q_ivf_stats" -> (qIvfStats _),
     "q_ivf_batch" -> (qIvfBatch _),
     "q_ann_serve_stream" -> (qAnnServeStream _),
+    "q_ivfpq_recall" -> (qIvfPqRecall _),
     "q_lof" -> (qLof _))
 
   private val AsgCte =
@@ -379,5 +440,50 @@ object AnnQueries extends QueryModule {
         |FROM knn
         |JOIN lrd nb ON knn.j = nb.i
         |JOIN lrd own ON knn.i = own.i
-        |GROUP BY knn.i ORDER BY vec_id""".stripMargin)
+        |GROUP BY knn.i ORDER BY vec_id""".stripMargin,
+    // IVF-PQ composite: AsgCte supplies cells + the 2-cell probe set; the
+    // PQ CTEs rebuild the deterministic first-k codebooks and replay
+    // encode→reconstruct (the q_pq_recall kernel) restricted to the probed
+    // cells; rerank/recall use the q_topk_bruteforce ranking scheme
+    "q_ivfpq_recall" ->
+      s"""WITH $AsgCte,
+         |subs AS (SELECT CAST(unnest(generate_series(0, ${IvfPqSub - 1})) AS INT) AS sub),
+         |cb AS (SELECT s.sub, CAST(n.vec_id - 1 AS INT) AS code,
+         |    n.v[s.sub * ${64 / IvfPqSub} + 1 : s.sub * ${64 / IvfPqSub} + ${64 / IvfPqSub}] AS cw
+         |  FROM nrm n CROSS JOIN subs s WHERE n.vec_id BETWEEN 1 AND $IvfPqCodewords),
+         |cand AS (
+         |  SELECT a.vec_id, n.v, n.raw FROM asg a JOIN nrm n USING (vec_id)
+         |  WHERE a.vec_id > 0 AND a.cell IN (SELECT cid FROM probe)),
+         |sl AS (SELECT c2.vec_id, s.sub,
+         |    c2.v[s.sub * ${64 / IvfPqSub} + 1 : s.sub * ${64 / IvfPqSub} + ${64 / IvfPqSub}] AS sv
+         |  FROM cand c2 CROSS JOIN subs s),
+         |d2 AS (SELECT vec_id, sub, code, list_inner_product(df, df) AS dd FROM (
+         |    SELECT sl.vec_id, sl.sub, cb.code,
+         |      list_transform(generate_series(1, ${64 / IvfPqSub}),
+         |        i -> sl.sv[CAST(i AS INT)] - cb.cw[CAST(i AS INT)]) AS df
+         |    FROM sl JOIN cb USING (sub))),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |recon AS (SELECT e2.vec_id, flatten(list(cb.cw ORDER BY e2.sub)) AS rv
+         |  FROM enc e2 JOIN cb ON e2.sub = cb.sub AND e2.code = cb.code
+         |  GROUP BY e2.vec_id),
+         |q AS (SELECT raw AS qe FROM nrm WHERE vec_id = 0),
+         |appx AS (SELECT r.vec_id,
+         |    round(list_cosine_similarity(r.rv, q.qe), 6) AS cos_sim
+         |  FROM recon r CROSS JOIN q),
+         |short AS (SELECT vec_id FROM appx ORDER BY cos_sim DESC, vec_id LIMIT 50),
+         |exact AS (SELECT n.vec_id,
+         |    round(list_cosine_similarity(n.raw, q.qe), 6) AS cos_sim
+         |  FROM nrm n CROSS JOIN q WHERE n.vec_id > 0),
+         |rtop AS (SELECT e3.vec_id, e3.cos_sim FROM exact e3 JOIN short USING (vec_id)
+         |  ORDER BY e3.cos_sim DESC, e3.vec_id LIMIT 10),
+         |etop AS (SELECT vec_id FROM exact ORDER BY cos_sim DESC, vec_id LIMIT 10),
+         |ncand AS (SELECT count(*) AS n_cand FROM cand),
+         |rec AS (SELECT round(count(*) / 10.0, 6) AS recall
+         |  FROM rtop JOIN etop USING (vec_id))
+         |SELECT 10 AS k, 2 AS nprobe, CAST(nc.n_cand AS BIGINT) AS n_cand,
+         |  r.recall
+         |FROM rec r CROSS JOIN ncand nc""".stripMargin)
 }

@@ -142,13 +142,55 @@ object TfIdfQueries extends QueryModule {
       probe = col("doc_id") < 500)
       .orderBy("doc_id")
 
+  /** Counter budget of the heavy-hitters sketch; at 100 TB this scales
+    * with the tolerable error n/(budget+1), like IVF cell counts. */
+  val HhBudget = 64
+
+  /** Heavy hitters via a MERGEABLE Misra-Gries sketch + exact verify —
+    * the frequent-items member of the sketch family (q_sketch_stats /
+    * q_hll_merge are the distinct-count/quantile members): one
+    * [[graft.functions.MisraGriesSketch]] aggregation summarizes the
+    * token stream into ≤ [[HhBudget]] counters (map-side partials, each
+    * shuffle carries one budget-sized sketch per partition — never a
+    * corpus-sized term shuffle), then the sketch's candidate terms get
+    * EXACT counts from a broadcast-semi-joined groupBy and the top 10 by
+    * exact count are emitted. MG guarantees every term with count >
+    * n_tokens/(budget+1) survives in the sketch for ANY order/partition
+    * split, so whenever the 10th-ranked term clears that margin (spec-
+    * asserted for the test corpora; the production knob is the budget)
+    * the output is deterministic and equals the plain exact top-10 — the
+    * oracle — even though the sketch's internal estimates are not. Same
+    * verify-after-sketch shape as q_bloom_dedup. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(spark, dir)
+    val cands = toks.agg(graft.functions.MisraGries(col("term"), HhBudget).as("sk"))
+      .select(explode(col("sk")).as("s"))
+      .select(col("s.term").as("term"))
+    toks.groupBy("term").agg(count(lit(1)).as("cf"))
+      .join(broadcast(cands), Seq("term"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(10)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
     "q_vocab_top" -> (qVocabTop _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
-    "q_bigram_logprob" -> (qBigramLogprob _))
+    "q_bigram_logprob" -> (qBigramLogprob _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
 
   override def oracles: Map[String, String] = Map(
+    // the sketch is a guaranteed-superset candidate generator, so the
+    // exact-verified top-10 equals the plain exact top-10 (margin
+    // n/(budget+1) < cf_10 asserted in MisraGriesSpec)
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+        |    w -> len(w) > 0)) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks
+        |GROUP BY term ORDER BY cf DESC, term LIMIT 10""".stripMargin,
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

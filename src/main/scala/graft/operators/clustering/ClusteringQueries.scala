@@ -146,14 +146,19 @@ object ClusteringQueries extends QueryModule {
       .select(col("i"), col("la"), col("lb"),
         euclidean_dist(col("ea"), col("eb")).as("d"))
       .groupBy(col("i"), col("la"), col("lb"))
-      .agg(round(avg(col("d")), 6).as("md"))
+      // round-then-decimal-sum means throughout (not avg of raw doubles):
+      // decimal sums are order-free and engine-exact -- the covariance
+      // lesson applied to both aggregation levels of the silhouette
+      .agg(round(sum(round(col("d"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1)), 6).as("md"))
     val perPoint = meanDists.groupBy(col("i"), col("la"))
       .agg(
         max(when(col("lb") === col("la"), col("md"))).as("a_i"),
         min(when(col("lb") =!= col("la"), col("md"))).as("b_i"))
       .withColumn("s_i", (col("b_i") - col("a_i")) / greatest(col("a_i"), col("b_i")))
     perPoint.groupBy(col("la").as("label"))
-      .agg(round(avg(col("s_i")), 4).as("mean_sil"), count(lit(1)).as("n"))
+      .agg(round(sum(round(col("s_i"), 6).cast("decimal(25,6)")).cast("double")
+        / count(lit(1)), 4).as("mean_sil"), count(lit(1)).as("n"))
       .orderBy("label")
   }
 
@@ -331,7 +336,8 @@ object ClusteringQueries extends QueryModule {
     "q_silhouette_exact" ->
       """WITH md AS (
         |  SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
-        |    round(avg(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS md
+        |    round(CAST(sum(CAST(round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+        |                       AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS md
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  GROUP BY 1, 2, 3),
         |pp AS (
@@ -339,7 +345,9 @@ object ClusteringQueries extends QueryModule {
         |    max(CASE WHEN lb = la THEN md END) AS a_i,
         |    min(CASE WHEN lb <> la THEN md END) AS b_i
         |  FROM md GROUP BY i, la)
-        |SELECT la AS label, round(avg((b_i - a_i) / greatest(a_i, b_i)), 4) AS mean_sil,
+        |SELECT la AS label,
+        |  round(CAST(sum(CAST(round((b_i - a_i) / greatest(a_i, b_i), 6)
+        |                      AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS mean_sil,
         |  count(*) AS n
         |FROM pp GROUP BY la ORDER BY label""".stripMargin)
 }

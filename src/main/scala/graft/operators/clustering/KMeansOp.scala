@@ -132,30 +132,57 @@ object KMeansOp extends QueryModule {
     * per (cluster, dim) the updated centroid coordinate + member count,
     * plus the inertia under the starting centroids. Unlike the seeded
     * MLlib fits this IS oracle-able — assignment is per-row sequential
-    * double arithmetic and the update is avg/count — so it puts
-    * [[MultiKMeans]]'s assignPass + mean-update arithmetic under the
-    * driver's DuckDB hash (full fits stay rows-only). */
+    * double arithmetic — so it puts the assignPass + mean-update
+    * arithmetic under the driver's DuckDB hash (full fits stay
+    * rows-only; [[MultiKMeans.lloydStep]] remains the production step).
+    *
+    * r5 hardening (the q_covariance lesson applied BEFORE it bites): the
+    * earlier version replayed lloydStep's treeAggregate double sums
+    * against a DuckDB `avg(v)`/`round(sum(d2), 6)` — both sides sum raw
+    * fractional doubles in their own partition/scan order, so any
+    * coordinate near a .5e-6 boundary was one repartition away from a
+    * hash flip. Now both the mean and the inertia follow the
+    * round-then-DECIMAL(25,6)-sum discipline (order-free, engine-exact
+    * quanta), computed declaratively: per-row fold d2 to every seed
+    * (the q_ksweep_1step kernel), argmin via array_position (first
+    * match = lowest cid, both engines), one element explode for the
+    * per-(cluster, dim) means, and a seed grid LEFT JOIN so empty
+    * clusters replay their seed coordinate. */
   def qKmeans1Step(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = ClusteringQueries.K
     val e = Tables.embeddings(spark, dir)
-    val initRows = e.filter(col("vec_id") < k).orderBy("vec_id")
-      .select(col("embedding")).collect()
-    require(initRows.length == k, s"need $k seed vectors, got ${initRows.length}")
-    val dim = initRows.head.getSeq[Float](0).length
-    val init = new Array[Double](k * dim)
-    initRows.zipWithIndex.foreach { case (r, c) =>
-      val v = r.getSeq[Float](0)
-      var d = 0
-      while (d < dim) { init(c * dim + d) = v(d).toDouble; d += 1 }
-    }
-    val (next, counts, inertia) = MultiKMeans.lloydStep(e, "embedding", init, k)
-    val rows = for { c <- 0 until k; d <- 0 until dim }
-      yield (c.toLong, (d + 1).toLong, counts(c), next(c * dim + d), inertia)
-    rows.toDF("cluster", "dim", "n", "coord_raw", "inertia_raw")
-      .select(col("cluster"), col("dim"), col("n"),
-        round(col("coord_raw"), 6).as("coord"),
-        round(col("inertia_raw"), 6).as("inertia"))
+    val cen = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cen.length == k, s"need $k seed vectors, got ${cen.length}")
+    val pe = col("embedding").cast("array<double>")
+    val d2s = array(cen.map { c =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      aggregate(zip_with(pe, cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.toIndexedSeq: _*)
+    val asg = e.select(pe.as("pe"), d2s.as("d2s"))
+      .select(col("pe"),
+        (expr("array_position(d2s, array_min(d2s))") - 1).cast("long").as("cluster"),
+        array_min(col("d2s")).as("a2"))
+    val means = asg
+      .select(col("cluster"), posexplode(col("pe")).as(Seq("i0", "v")))
+      .groupBy(col("cluster"), (col("i0") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v"), 6).cast("decimal(25,6)")).as("s6"))
+    val inert = asg.agg(
+      round(sum(round(col("a2"), 6).cast("decimal(25,6)")).cast("double"), 6)
+        .as("inertia"))
+    val grid = (for { c <- 0 until k; d <- 0 until cen.head.length }
+      yield (c.toLong, (d + 1).toLong, cen(c)(d))).toDF("cluster", "dim", "seed")
+    grid.join(means, Seq("cluster", "dim"), "left")
+      .crossJoin(broadcast(inert))
+      .select(col("cluster"), col("dim"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("s6").cast("double") / col("n"), col("seed")), 6)
+          .as("coord"),
+        col("inertia"))
       .orderBy("cluster", "dim")
   }
 
@@ -226,38 +253,46 @@ object KMeansOp extends QueryModule {
     * inertia = sum of best distances. */
   override def oracles: Map[String, String] = Map(
     "q_kmeans_1step" ->
-      // K interpolated from the single source of truth, and the seed grid
+      // K interpolated from the single source of truth; the seed grid
       // LEFT JOINs the per-cluster means so an empty cluster replays the
-      // Scala side's (n=0, seed coordinate) rows instead of vanishing
+      // Scala side's (n=0, seed coordinate) rows; means and inertia are
+      // round-then-DECIMAL(25,6) sums (order-free, engine-exact), never
+      // avg/sum of raw doubles
       s"""WITH cen AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |  FROM embeddings WHERE vec_id < ${ClusteringQueries.K}),
         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
         |d2s AS (
-        |  SELECT vec_id, cid, pe, list_inner_product(df, df) AS d2
+        |  SELECT vec_id, cid, list_inner_product(df, df) AS d2
         |  FROM (
-        |    SELECT p.vec_id, c.cid, p.pe,
+        |    SELECT p.vec_id, c.cid,
         |      list_transform(generate_series(1, len(p.pe)), i -> p.pe[i] - c.ce[i]) AS df
         |    FROM pts p CROSS JOIN cen c)),
+        |darr AS (
+        |  SELECT vec_id, list(d2 ORDER BY cid) AS ds FROM d2s GROUP BY vec_id),
         |asg AS (
-        |  SELECT vec_id, cid, d2, pe FROM (
-        |    SELECT vec_id, cid, d2, pe,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |    FROM d2s) WHERE rn = 1),
+        |  SELECT d.vec_id, list_position(d.ds, list_min(d.ds)) - 1 AS cluster,
+        |    list_min(d.ds) AS a2, p.pe
+        |  FROM darr d JOIN pts p USING (vec_id)),
         |el AS (
-        |  SELECT cid, generate_subscripts(pe, 1) AS dim, unnest(pe) AS v FROM asg),
+        |  SELECT cluster, generate_subscripts(pe, 1) AS dim, unnest(pe) AS v FROM asg),
         |means AS (
-        |  SELECT cid, dim, count(*) AS n, avg(v) AS coord FROM el GROUP BY cid, dim),
+        |  SELECT cluster, dim, count(*) AS n,
+        |    sum(CAST(round(v, 6) AS DECIMAL(25,6))) AS s6
+        |  FROM el GROUP BY cluster, dim),
         |dims AS (
         |  SELECT unnest(generate_series(1, (SELECT len(ce) FROM cen LIMIT 1))) AS dim),
         |grid AS (
-        |  SELECT c.cid, d.dim, c.ce[CAST(d.dim AS INT)] AS seed
+        |  SELECT c.cid AS cluster, d.dim, c.ce[CAST(d.dim AS INT)] AS seed
         |  FROM cen c CROSS JOIN dims d),
-        |inert AS (SELECT round(sum(d2), 6) AS inertia FROM asg)
-        |SELECT CAST(g.cid AS BIGINT) AS cluster, CAST(g.dim AS BIGINT) AS dim,
+        |inert AS (
+        |  SELECT round(CAST(sum(CAST(round(a2, 6) AS DECIMAL(25,6))) AS DOUBLE), 6)
+        |    AS inertia FROM asg)
+        |SELECT CAST(g.cluster AS BIGINT) AS cluster, CAST(g.dim AS BIGINT) AS dim,
         |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
-        |  round(COALESCE(m.coord, g.seed), 6) AS coord, i.inertia AS inertia
-        |FROM grid g LEFT JOIN means m ON m.cid = g.cid AND m.dim = g.dim
+        |  round(COALESCE(CAST(m.s6 AS DOUBLE) / m.n, g.seed), 6) AS coord,
+        |  i.inertia AS inertia
+        |FROM grid g LEFT JOIN means m ON m.cluster = g.cluster AND m.dim = g.dim
         |CROSS JOIN inert i
         |ORDER BY cluster, dim""".stripMargin,
     // the sweep twin: per-point distances to ALL K seed centroids once,

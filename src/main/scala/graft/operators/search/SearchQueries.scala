@@ -32,7 +32,10 @@ object SearchQueries extends QueryModule {
       .groupBy(col("document_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("cos_sim") > Tau, 1L).otherwise(0L)).as("n_above"),
-        round(avg(col("cos_sim")), 6).as("mean_cos"))
+        // round-then-decimal-sum mean (not avg of raw doubles): decimal
+        // sums are order-free and engine-exact -- the covariance lesson
+        round(sum(round(col("cos_sim"), 6).cast("decimal(25,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_cos"))
     val counts = c.groupBy(col("document_id")).agg(count(lit(1)).as("n_chunks"))
     counts.join(pairs, Seq("document_id"), "left")
       .select(col("document_id"), col("n_chunks"),
@@ -104,7 +107,8 @@ object SearchQueries extends QueryModule {
          |  SELECT a.document_id, count(*) AS n_pairs,
          |    sum(CASE WHEN list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > $Tau
          |        THEN 1 ELSE 0 END) AS n_above,
-         |    round(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS mean_cos
+         |    round(CAST(sum(CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+         |                       AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_cos
          |  FROM c a JOIN c b ON a.document_id = b.document_id AND a.vec_id < b.vec_id
          |  GROUP BY a.document_id),
          |n AS (SELECT document_id, count(*) AS n_chunks FROM c GROUP BY document_id)

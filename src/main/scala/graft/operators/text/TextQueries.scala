@@ -214,7 +214,12 @@ object TextQueries extends QueryModule {
       sum(when(col("is_good"), 1L).otherwise(0L)).as("n_quality"),
       sum(when(col("is_uniq"), 1L).otherwise(0L)).as("n_unique"),
       sum(when(col("is_uniq"), col("n_tok").cast("long"))).as("total_tokens"),
-      round(avg(when(col("is_uniq"), col("q"))), 6).as("avg_quality"))
+      // round-then-decimal-sum mean (the covariance lesson): q is a
+      // fractional double, so avg's partition-order sums could flip the
+      // 6th decimal on a boundary
+      round(sum(when(col("is_uniq"), round(col("q"), 6).cast("decimal(25,6)")))
+        .cast("double")
+        / sum(when(col("is_uniq"), 1L).otherwise(0L)), 6).as("avg_quality"))
   }
 
   /** Whole-document fingerprint (md5 — identical hex in both engines).
@@ -424,7 +429,9 @@ object TextQueries extends QueryModule {
          |  CAST(sum(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |  CAST(sum(CASE WHEN is_good AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          |  CAST(sum(CASE WHEN is_good AND rn = 1 THEN n_tok END) AS BIGINT) AS total_tokens,
-         |  round(avg(CASE WHEN is_good AND rn = 1 THEN q END), 6) AS avg_quality
+         |  round(CAST(sum(CASE WHEN is_good AND rn = 1
+         |                  THEN CAST(round(q, 6) AS DECIMAL(25,6)) END) AS DOUBLE)
+         |        / sum(CASE WHEN is_good AND rn = 1 THEN 1 ELSE 0 END), 6) AS avg_quality
          |FROM ranked""".stripMargin,
     "q_chunking" ->
       """SELECT doc_id, start // 32 AS chunk_idx,

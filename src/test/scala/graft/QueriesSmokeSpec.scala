@@ -21,11 +21,12 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_cluster_validity: crossJoin of three ONE-ROW summaries (global
     *    W/n, B, and the k-row-derived Davies-Bouldin scalar);
     *  - q_ivfpq_recall: crossJoin of the ONE-ROW recall aggregate with the
-    *    ONE-ROW candidate-count aggregate. */
+    *    ONE-ROW candidate-count aggregate;
+    *  - q_kmeans_1step: crossJoin with the ONE-ROW inertia aggregate. */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
-    "q_cluster_validity", "q_ivfpq_recall")
+    "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -42,6 +42,27 @@ object AnalyticsQueries extends QueryModule {
         count(lit(1)).as("n_lines"))
       .orderBy("l_returnflag")
 
+  /** Multi-level ROLLUP totals — the OLAP subtotal/grand-total shape
+    * (detail → per-flag → grand) in ONE pass: Spark's rollup is an
+    * Expand (3 rows per input here) into a single partial-agg shuffle,
+    * not three scans; DuckDB replays it with GROUP BY ROLLUP. Group
+    * levels are disambiguated by grouping_id (bit conventions match) and
+    * null group keys are coalesced to 'ALL' so the hash compare never
+    * sees engine null-ordering. Money sums use the q1_agg-proven
+    * decimal-cast idiom (2dp×2dp products sit ~1e-12 from their 4dp
+    * lattice point — both engines' casts land on it). */
+  def qRollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid").cast("long").as("gid"), col("n_lines"), col("revenue"))
+      .orderBy("gid", "rflag", "lstatus")
+
   /** Join+group across fact and dims (customer→orders→lineitem→nation) —
     * revenue per nation. Nation/region are broadcast (dim-sized at any SF). */
   def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -425,6 +446,7 @@ object AnalyticsQueries extends QueryModule {
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
+    "q_rollup_revenue" -> (qRollupRevenue _),
     "q_join_agg" -> (qJoinAgg _),
     "q_window_topn" -> (qWindowTopn _),
     "q_chunks_per_type" -> (qChunksPerType _),
@@ -461,6 +483,15 @@ object AnalyticsQueries extends QueryModule {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q_revenue_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,

@@ -70,29 +70,8 @@ case class MisraGriesSketch(
   }
 
   override def merge(b1: java.util.HashMap[String, java.lang.Long],
-                     b2: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
-    val mit = b2.entrySet().iterator()
-    while (mit.hasNext) {
-      val e = mit.next()
-      val old = b1.get(e.getKey)
-      b1.put(e.getKey, (if (old == null) 0L else old.longValue()) + e.getValue.longValue())
-    }
-    if (b1.size > budget) {
-      // subtract the (budget+1)-th largest count from every counter
-      val counts = new Array[Long](b1.size)
-      var i = 0
-      val vit = b1.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val d = counts(counts.length - budget - 1) // (budget+1)-th largest
-      val it = b1.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
-      }
-    }
-    b1
-  }
+                     b2: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] =
+    MisraGries.mergeInto(b1, b2, budget)
 
   override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
     // deterministic output order: estimate desc, term asc
@@ -144,4 +123,36 @@ object MisraGries {
   def apply(termCol: Column, budget: Int): Column =
     Shim.column(
       MisraGriesSketch(Shim.expression(termCol), budget).toAggregateExpression())
+
+  /** The Agarwal-et-al mergeable-summaries rule, shared by the aggregate's
+    * shuffle merge and driver-side cross-batch folds (q_hh_stream): sum
+    * counters, then if over budget subtract the (budget+1)-th largest from
+    * all and drop non-positives. The c − n_total/(budget+1) guarantee
+    * survives any merge tree. Mutates and returns `b1`. */
+  private[graft] def mergeInto(
+      b1: java.util.HashMap[String, java.lang.Long],
+      b2: java.util.HashMap[String, java.lang.Long],
+      budget: Int): java.util.HashMap[String, java.lang.Long] = {
+    val mit = b2.entrySet().iterator()
+    while (mit.hasNext) {
+      val e = mit.next()
+      val old = b1.get(e.getKey)
+      b1.put(e.getKey, (if (old == null) 0L else old.longValue()) + e.getValue.longValue())
+    }
+    if (b1.size > budget) {
+      // subtract the (budget+1)-th largest count from every counter
+      val counts = new Array[Long](b1.size)
+      var i = 0
+      val vit = b1.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - budget - 1) // (budget+1)-th largest
+      val it = b1.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= d) it.remove() else e.setValue(e.getValue - d)
+      }
+    }
+    b1
+  }
 }

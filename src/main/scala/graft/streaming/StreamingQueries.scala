@@ -490,6 +490,73 @@ object StreamingQueries extends QueryModule {
 
   /** Stage documents as two id-halves for an ordered 2-batch ingest
     * (same stageKey caching scheme as the other streaming stagings). */
+  /** Stage documents as two id-ordered (doc_id, text) files for the
+    * heavy-hitters ingest stream. */
+  private def stageHhFiles(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_hh_stream", graft.Fs.stageKey(dir, "documents.parquet"))
+    if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
+      return stage.toString
+    graft.Fs.deleteRecursively(stage)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val mid = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    graft.Fs.stageParts(stage, Seq(
+      d.filter(col("doc_id") <= mid), d.filter(col("doc_id") > mid)))
+    stage.toString
+  }
+
+  /** STREAMING heavy hitters — the continuous-ingest twin of
+    * q_heavy_hitters: each microbatch aggregates its tokens into a
+    * [[graft.functions.MisraGriesSketch]] (map-side partials; the batch
+    * job's shuffle carries one budget-sized sketch per partition) and the
+    * ≤ budget resulting counters fold into a cross-batch driver state
+    * with the SAME Agarwal-et-al merge rule — the only driver-side value
+    * is the 64-counter sketch, bounded by construction, never by data.
+    * Mergeable-summaries gives c − n_total/(budget+1) ≤ ĉ ≤ c over the
+    * whole prefix for ANY batch split, so the final candidate set is a
+    * guaranteed superset of the true top-10 (margin spec-asserted) and
+    * the exact-verified output equals the batch query — q_hh_stream
+    * SHARES q_heavy_hitters' oracle, the q_quota_stream
+    * batch-split-independence argument applied to frequent items. */
+  def qHhStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.text.TfIdfQueries
+    val stage = stageHhFiles(spark, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val state = new java.util.HashMap[String, java.lang.Long]()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sk = TfIdfQueries.tokensOf(batch, "doc_id", "text")
+            .agg(graft.functions.MisraGries(col("term"), TfIdfQueries.HhBudget).as("sk"))
+            .select(explode(col("sk")).as("s"))
+            .select(col("s.term"), col("s.est"))
+            .collect() // ≤ HhBudget rows — bounded by construction
+          val batchMap = new java.util.HashMap[String, java.lang.Long]()
+          sk.foreach(r => batchMap.put(r.getString(0), r.getLong(1)))
+          graft.functions.MisraGries.mergeInto(state, batchMap, TfIdfQueries.HhBudget)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // exact verify of the final candidate set over the ingested corpus —
+    // the same post-sketch step the batch query runs
+    import spark.implicits._
+    val cands = state.keySet().toArray(new Array[String](0)).toSeq.toDF("term")
+    val toks = TfIdfQueries.tokensOf(
+      spark.read.schema(schema).parquet(stage), "doc_id", "text")
+    toks.groupBy("term").agg(count(lit(1)).as("cf"))
+      .join(broadcast(cands), Seq("term"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(10)
+  }
+
   private def stageQuotaFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -585,7 +652,8 @@ object StreamingQueries extends QueryModule {
     "q_funnel_stream" -> (qFunnelStream _),
     "q_drift_stream" -> (qDriftStream _),
     "q_events_sliding_stream" -> (qEventsSlidingStream _),
-    "q_stream_join" -> (qStreamStreamJoin _))
+    "q_stream_join" -> (qStreamStreamJoin _),
+    "q_hh_stream" -> (qHhStream _))
 
   override def oracles: Map[String, String] = Map(
     // identical semantics to the batch as-of join → identical oracle
@@ -595,6 +663,11 @@ object StreamingQueries extends QueryModule {
     // counts are batch-split-independent and share the batch oracle
     "q_funnel_stream" ->
       graft.operators.analytics.AnalyticsQueries.oracles("q_event_funnel"),
+    // mergeable-summaries MG: the cross-batch merged sketch is a
+    // guaranteed superset of the true top-10 for any split, and the
+    // exact verify makes the output equal the batch query
+    "q_hh_stream" ->
+      graft.operators.text.TfIdfQueries.oracles("q_heavy_hitters"),
     // cumulative Complete-mode bin counts after the last batch == batch counts
     "q_drift_stream" ->
       graft.operators.analytics.AnalyticsQueries.oracles("q_embedding_drift"),

@@ -63,6 +63,34 @@ class MisraGriesSpec extends SparkSpec {
         "raise HhBudget or the oracle argument breaks")
   }
 
+  test("cross-batch driver fold (q_hh_stream's shape) preserves the guarantee") {
+    val rnd = new scala.util.Random(19L)
+    val heavy = (0 until 3).flatMap(i => Seq.fill(500 - 100 * i)(s"hh$i"))
+    val stream = rnd.shuffle(heavy ++ Seq.fill(1500)(s"t${rnd.nextInt(400)}"))
+    val n = stream.size
+    val budget = 16
+    for (batches <- Seq(2, 5, 9)) {
+      val state = new java.util.HashMap[String, java.lang.Long]()
+      stream.grouped(math.ceil(n.toDouble / batches).toInt).foreach { b =>
+        val bm = new java.util.HashMap[String, java.lang.Long]()
+        sketch(b, budget, parts = 3).foreach { case (t, c) => bm.put(t, c) }
+        MisraGries.mergeInto(state, bm, budget)
+      }
+      assert(state.size <= budget)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = n.toDouble / (budget + 1)
+      exact.foreach { case (t, c) =>
+        if (c > bound)
+          assert(state.containsKey(t), s"batches=$batches: $t (c=$c) lost in the fold")
+      }
+      state.forEach { (t, est) =>
+        val c = exact(t)
+        assert(est <= c && est >= c - bound,
+          s"batches=$batches: estimate $est outside [${c - bound}, $c] for $t")
+      }
+    }
+  }
+
   test("q_heavy_hitters equals the exact top-10 under repartitioning") {
     def run(parts: Int) = {
       val docs = graft.Tables.documents(spark, SfDir).repartition(parts)

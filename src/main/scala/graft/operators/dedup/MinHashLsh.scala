@@ -157,7 +157,7 @@ object MinHashLsh extends QueryModule {
     * mix, the 64 MinHash permutations as list_min over list_transform,
     * banding as a join on the raw 4-sig slice, Jaccard on the distinct
     * fingerprint sets. */
-  private[dedup] def pipelineCtes: String = {
+  private[graft] def pipelineCtes: String = {
     import graft.functions.ShingleHashes.{M, WordBase, WindowBase}
     val sigExprs = (0 until NumHashes).map { i =>
       s"list_min(list_transform(shs, x -> (x * ${coefA(i)} + ${coefB(i)}) % $P))"

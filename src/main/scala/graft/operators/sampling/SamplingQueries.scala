@@ -260,9 +260,52 @@ object SamplingQueries extends QueryModule {
       .limit(25)
   }
 
+  /** Split label from a deterministic key hash (80/10/10). */
+  private def splitOf(key: Column): Column = {
+    val b = prio(key) % 100
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** LEAK-SAFE train/val/test split — the self-leakage guard q_sample_split
+    * lacks: hashing DOC ids scatters near-duplicates across splits, so a
+    * test document's near-copy can sit in train (the leakage
+    * q_decontaminate guards against external eval sets, replayed here for
+    * the corpus's own splits). The fix: split by the near-dup GROUP's
+    * canonical id (verified MinHash pairs → connected components; unpaired
+    * docs are their own singleton group), so a whole duplicate cluster
+    * lands in one split by construction. Output: per-split doc/group
+    * accounting plus two corpus-level audits — group_leaks (groups
+    * spanning >1 split under the group-keyed hash: structurally 0, the
+    * guarantee made visible) and naive_leaks (what the doc-keyed hash
+    * WOULD leak: >0 on the planted corpus — the reason this operator
+    * exists). Same planted-dup corpus and CC machinery as q_dedup_groups;
+    * scale notes there apply. */
+  def qLeakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.dedup.MinHashLsh
+    val docs = MinHashLsh.withPlantedDups(Tables.documents(spark, dir))
+      .select(col("doc_id"))
+    val pairs = MinHashLsh.nearDupPairs(
+      MinHashLsh.withPlantedDups(Tables.documents(spark, dir)), minJaccard = 0.5)
+    val cc = graft.operators.clustering.ConnectedComponents.run(pairs, "d1", "d2")
+      .select(col("id").as("doc_id"), col("component"))
+    val assigned = docs.join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("gid"))
+      .select(col("doc_id"), col("gid"),
+        splitOf(col("gid")).as("split"), splitOf(col("doc_id")).as("naive_split"))
+    val per = assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("gid")).as("n_groups"))
+    val leaks = assigned.groupBy("gid")
+      .agg(countDistinct(col("split")).as("ns"),
+        countDistinct(col("naive_split")).as("nn"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("group_leaks"),
+        sum(when(col("nn") > 1, 1L).otherwise(0L)).as("naive_leaks"))
+    per.crossJoin(broadcast(leaks)).orderBy("split")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_leak_safe_split" -> (qLeakSafeSplit _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_token_packing" -> (qTokenPacking _),
@@ -270,6 +313,43 @@ object SamplingQueries extends QueryModule {
     "q_mixture_sample" -> (qMixtureSample _))
 
   override def oracles: Map[String, String] = Map(
+    // group-keyed split replayed on the dedup pipeline's comp CTE; the
+    // split/prio arithmetic is the exact-integer q_sample_split form
+    "q_leak_safe_split" -> {
+      def splitSql(x: String) =
+        s"CASE WHEN ${prioSql(x)} % 100 < 80 THEN 'train' " +
+          s"WHEN ${prioSql(x)} % 100 < 90 THEN 'val' ELSE 'test' END"
+      s"""WITH RECURSIVE ${graft.operators.dedup.MinHashLsh.pipelineCtes},
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM verified
+         |  UNION SELECT d2, d1 FROM verified),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (
+         |  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS gid,
+         |    ${splitSql("coalesce(c.component, d.doc_id)")} AS split,
+         |    ${splitSql("d.doc_id")} AS naive_split
+         |  FROM (SELECT doc_id FROM corpus) d
+         |  LEFT JOIN comp c ON d.doc_id = c.node),
+         |per AS (
+         |  SELECT split, count(*) AS n_docs, count(DISTINCT gid) AS n_groups
+         |  FROM assigned GROUP BY split),
+         |lk AS (
+         |  SELECT
+         |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS group_leaks,
+         |    sum(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS naive_leaks
+         |  FROM (SELECT gid, count(DISTINCT split) AS ns,
+         |          count(DISTINCT naive_split) AS nn
+         |        FROM assigned GROUP BY gid))
+         |SELECT p.split, CAST(p.n_docs AS BIGINT) AS n_docs,
+         |  CAST(p.n_groups AS BIGINT) AS n_groups,
+         |  CAST(l.group_leaks AS BIGINT) AS group_leaks,
+         |  CAST(l.naive_leaks AS BIGINT) AS naive_leaks
+         |FROM per p CROSS JOIN lk l ORDER BY p.split""".stripMargin
+    },
     "q_dsir_weights" ->
       s"""WITH docs2 AS (
          |  SELECT doc_id, lang, list_filter(

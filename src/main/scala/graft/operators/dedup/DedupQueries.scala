@@ -3,6 +3,7 @@ package graft.operators.dedup
 import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY §2 "Deduplication").
@@ -174,14 +175,98 @@ object DedupQueries extends QueryModule {
       .orderBy("centroid_id")
   }
 
+  /** Span length (tokens) of the repeated-substring detector. */
+  val SpanK = 8
+
+  /** EXACT repeated-SPAN detection (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the substring-granular layer of
+    * the dedup ladder, below document-level exact/near dedup): every
+    * k-token window of every document is fingerprinted (md5 of the joined
+    * tokens, identical hex in both engines); a window whose fingerprint
+    * occurred EARLIER in the corpus order (lower doc_id, or same doc at a
+    * lower position) is a repeated span. Per doc: window/repeat counts and
+    * the number of distinct token POSITIONS covered by repeated spans —
+    * the fraction a span-level deduper would clip, and the per-doc
+    * repetition exposure a curation report ranks on.
+    *
+    * Shape: windows are built map-side (one transform over the split
+    * array — no join, no explode-then-window over the corpus); the only
+    * shuffles are the fingerprint groupBy (first-occurrence rank via one
+    * window over g — map-side combinable count would not give rank) and
+    * the per-doc aggregations. All outputs are exact integers. */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(trim(lower(col("text"))), graft.operators.text.TextQueries.WsRe),
+          w => length(w) > 0).as("ws"))
+      .filter(size(col("ws")) >= k)
+    val grams = d.select(col("doc_id"), size(col("ws")).as("n_tokens"),
+      explode(expr(
+        s"""transform(sequence(1, size(ws) - $k + 1), i ->
+           |  named_struct('pos', i, 'g', md5(concat_ws(' ', slice(ws, i, $k)))))"""
+          .stripMargin)).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("s.pos").cast("long").as("pos"), col("s.g").as("g"))
+    val w = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
+    val marked = grams.withColumn("rep", row_number().over(w) > 1)
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("n_rep_spans"))
+    val covered = marked.filter(col("rep"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + $k - 1)")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("n_rep_tokens"))
+    perDoc.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("n_rep_spans"),
+        coalesce(col("n_rep_tokens"), lit(0L)).as("n_rep_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_sem_dedup" -> (qSemDedup _),
+    "q_span_dedup" -> (qSpanDedup _),
     "q_bloom_dedup" -> (qBloomDedup _))
 
   override def oracles: Map[String, String] = Map(
+    // repeated-span replay: same tokenizer, same md5 window fingerprints,
+    // first-occurrence rank by (doc_id, pos); Spark slice(ws, i, k) ==
+    // DuckDB ws[i : i+k-1] (both 1-based, length k); exact integers only
+    "q_span_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
+         |    w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |dk AS (SELECT doc_id, ws FROM d WHERE len(ws) >= $SpanK),
+         |grams AS (
+         |  SELECT doc_id, len(ws) AS n_tokens, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(ws[CAST(i AS INT) : CAST(i AS INT) + $SpanK - 1], ' ')) AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - $SpanK + 2)) AS i FROM dk)),
+         |marked AS (
+         |  SELECT doc_id, n_tokens, pos, g,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1 AS rep
+         |  FROM grams),
+         |per_doc AS (
+         |  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_spans,
+         |    sum(CASE WHEN rep THEN 1 ELSE 0 END) AS n_rep_spans
+         |  FROM marked GROUP BY doc_id),
+         |covered AS (
+         |  SELECT doc_id, count(DISTINCT p) AS n_rep_tokens
+         |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + $SpanK - 1)) AS p
+         |        FROM marked WHERE rep)
+         |  GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(p.n_spans AS BIGINT) AS n_spans,
+         |  CAST(p.n_rep_spans AS BIGINT) AS n_rep_spans,
+         |  CAST(coalesce(c.n_rep_tokens, 0) AS BIGINT) AS n_rep_tokens
+         |FROM per_doc p LEFT JOIN covered c ON p.doc_id = c.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "q_bloom_dedup" ->
       """WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8),
         |batch AS (

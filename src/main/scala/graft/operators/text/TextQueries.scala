@@ -256,7 +256,35 @@ object TextQueries extends QueryModule {
         array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
       .orderBy("doc_id")
 
+  /** Unicode NFC normalization over a deterministically DECORATED corpus —
+    * the canonical-composition ingest step (decomposed sequences like
+    * `e`+U+0301 arrive from real converters and break hashing/dedup unless
+    * composed first). The ASCII synthetic corpus can't exercise it, so
+    * each doc is prefixed with a decomposed sequence chosen by doc_id % 4
+    * (é, Å, ñ — built from combining marks — or nothing), following the
+    * codec-family pattern: synthesize the payload deterministically,
+    * normalize with the REAL code ([[graft.functions.NfcNormalize]], a
+    * codegen'd Catalyst expression over java.text.Normalizer), emit exact
+    * integer/boolean stats the oracle replays via DuckDB's nfc_normalize
+    * (utf8proc — the same Unicode canonical composition). */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // DECOMPOSED on purpose: base letter + combining mark (U+0301 acute,
+    // U+030A ring, U+0303 tilde) -- NFC composes them to single code points
+    val deco = when(col("doc_id") % 4 === 0, lit("cafe\u0301"))
+      .when(col("doc_id") % 4 === 1, lit("A\u030A"))
+      .when(col("doc_id") % 4 === 2, lit("n\u0303"))
+      .otherwise(lit(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(deco, lit(" "), col("text")).as("dec"))
+      .select(col("doc_id"),
+        length(col("dec")).cast("long").as("len_before"),
+        length(graft.functions.NfcNormalize(col("dec"))).cast("long").as("len_after"),
+        (col("dec") =!= graft.functions.NfcNormalize(col("dec"))).as("changed"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize" -> (qTextNormalize _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -273,6 +301,23 @@ object TextQueries extends QueryModule {
     s"len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'), w -> w IN (${inList(stops)}))) AS $alias"
 
   override def oracles: Map[String, String] = Map(
+    // same decomposed decoration by doc_id % 4 (chr(769)=U+0301 acute,
+    // chr(778)=U+030A ring, chr(771)=U+0303 tilde); nfc_normalize is
+    // utf8proc's canonical composition == java.text.Normalizer NFC;
+    // length() counts code points in both engines
+    "q_text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 4
+        |       WHEN 0 THEN 'cafe' || chr(769)
+        |       WHEN 1 THEN 'A' || chr(778)
+        |       WHEN 2 THEN 'n' || chr(771)
+        |       ELSE '' END) || ' ' || text AS dec
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(dec) AS BIGINT) AS len_before,
+        |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS len_after,
+        |  (dec <> nfc_normalize(dec)) AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_fingerprint_winnow" ->
       // k=8, w=4 (RollingFingerprint defaults); the k-gram hash is the
       // direct polynomial fold the rolling update is algebraically equal

@@ -157,30 +157,41 @@ object KMeansOp extends QueryModule {
       .map(_.getSeq[Double](0).toArray)
     require(cen.length == k, s"need $k seed vectors, got ${cen.length}")
     val pe = col("embedding").cast("array<double>")
-    val d2s = array(cen.map { c =>
-      val cl = array(c.map(lit).toIndexedSeq: _*)
-      aggregate(zip_with(pe, cl, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }.toIndexedSeq: _*)
-    val asg = e.select(pe.as("pe"), d2s.as("d2s"))
-      .select(col("pe"),
-        (expr("array_position(d2s, array_min(d2s))") - 1).cast("long").as("cluster"),
-        array_min(col("d2s")).as("a2"))
+    // assignment via the CODEGEN'd NearestCentroid kernel (its inner fold
+    // is the same 0.0-init ascending squared-diff sum the oracle's
+    // list_distance computes; argmin-on-dist with lowest-id ties is the
+    // q_nearest_centroid-proven pairing) — the interpreted higher-order
+    // fold tripled this query's time
+    val asg = e
+      .select(pe.as("pe"),
+        graft.functions.NearestCentroid(pe,
+          cen.map(_.toIndexedSeq).toIndexedSeq).as("a"))
+      .select(col("pe"), col("a.centroid_id").cast("long").as("cluster"),
+        (col("a.dist") * col("a.dist")).as("a2"))
+    // micro-unit BIGINT sums (the covarianceExact discipline): integer
+    // rounding of the same double is engine-exact, integer sums are
+    // order-free, and LONG partial aggs are far cheaper than DECIMAL over
+    // the n·d element explosion (the decimal variant doubled this
+    // query's time). Longs hold to ~9e12 rows per (cluster, dim) group;
+    // past that, swap the accumulator to decimal(38,0) as covarianceExact
+    // does.
     val means = asg
       .select(col("cluster"), posexplode(col("pe")).as(Seq("i0", "v")))
       .groupBy(col("cluster"), (col("i0") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("v"), 6).cast("decimal(25,6)")).as("s6"))
+        sum(round(col("v") * lit(1000000.0)).cast("long")).as("sm"))
     val inert = asg.agg(
-      round(sum(round(col("a2"), 6).cast("decimal(25,6)")).cast("double"), 6)
-        .as("inertia"))
+      (sum(round(col("a2") * lit(1000000.0)).cast("long")).cast("double")
+        / lit(1000000.0)).as("inertia"))
     val grid = (for { c <- 0 until k; d <- 0 until cen.head.length }
       yield (c.toLong, (d + 1).toLong, cen(c)(d))).toDF("cluster", "dim", "seed")
     grid.join(means, Seq("cluster", "dim"), "left")
       .crossJoin(broadcast(inert))
       .select(col("cluster"), col("dim"),
         coalesce(col("n"), lit(0L)).as("n"),
-        round(coalesce(col("s6").cast("double") / col("n"), col("seed")), 6)
+        coalesce(
+          round(col("sm").cast("double") / col("n")).cast("long") / lit(1000000.0),
+          round(col("seed") * lit(1000000.0)).cast("long") / lit(1000000.0))
           .as("coord"),
         col("inertia"))
       .orderBy("cluster", "dim")
@@ -262,23 +273,19 @@ object KMeansOp extends QueryModule {
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
         |  FROM embeddings WHERE vec_id < ${ClusteringQueries.K}),
         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings),
-        |d2s AS (
-        |  SELECT vec_id, cid, list_inner_product(df, df) AS d2
-        |  FROM (
-        |    SELECT p.vec_id, c.cid,
-        |      list_transform(generate_series(1, len(p.pe)), i -> p.pe[i] - c.ce[i]) AS df
-        |    FROM pts p CROSS JOIN cen c)),
-        |darr AS (
-        |  SELECT vec_id, list(d2 ORDER BY cid) AS ds FROM d2s GROUP BY vec_id),
+        |dst AS (
+        |  SELECT p.vec_id, c.cid, p.pe, list_distance(p.pe, c.ce) AS dist
+        |  FROM pts p CROSS JOIN cen c),
         |asg AS (
-        |  SELECT d.vec_id, list_position(d.ds, list_min(d.ds)) - 1 AS cluster,
-        |    list_min(d.ds) AS a2, p.pe
-        |  FROM darr d JOIN pts p USING (vec_id)),
+        |  SELECT vec_id, cid AS cluster, dist * dist AS a2, pe FROM (
+        |    SELECT vec_id, cid, dist, pe,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dst) WHERE rn = 1),
         |el AS (
         |  SELECT cluster, generate_subscripts(pe, 1) AS dim, unnest(pe) AS v FROM asg),
         |means AS (
         |  SELECT cluster, dim, count(*) AS n,
-        |    sum(CAST(round(v, 6) AS DECIMAL(25,6))) AS s6
+        |    sum(CAST(round(v * 1000000.0) AS BIGINT)) AS sm
         |  FROM el GROUP BY cluster, dim),
         |dims AS (
         |  SELECT unnest(generate_series(1, (SELECT len(ce) FROM cen LIMIT 1))) AS dim),
@@ -286,11 +293,12 @@ object KMeansOp extends QueryModule {
         |  SELECT c.cid AS cluster, d.dim, c.ce[CAST(d.dim AS INT)] AS seed
         |  FROM cen c CROSS JOIN dims d),
         |inert AS (
-        |  SELECT round(CAST(sum(CAST(round(a2, 6) AS DECIMAL(25,6))) AS DOUBLE), 6)
-        |    AS inertia FROM asg)
+        |  SELECT CAST(sum(CAST(round(a2 * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 AS inertia FROM asg)
         |SELECT CAST(g.cluster AS BIGINT) AS cluster, CAST(g.dim AS BIGINT) AS dim,
         |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
-        |  round(COALESCE(CAST(m.s6 AS DOUBLE) / m.n, g.seed), 6) AS coord,
+        |  COALESCE(CAST(round(CAST(m.sm AS DOUBLE) / m.n) AS BIGINT) / 1000000.0,
+        |           CAST(round(g.seed * 1000000.0) AS BIGINT) / 1000000.0) AS coord,
         |  i.inertia AS inertia
         |FROM grid g LEFT JOIN means m ON m.cluster = g.cluster AND m.dim = g.dim
         |CROSS JOIN inert i

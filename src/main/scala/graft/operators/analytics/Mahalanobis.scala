@@ -187,6 +187,18 @@ object Mahalanobis extends QueryModule {
     classicalCache.computeIfAbsent(dir,
       _ => fitInverse(Tables.embeddings(spark, dir), "embedding"))
 
+  // the ROBUST fit memoizes for the same reason: the C-step iteration
+  // (percentile_approx thresholds, partition-order double moments) is not
+  // replayable, but the FITTED (μ, Σ⁻¹) is just a constant — query and
+  // oracle embed bit-identical literals, so the scoring arithmetic sits
+  // under the driver hash exactly like the classical estimator's
+  private val robustCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Array[Double]])]()
+
+  def robustModel(spark: SparkSession, dir: String): (Array[Double], Array[Array[Double]]) =
+    robustCache.computeIfAbsent(dir,
+      _ => fitRobust(Tables.embeddings(spark, dir), "embedding"))
+
   /** Top-20 Mahalanobis outliers of the embedding corpus. */
   def qMahalanobis(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -201,7 +213,7 @@ object Mahalanobis extends QueryModule {
   /** Top-20 outliers by ROBUST (MinCovDet-style) distance. */
   def qMahalanobisRobust(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (mu, inv) = fitRobust(e, "embedding")
+    val (mu, inv) = robustModel(spark, dir)
     e.select(col("vec_id"),
       round(MahalanobisSq(col("embedding"), mu.toIndexedSeq,
         inv.map(_.toIndexedSeq).toIndexedSeq), 4).as("robust_maha_sq"))
@@ -303,10 +315,9 @@ object Mahalanobis extends QueryModule {
     * trick as q_pca_proj). The ROBUST twin stays rows-only: its C-step
     * support thresholds come from percentile_approx sketches. */
   override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
-    val (mu, inv) = classicalModel(spark, dir)
-    val muL = mu.mkString("[", ", ", "]")
-    val mL = inv.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    Map("q_mahalanobis" ->
+    def replay(mu: Array[Double], inv: Array[Array[Double]], outCol: String): String = {
+      val muL = mu.mkString("[", ", ", "]")
+      val mL = inv.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
       s"""WITH lits AS (SELECT $muL AS mu, $mL AS m),
          |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
          |mz AS (SELECT vec_id, len(x) AS d, l.m AS m,
@@ -320,8 +331,16 @@ object Mahalanobis extends QueryModule {
          |          (p, q) -> p + q) END) ])),
          |    (p, q) -> p + q) AS m2
          |  FROM mz)
-         |SELECT vec_id, round(m2, 4) AS maha_sq FROM sc
-         |ORDER BY maha_sq DESC, vec_id LIMIT 20""".stripMargin)
+         |SELECT vec_id, round(m2, 4) AS $outCol FROM sc
+         |ORDER BY $outCol DESC, vec_id LIMIT 20""".stripMargin
+    }
+    val (cMu, cInv) = classicalModel(spark, dir)
+    val (rMu, rInv) = robustModel(spark, dir)
+    Map(
+      "q_mahalanobis" -> replay(cMu, cInv, "maha_sq"),
+      // same literal-replay argument as the classical estimator: the
+      // C-step FIT is not replayable, the fitted constants are
+      "q_mahalanobis_robust" -> replay(rMu, rInv, "robust_maha_sq"))
   }
 
   /** Matrix inversion is not SQL-expressible in static form — the ROBUST

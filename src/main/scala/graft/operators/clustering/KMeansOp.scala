@@ -101,17 +101,39 @@ object KMeansOp extends QueryModule {
       .toDF("k", "inertia", "silhouette")
   }
 
+  // MLlib PCA basis memoized per dir: the FIT (distributed Gram +
+  // engine-specific eigensolver) is not replayable, but its eigenvector
+  // columns are constants the query and oracle embed bit-identically —
+  // the q_mahalanobis/q_pca_proj literal-replay argument
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def pcaBasis(spark: SparkSession, dir: String): Array[Array[Double]] =
+    pcaCache.computeIfAbsent(dir, _ => {
+      val model = new PCA().setK(3).setInputCol("features").setOutputCol("pc")
+        .fit(features(spark, dir))
+      val pc = model.pc // dim×3, column-major
+      Array.tabulate(3)(j =>
+        java.util.Arrays.copyOfRange(pc.values, j * pc.numRows, (j + 1) * pc.numRows))
+    })
+
   /** PCA projection to 3 components of the normalized embeddings —
     * nuevo-kmeans-pre.ipynb:243-286 (2D/3D PCA; stands in for UMAP too,
     * SURVEY §2 "Projection"). Distributed Gram-matrix + local eigen via
-    * MLlib. Signs/low-order bits are implementation-specific → rows-only. */
+    * MLlib for the BASIS; the projection itself runs through the
+    * codegen'd VecDot kernel with the basis as plan constants (not
+    * model.transform's BLAS gemv) so the per-row arithmetic is the
+    * list_inner_product-proven fold and the whole query sits under the
+    * driver hash via dynamicOracles literal replay (r5 — was rows-only). */
   def qPca(spark: SparkSession, dir: String): DataFrame = {
-    val df = features(spark, dir)
-    val model = new PCA().setK(3).setInputCol("features").setOutputCol("pc").fit(df)
-    model.transform(df)
-      .select(col("vec_id"), vector_to_array(col("pc")).as("p"))
-      .select(col("vec_id"), round(col("p").getItem(0), 4).as("pc1"),
-        round(col("p").getItem(1), 4).as("pc2"), round(col("p").getItem(2), 4).as("pc3"))
+    val basis = pcaBasis(spark, dir)
+    def lits(v: Array[Double]) = array(v.map(lit).toIndexedSeq: _*)
+    val nv = vec_normalize(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(vec_dot(nv, lits(basis(0))), 4).as("pc1"),
+        round(vec_dot(nv, lits(basis(1))), 4).as("pc2"),
+        round(vec_dot(nv, lits(basis(2))), 4).as("pc3"))
       .orderBy("vec_id")
   }
 
@@ -262,6 +284,24 @@ object KMeansOp extends QueryModule {
     * matches the Scala loop's mul+add order bit-for-bit; ties break to the
     * lowest cluster id in both engines), update = avg per (cluster, dim),
     * inertia = sum of best distances. */
+  /** Replays the memoized MLlib PCA basis as literals; the projection is
+    * the list_inner_product ≡ VecDot proven pairing over the AsgCte-green
+    * normalization form. */
+  override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
+    val basis = pcaBasis(spark, dir)
+    def l(v: Array[Double]) = v.mkString("[", ", ", "]")
+    Map("q_pca" ->
+      s"""WITH nv AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  round(list_inner_product(v, ${l(basis(0))}), 4) AS pc1,
+         |  round(list_inner_product(v, ${l(basis(1))}), 4) AS pc2,
+         |  round(list_inner_product(v, ${l(basis(2))}), 4) AS pc3
+         |FROM nv ORDER BY vec_id""".stripMargin)
+  }
+
   override def oracles: Map[String, String] = Map(
     "q_kmeans_1step" ->
       // K interpolated from the single source of truth; the seed grid

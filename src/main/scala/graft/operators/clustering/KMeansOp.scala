@@ -5,7 +5,7 @@ import graft.functions.VectorOps._
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.PCA
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative clustering on MLlib (SURVEY §2) — the distributed re-expression
@@ -60,46 +60,99 @@ object KMeansOp extends QueryModule {
     finally df.unpersist()
   }
 
-  /** Cluster sizes (rank by size — cluster ids are not portable). */
-  def qKmeansSizes(spark: SparkSession, dir: String): DataFrame = {
-    val m = fit(spark, dir, k = 10)
-    m.summary.predictions
-      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("cluster"))
-      .select(row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("size").desc, col("cluster"))).as("size_rank"), col("size"))
+  /** (cluster, a2, b2) of every row against FIXED centroid literals:
+    * fold-d2 per centroid (the ksweep kernel — 0.0-init ascending, ≡
+    * DuckDB's list_inner_product of the diff list), argmin via
+    * array_position (first match = lowest cid both engines), second-min
+    * for the simplified silhouette. The literal-replay bridge that lets
+    * the seeded MLlib/MultiKMeans fits go hash-green: the FIT stays
+    * engine-specific, the evaluation of its centroids does not. */
+  private def assignStats(e: DataFrame, vecCol: Column,
+                          cen: Array[Array[Double]]): DataFrame = {
+    val d2s = array(cen.map { c =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      aggregate(zip_with(vecCol, cl, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.toIndexedSeq: _*)
+    e.select(d2s.as("d2s"))
+      .select(
+        (expr("array_position(d2s, array_min(d2s))") - 1).cast("long").as("cluster"),
+        array_min(col("d2s")).as("a2"),
+        element_at(sort_array(col("d2s")), 2).as("b2"))
   }
 
-  /** Inertia (WSSSE) for the k=10 fit — reference tracks kmeans.inertia_.
-    * Silhouette via [[MultiKMeans.evaluate]]'s closed-form shared scans (a
-    * converged model's prediction IS nearest-centroid) instead of
-    * ClusteringEvaluator's per-model pipeline. */
-  def qKmeansInertia(spark: SparkSession, dir: String): DataFrame = {
-    val m = fit(spark, dir, k = 10)
-    import spark.implicits._
-    val dim = m.clusterCenters.head.size
-    val flat = new Array[Double](m.clusterCenters.length * dim)
-    m.clusterCenters.zipWithIndex.foreach { case (v, c) =>
-      v.foreachActive((d, x) => flat(c * dim + d) = x)
-    }
-    val data = rawFeatures(spark, dir).as[Array[Float]].rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sil = try MultiKMeans.evaluate(data, Array(10), Array(flat), dim)._2(0)
-    finally { data.unpersist(blocking = false); () }
-    Seq((10, math.rint(m.summary.trainingCost * 1e4) / 1e4,
-      math.rint(sil * 1e4) / 1e4)).toDF("k", "inertia", "silhouette")
+  /** One-row (inertia, silhouette) under the micro-int / decimal
+    * disciplines: inertia = Σ round(a2·1e6) micro-units; silhouette =
+    * mean of the simplified per-row s = (b−a)/max(a,b). */
+  private def inertiaSil(asg: DataFrame): DataFrame = {
+    val a = sqrt(col("a2")); val b = sqrt(col("b2"))
+    asg.select(col("a2"),
+        when(greatest(a, b) > 0, round((b - a) / greatest(a, b), 6))
+          .otherwise(0.0).as("s"))
+      .agg(
+        (sum(round(col("a2") * lit(1000000.0)).cast("long")).cast("double")
+          / lit(1000000.0)).as("inertia"),
+        round(sum(col("s").cast("decimal(25,6)")).cast("double")
+          / count(lit(1)), 4).as("silhouette"))
   }
+
+  /** The k=10 MLlib centroids as plain arrays (fit memoized per dir). */
+  private def mllibCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    fit(spark, dir, k = 10).clusterCenters.map(_.toArray)
+
+  /** Cluster sizes (rank by size — cluster ids are not portable). The
+    * assignment runs OUR fold-argmin kernel over the fitted centroids as
+    * literals (not summary.predictions), which is what makes the query
+    * replayable in SQL — hash-green since r5. */
+  def qKmeansSizes(spark: SparkSession, dir: String): DataFrame = {
+    val cen = mllibCentroids(spark, dir)
+    assignStats(Tables.embeddings(spark, dir), vec_normalize(col("embedding")), cen)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("size").desc, col("cluster"))).as("size_rank"), col("size"))
+      .orderBy("size_rank")
+  }
+
+  /** Inertia (WSSSE) + simplified silhouette for the k=10 fit — reference
+    * tracks kmeans.inertia_. Both metrics are evaluated at the fitted
+    * centroids through [[assignStats]] under the replayable disciplines
+    * (micro-int inertia sum, decimal silhouette mean) — hash-green since
+    * r5; MLlib's own trainingCost stays a spec-level cross-check. */
+  def qKmeansInertia(spark: SparkSession, dir: String): DataFrame = {
+    val cen = mllibCentroids(spark, dir)
+    inertiaSil(assignStats(Tables.embeddings(spark, dir),
+        vec_normalize(col("embedding")), cen))
+      .select(lit(10).as("k"), col("inertia"), col("silhouette"))
+  }
+
+  // sweep fits memoized per dir: the query and its dynamic oracle embed
+  // the same per-k centroid literals, and the multi-model fit is the
+  // expensive part
+  private val sweepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Array[Double]])]]()
+
+  private def sweepModels(spark: SparkSession, dir: String): Seq[(Int, Array[Array[Double]])] =
+    sweepCache.computeIfAbsent(dir, _ =>
+      MultiKMeans.sweep(rawFeatures(spark, dir), "v", 2 to 8, seed = 42L, maxIter = 10)
+        .map(m => (m.k, m.centroids)))
 
   /** k-sweep: (k, inertia, silhouette) — silhouettes.ipynb:146-186. All k
     * fitted concurrently by [[MultiKMeans]], one shared scan per Lloyd
-    * iteration instead of a serial fit + evaluate per k. */
+    * iteration instead of a serial fit + evaluate per k; each fitted
+    * model's metrics are then re-evaluated at its centroids through
+    * [[assignStats]]/[[inertiaSil]] (replayable disciplines, one cached
+    * scan feeding every arm) — hash-green since r5, closing the last
+    * deterministic rows-only query. */
   def qKsweep(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    MultiKMeans.sweep(rawFeatures(spark, dir), "v", 2 to 8, seed = 42L, maxIter = 10)
-      .map(r => (r.k, math.rint(r.inertia * 1e4) / 1e4,
-        math.rint(r.silhouette * 1e4) / 1e4))
-      .toDF("k", "inertia", "silhouette")
+    val e = nprobeStyleCache.persist(Tables.embeddings(spark, dir))
+    val fl = vec_normalize(col("embedding")).cast("array<float>").cast("array<double>")
+    sweepModels(spark, dir).map { case (k, cen) =>
+      inertiaSil(assignStats(e, fl, cen))
+        .select(lit(k).as("k"), col("inertia"), col("silhouette"))
+    }.reduce(_.unionByName(_)).orderBy("k")
   }
+
+  private val nprobeStyleCache = new graft.RollingCache
 
   // MLlib PCA basis memoized per dir: the FIT (distributed Gram +
   // engine-specific eigensolver) is not replayable, but its eigenvector
@@ -137,17 +190,31 @@ object KMeansOp extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // best-of-restarts centroids memoized per dir: the query and its
+  // dynamic oracle must embed bit-identical literals, and the 8-restart
+  // fit is the expensive part
+  private val restartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def bestRestartCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    restartsCache.computeIfAbsent(dir, _ =>
+      MultiKMeans.restarts(rawFeatures(spark, dir), "v", k = 10,
+        seeds = (0 until 8).map(42L + _), maxIter = 10)
+        .minBy(_.inertia).centroids)
+
   /** Best-of-8 seeded restarts at k=10 — the reference's n_init
     * (cluster_creator.py:18), all restarts sharing one scan per Lloyd
-    * iteration via [[MultiKMeans.restarts]] instead of 8 serial fits. */
+    * iteration via [[MultiKMeans.restarts]] instead of 8 serial fits.
+    * The winner's metrics are re-evaluated at its centroids through
+    * [[assignStats]] (replayable disciplines) — hash-green since r5.
+    * rawFeatures rounds the normalized vectors to FLOAT, so the replay
+    * applies the same float round before the fold. */
   def qKmeansRestarts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val models = MultiKMeans.restarts(rawFeatures(spark, dir), "v", k = 10,
-      seeds = (0 until 8).map(42L + _), maxIter = 10)
-    val best = models.minBy(_.inertia)
-    Seq((models.size, 10, math.rint(best.inertia * 1e4) / 1e4,
-      math.rint(best.silhouette * 1e4) / 1e4))
-      .toDF("n_init", "k", "best_inertia", "silhouette")
+    val cen = bestRestartCentroids(spark, dir)
+    inertiaSil(assignStats(Tables.embeddings(spark, dir),
+        vec_normalize(col("embedding")).cast("array<float>").cast("array<double>"), cen))
+      .select(lit(8).as("n_init"), lit(10).as("k"),
+        col("inertia").as("best_inertia"), col("silhouette"))
   }
 
   /** One deterministic Lloyd iteration from the first-K raw embeddings:
@@ -284,22 +351,91 @@ object KMeansOp extends QueryModule {
     * matches the Scala loop's mul+add order bit-for-bit; ties break to the
     * lowest cluster id in both engines), update = avg per (cluster, dim),
     * inertia = sum of best distances. */
-  /** Replays the memoized MLlib PCA basis as literals; the projection is
-    * the list_inner_product ≡ VecDot proven pairing over the AsgCte-green
-    * normalization form. */
+  /** The AsgCte-green normalization form (double path). */
+  private val NormSql =
+    """list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))""".stripMargin
+
+  /** The shared normalized-input CTE (`nv`). */
+  private def nvCte(normSql: String): String =
+    s"nv AS (SELECT vec_id, $normSql AS v FROM embeddings)"
+
+  /** [[assignStats]]' SQL twin against centroid LITERALS: hoisted lits
+    * CTE (literals inside DuckDB lambdas re-materialize per call), cid
+    * rows via unnest-ordinality, fold-d2 = list_inner_product of the diff
+    * list, argmin/second-min as list_position/list_sort over the
+    * cid-ordered distance list. Consumes the shared `nv` CTE; `sfx`
+    * disambiguates CTE names when several centroid sets share one WITH
+    * (the k-sweep). */
+  private def assignCtes(cen: Array[Array[Double]], sfx: String = ""): String = {
+    val cenL = cen.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""lits$sfx AS (SELECT $cenL AS cen),
+       |cenr$sfx AS (SELECT CAST(i - 1 AS BIGINT) AS cid, l.cen[CAST(i AS INT)] AS ce
+       |  FROM lits$sfx l CROSS JOIN (SELECT unnest(generate_series(1, ${cen.length})) AS i)),
+       |dst$sfx AS (
+       |  SELECT n.vec_id, c.cid, list_inner_product(
+       |      list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.ce[i]),
+       |      list_transform(generate_series(1, len(n.v)), i -> n.v[i] - c.ce[i])) AS d2
+       |  FROM nv n CROSS JOIN cenr$sfx c),
+       |darr$sfx AS (SELECT vec_id, list(d2 ORDER BY cid) AS ds FROM dst$sfx GROUP BY vec_id),
+       |asg$sfx AS (SELECT vec_id, list_position(ds, list_min(ds)) - 1 AS cluster,
+       |  list_min(ds) AS a2, list_sort(ds)[2] AS b2 FROM darr$sfx)""".stripMargin
+  }
+
+  /** [[inertiaSil]]'s SQL twin (micro-int inertia, decimal sil mean). */
+  private val InertiaSilSql =
+    """CAST(sum(CAST(round(a2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS inertia,
+      |  round(CAST(sum(CAST(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+      |      THEN round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6)
+      |      ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS silhouette""".stripMargin
+
+  /** Replays the memoized fitted constants (PCA basis / MLlib k=10
+    * centroids / best-restart centroids) as literals — the fits stay
+    * engine-specific, the evaluation arithmetic does not. */
   override def dynamicOracles(spark: SparkSession, dir: String): Map[String, String] = {
     val basis = pcaBasis(spark, dir)
     def l(v: Array[Double]) = v.mkString("[", ", ", "]")
-    Map("q_pca" ->
-      s"""WITH nv AS (SELECT vec_id,
-         |  list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  round(list_inner_product(v, ${l(basis(0))}), 4) AS pc1,
-         |  round(list_inner_product(v, ${l(basis(1))}), 4) AS pc2,
-         |  round(list_inner_product(v, ${l(basis(2))}), 4) AS pc3
-         |FROM nv ORDER BY vec_id""".stripMargin)
+    val floatNorm =
+      s"list_transform($NormSql, x -> CAST(CAST(x AS REAL) AS DOUBLE))"
+    Map(
+      "q_pca" ->
+        s"""WITH nv AS (SELECT vec_id, $NormSql AS v
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  round(list_inner_product(v, ${l(basis(0))}), 4) AS pc1,
+           |  round(list_inner_product(v, ${l(basis(1))}), 4) AS pc2,
+           |  round(list_inner_product(v, ${l(basis(2))}), 4) AS pc3
+           |FROM nv ORDER BY vec_id""".stripMargin,
+      "q_kmeans_sizes" ->
+        s"""WITH ${nvCte(NormSql)},
+           |${assignCtes(mllibCentroids(spark, dir))},
+           |sizes AS (SELECT cluster, count(*) AS size FROM asg GROUP BY cluster)
+           |SELECT row_number() OVER (ORDER BY size DESC, cluster) AS size_rank,
+           |  CAST(size AS BIGINT) AS size
+           |FROM sizes ORDER BY size_rank""".stripMargin,
+      "q_kmeans_inertia" ->
+        s"""WITH ${nvCte(NormSql)},
+           |${assignCtes(mllibCentroids(spark, dir))}
+           |SELECT 10 AS k, $InertiaSilSql
+           |FROM asg""".stripMargin,
+      "q_kmeans_restarts" ->
+        s"""WITH ${nvCte(floatNorm)},
+           |${assignCtes(bestRestartCentroids(spark, dir))},
+           |m AS (SELECT $InertiaSilSql FROM asg)
+           |SELECT 8 AS n_init, 10 AS k, inertia AS best_inertia, silhouette
+           |FROM m""".stripMargin,
+      "q_ksweep" -> {
+        val arms = sweepModels(spark, dir)
+        val ctes = arms.map { case (k, cen) => assignCtes(cen, s"_$k") }.mkString(",\n")
+        val selects = arms.map { case (k, _) =>
+          s"SELECT $k AS k, $InertiaSilSql FROM asg_$k"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${nvCte(floatNorm)},
+           |$ctes
+           |SELECT * FROM (
+           |$selects
+           |) ORDER BY k""".stripMargin
+      })
   }
 
   override def oracles: Map[String, String] = Map(

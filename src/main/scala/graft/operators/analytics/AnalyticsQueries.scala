@@ -63,6 +63,32 @@ object AnalyticsQueries extends QueryModule {
         col("gid").cast("long").as("gid"), col("n_lines"), col("revenue"))
       .orderBy("gid", "rflag", "lstatus")
 
+  /** Half-life (hours) of the decayed-mass monitor. */
+  val DecayHalfLifeH = 24.0
+
+  /** Exponentially TIME-DECAYED event mass per type — the recency-weighted
+    * rollup freshness-sensitive monitors keep (EWMA-style: yesterday's
+    * events count half as much as now's at a 24 h half-life). Per row the
+    * weight is value·exp(−λ·Δh) with Δh hours to the corpus's newest
+    * event: Δµs is exact integer arithmetic (the reference instant is a
+    * driver-read 8-byte max, embedded as a literal; the oracle recomputes
+    * the same exact max), the transcendental is per-row double (identical
+    * both engines at the rounded scale — the q_unigram_logprob ln
+    * precedent), and the mass is a round-then-DECIMAL(25,6) sum. One
+    * map-side pass + one partial-agg shuffle on event_type. */
+  def qDecayedMass(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val tmax = e.agg(max(col("us"))).head().getLong(0)
+    val lambda = math.log(2.0) / DecayHalfLifeH
+    val dh = (lit(tmax) - col("us")).cast("double") / lit(3600000000.0)
+    val w6 = round(col("value") * exp(lit(-lambda) * dh), 6)
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(w6.cast("decimal(25,6)")).cast("double").as("decayed_mass"))
+      .orderBy("event_type")
+  }
+
   /** Join+group across fact and dims (customer→orders→lineitem→nation) —
     * revenue per nation. Nation/region are broadcast (dim-sized at any SF). */
   def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -447,6 +473,7 @@ object AnalyticsQueries extends QueryModule {
     "q1_agg" -> (q1Agg _),
     "q_revenue_agg" -> (qRevenueAgg _),
     "q_rollup_revenue" -> (qRollupRevenue _),
+    "q_decayed_mass" -> (qDecayedMass _),
     "q_join_agg" -> (qJoinAgg _),
     "q_window_topn" -> (qWindowTopn _),
     "q_chunks_per_type" -> (qChunksPerType _),
@@ -483,6 +510,18 @@ object AnalyticsQueries extends QueryModule {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the decay constant is the SAME Scala-computed double embedded as a
+    // literal (shortest-repr round-trips to identical bits in DuckDB);
+    // tmax is recomputed in SQL -- an exact integer max equals the
+    // driver-read literal the Spark side embeds
+    "q_decayed_mass" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+         |t AS (SELECT max(us) AS tmax FROM e)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * exp((-${math.log(2.0) / DecayHalfLifeH}) *
+         |        (CAST(t.tmax - us AS DOUBLE) / 3600000000.0)), 6)
+         |      AS DECIMAL(25,6))) AS DOUBLE) AS decayed_mass
+         |FROM e CROSS JOIN t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,

@@ -69,11 +69,8 @@ object KMeansOp extends QueryModule {
     * engine-specific, the evaluation of its centroids does not. */
   private def assignStats(e: DataFrame, vecCol: Column,
                           cen: Array[Array[Double]]): DataFrame = {
-    val d2s = array(cen.map { c =>
-      val cl = array(c.map(lit).toIndexedSeq: _*)
-      aggregate(zip_with(vecCol, cl, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }.toIndexedSeq: _*)
+    val d2s = graft.functions.CentroidDists(vecCol,
+      cen.map(_.toIndexedSeq).toIndexedSeq)
     e.select(d2s.as("d2s"))
       .select(
         (expr("array_position(d2s, array_min(d2s))") - 1).cast("long").as("cluster"),
@@ -306,14 +303,12 @@ object KMeansOp extends QueryModule {
       .map(_.getSeq[Double](0).toArray)
     require(cen.length == kMax, s"need $kMax seed vectors, got ${cen.length}")
     val pe = col("embedding").cast("array<double>")
-    // d2 to each seed centroid: ascending 0.0-init fold of squared diffs —
-    // addition-for-addition the fold DuckDB's list_inner_product(df, df)
-    // runs (the q_kmeans_1step-green kernel), so the doubles match
-    val d2s = array(cen.map { c =>
-      val cl = array(c.map(lit).toIndexedSeq: _*)
-      aggregate(zip_with(pe, cl, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }.toIndexedSeq: _*)
+    // d2 to each seed centroid via the codegen'd CentroidDists kernel —
+    // the same 0.0-init ascending fold DuckDB's list_inner_product(df, df)
+    // replays (bit-identity asserted in CentroidDistsSpec), one generated
+    // loop instead of k interpreted higher-order folds per row
+    val d2s = graft.functions.CentroidDists(pe,
+      cen.map(_.toIndexedSeq).toIndexedSeq)
     val perK = e.select(d2s.as("d2s"))
       .select(explode(expr(
         s"""transform(sequence(2, $kMax), k -> named_struct(

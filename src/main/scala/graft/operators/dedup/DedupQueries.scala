@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries extends QueryModule {
 
   private val ngramCache = new graft.RollingCache
+  private val spanCache = new graft.RollingCache
   private val semDedupCache = new graft.RollingCache
 
   /** Exact duplicate grouping by md5(text); keeper = min doc_id per group
@@ -209,7 +210,9 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), col("n_tokens"),
         col("s.pos").cast("long").as("pos"), col("s.g").as("g"))
     val w = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
-    val marked = grams.withColumn("rep", row_number().over(w) > 1)
+    // cache the ranked windows: both consumers (per-doc counts, covered
+    // positions) would otherwise re-scan and re-rank the whole corpus
+    val marked = spanCache.persist(grams.withColumn("rep", row_number().over(w) > 1))
     val perDoc = marked.groupBy(col("doc_id"))
       .agg(first(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_spans"),

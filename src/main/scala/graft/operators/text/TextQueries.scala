@@ -144,6 +144,40 @@ object TextQueries extends QueryModule {
       .orderBy("lang")
   }
 
+  /** Curriculum quality DECILES — the bucket table a quality-ordered
+    * (easy→hard) data-mixing schedule samples from: exact order-statistic
+    * decile edges of the quality score (`percentile_disc` ≡ DuckDB
+    * `quantile_disc`, the engine-exact binning of q_embedding_drift),
+    * then per bucket the doc count, token mass and decimal-mean score.
+    * Edges are a driver-read 9-double row embedded as literals (bounded);
+    * the oracle recomputes the identical order statistics. */
+  def qQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(lower(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(ws).cast("double").as("n_words"),
+        length(col("text")).cast("double").as("n_chars_m"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 \\t\\n\\r\\f\\x0B]", "")).cast("double").as("n_punct"),
+        stopHits(ws, StopEn).cast("double").as("n_stop"))
+      .select(col("doc_id"), col("n_words").cast("long").as("n_tokens"),
+        round(lit(0.4) * least(lit(1.0), col("n_words") / lit(50.0))
+          + lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m"))
+          + lit(0.3) * (col("n_stop") / col("n_words")), 6).as("s"))
+    val qs = (1 to 9).map(_ / 10.0)
+    val edgeRow = scored.agg(
+      expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY s)"),
+      qs.tail.map(q => expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY s)")): _*)
+      .head()
+    val edges = (0 until 9).map(edgeRow.getDouble)
+    val binCol = edges.map(e => when(col("s") > lit(e), 1).otherwise(0)).reduce(_ + _)
+    scored.groupBy(binCol.cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("s").cast("decimal(25,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_q"))
+      .orderBy("decile")
+  }
+
   /** Repetition scoring — the MassiveText/Gopher-style repetition filters
     * the quality heuristic doesn't capture: distinct-word ratio and
     * top-word mass per document. Classic wordcount shape: explode → two
@@ -286,6 +320,7 @@ object TextQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> (qTextNormalize _),
     "q_token_count" -> (qTokenCount _),
+    "q_quality_deciles" -> (qQualityDeciles _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_quality_filter" -> (qLangQualityFilter _),
@@ -401,6 +436,27 @@ object TextQueries extends QueryModule {
          |  round(CAST(sum(CAST(q6 AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
          |  CAST(sum(CASE WHEN q6 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_bar
          |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_deciles" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+         |    round(0.4 * least(1.0, n_words / 50.0)
+         |        + 0.3 * (1.0 - n_punct / n_chars_m)
+         |        + 0.3 * (n_stop / n_words), 6) AS s
+         |  FROM (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE) AS n_words,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
+         |         w -> w IN (${inList(StopEn)}))) AS DOUBLE) AS n_stop
+         |    FROM documents)),
+         |ed AS (SELECT quantile_disc(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e FROM sc),
+         |b AS (SELECT sc.n_tokens, sc.s,
+         |    len(list_filter(ed.e, x -> sc.s > x)) AS decile
+         |  FROM sc CROSS JOIN ed)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(CAST(sum(CAST(s AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS mean_q
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
     "q_lang_quality_filter" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, n_chars,

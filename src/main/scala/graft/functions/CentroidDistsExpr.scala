@@ -25,10 +25,42 @@ case class CentroidDists(child: Expression, centroids: Seq[Seq[Double]])
   override def prettyName: String = "centroid_dists"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> input, got ${other.sql}")
+    }
+
+  // toFloatArray/toDoubleArray silently read a null ELEMENT as 0.0, which
+  // would skew every distance; parquet-read arrays are containsNull=true
+  // even when the data never has nulls, so instead of rejecting the type
+  // at analysis we guard nullable-element inputs with an explicit scan
+  // that fails loudly on the first null element
+  @transient private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
+  }
+
+  private def requireNoNullElements(a: ArrayData): Unit = {
+    var j = 0
+    val n = a.numElements()
+    while (j < n) {
+      if (a.isNullAt(j)) throw new IllegalArgumentException(
+        s"$prettyName: null array element at index $j — toFloatArray/" +
+          "toDoubleArray would silently read it as 0.0")
+      j += 1
+    }
+  }
+
   @transient private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
   @transient private lazy val get = VecUtil.toDoubles(child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
+    if (elementsNullable) requireNoNullElements(v.asInstanceOf[ArrayData])
     val a = get(v.asInstanceOf[ArrayData])
     val out = new Array[Double](mat.length)
     var k = 0
@@ -58,6 +90,15 @@ case class CentroidDists(child: Expression, centroids: Seq[Seq[Double]])
     nullSafeCodeGen(ctx, ev, c => extract match {
       case Some(ex) =>
         val matTerm = ctx.addReferenceObj("centroidMat", mat, "double[][]")
+        val nullGuard = if (elementsNullable) {
+          val j = ctx.freshName("j")
+          s"""
+             |for (int $j = 0; $j < $c.numElements(); $j++) {
+             |  if ($c.isNullAt($j)) throw new IllegalArgumentException(
+             |    "centroid_dists: null array element at index " + $j);
+             |}
+             |""".stripMargin
+        } else ""
         val elemJava = child.dataType match {
           case ArrayType(FloatType, _) => "float"
           case _                       => "double"
@@ -67,6 +108,7 @@ case class CentroidDists(child: Expression, centroids: Seq[Seq[Double]])
         val k = ctx.freshName("k")
         val i = ctx.freshName("i")
         s"""
+           |$nullGuard
            |$elemJava[] $arr = ${ex(c)};
            |double[] $out = new double[$matTerm.length];
            |for (int $k = 0; $k < $matTerm.length; $k++) {

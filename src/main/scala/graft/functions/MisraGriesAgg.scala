@@ -94,7 +94,11 @@ case class MisraGriesSketch(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps a
+      // term at 65535 bytes and one unbroken token (base64 blob in dirty
+      // web text) would crash the shuffle serialize
+      val tb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(tb.length); out.write(tb); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -105,7 +109,13 @@ case class MisraGriesSketch(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, java.lang.Long](n * 2)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val tb = new Array[Byte](len)
+      in.readFully(tb)
+      buf.put(new String(tb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

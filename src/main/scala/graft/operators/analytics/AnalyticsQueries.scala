@@ -79,7 +79,15 @@ object AnalyticsQueries extends QueryModule {
   def qDecayedMass(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
-    val tmax = e.agg(max(col("us"))).head().getLong(0)
+    val tmaxRow = e.agg(max(col("us"))).head()
+    if (tmaxRow.isNullAt(0)) {
+      // empty events table: max is NULL; return the (empty) grouped frame
+      // instead of NPE-ing on the driver read
+      return e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), lit(0.0).as("decayed_mass"))
+        .orderBy("event_type")
+    }
+    val tmax = tmaxRow.getLong(0)
     val lambda = math.log(2.0) / DecayHalfLifeH
     val dh = (lit(tmax) - col("us")).cast("double") / lit(3600000000.0)
     val w6 = round(col("value") * exp(lit(-lambda) * dh), 6)

@@ -166,10 +166,40 @@ object TfIdfQueries extends QueryModule {
     val cands = toks.agg(graft.functions.MisraGries(col("term"), HhBudget).as("sk"))
       .select(explode(col("sk")).as("s"))
       .select(col("s.term").as("term"))
-    toks.groupBy("term").agg(count(lit(1)).as("cf"))
-      .join(broadcast(cands), Seq("term"))
-      .orderBy(col("cf").desc, col("term"))
-      .limit(10)
+    exactTopWithMarginGuard(toks.sparkSession, toks, cands)
+  }
+
+  /** Exact-verify step shared by q_heavy_hitters and q_hh_stream: exact
+    * counts for the sketch's candidate terms, top 10 emitted. The output
+    * equals the exact top-10 oracle only while the 10th-ranked count
+    * clears the MG survival margin n_tokens/(budget+1); that margin is a
+    * property of the corpus and the budget knob, not of the arithmetic —
+    * so it is ASSERTED here, making a too-small-budget configuration
+    * fail loudly at the source instead of surfacing as an inscrutable
+    * driver hash mismatch. One vocab-sized persist lets the n_tokens sum
+    * and the candidate join share a single tokenization pass. */
+  private[graft] def exactTopWithMarginGuard(
+      spark: SparkSession, toks: DataFrame, cands: DataFrame): DataFrame = {
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cf")).persist()
+    try {
+      val top = exact.join(broadcast(cands), Seq("term"))
+        .orderBy(col("cf").desc, col("term"))
+        .limit(10)
+      val rows = top.collect() // ≤10 rows
+      val nTokens = exact.agg(sum(col("cf"))).head().getLong(0)
+      if (rows.length == 10) {
+        val tenth = rows.last.getLong(1)
+        val margin = nTokens / (HhBudget + 1L)
+        require(tenth > margin,
+          s"heavy-hitters margin violated: 10th-ranked exact count $tenth " +
+            s"<= n_tokens/(budget+1) = $margin — the MG sketch no longer " +
+            s"guarantees the exact top-10 on this corpus; raise HhBudget")
+      }
+      import spark.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("term", "cf")
+        .orderBy(col("cf").desc, col("term"))
+    } finally { exact.unpersist(); () }
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

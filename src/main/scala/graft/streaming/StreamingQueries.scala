@@ -551,10 +551,7 @@ object StreamingQueries extends QueryModule {
     val cands = state.keySet().toArray(new Array[String](0)).toSeq.toDF("term")
     val toks = TfIdfQueries.tokensOf(
       spark.read.schema(schema).parquet(stage), "doc_id", "text")
-    toks.groupBy("term").agg(count(lit(1)).as("cf"))
-      .join(broadcast(cands), Seq("term"))
-      .orderBy(col("cf").desc, col("term"))
-      .limit(10)
+    TfIdfQueries.exactTopWithMarginGuard(spark, toks, cands)
   }
 
   private def stageQuotaFiles(spark: SparkSession, dir: String): String = {

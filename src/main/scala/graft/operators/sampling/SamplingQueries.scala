@@ -278,15 +278,17 @@ object SamplingQueries extends QueryModule {
     * spanning >1 split under the group-keyed hash: structurally 0, the
     * guarantee made visible) and naive_leaks (what the doc-keyed hash
     * WOULD leak: >0 on the planted corpus — the reason this operator
-    * exists). Same planted-dup corpus and CC machinery as q_dedup_groups;
-    * scale notes there apply. */
+    * exists). Same planted-dup corpus and CC machinery as q_dedup_groups —
+    * literally: the verified-pairs → connected-components prefix is the
+    * per-dir materialization shared via [[MinHashLsh.plantedComponents]],
+    * so this query adds only the group-keyed hashing and the audit aggs
+    * (the 100 TB shape: dedup groups are materialized once, every
+    * consumer reads them). */
   def qLeakSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.dedup.MinHashLsh
     val docs = MinHashLsh.withPlantedDups(Tables.documents(spark, dir))
       .select(col("doc_id"))
-    val pairs = MinHashLsh.nearDupPairs(
-      MinHashLsh.withPlantedDups(Tables.documents(spark, dir)), minJaccard = 0.5)
-    val cc = graft.operators.clustering.ConnectedComponents.run(pairs, "d1", "d2")
+    val cc = MinHashLsh.plantedComponents(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
     val assigned = docs.join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("gid"))

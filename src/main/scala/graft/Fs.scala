@@ -5,13 +5,22 @@ import java.nio.file.{Files, Path}
 /** Small local-filesystem helpers for the scratch dirs the persistent
   * index and streaming queries manage. */
 object Fs {
+  /** Staging format version, part of every stage key. Bump whenever the
+    * staging LOGIC changes (not just the source): a staged dir written by
+    * older code is otherwise served verbatim even though its contents are
+    * wrong — exactly how round 7's funnel staging (written while the
+    * events loader misread TIMESTAMP(MICROS) as nanos) would survive into
+    * round 8 despite the loader fix. v2 = schema-adaptive events loader. */
+  private val StageFormatVersion = 2
+
   /** Cache key for a staging dir derived from `dir/sourceFile`: the full
-    * path plus the source's size and mtime. Sanitized-path keys alone are
-    * unsafe — distinct dirs can sanitize identically, and a regenerated
-    * source at the same path would silently serve stale staging. */
+    * path plus the source's size and mtime plus [[StageFormatVersion]].
+    * Sanitized-path keys alone are unsafe — distinct dirs can sanitize
+    * identically, and a regenerated source at the same path would
+    * silently serve stale staging. */
   def stageKey(dir: String, sourceFile: String): String = {
     val src = java.nio.file.Paths.get(dir, sourceFile)
-    val sig = s"$src|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
+    val sig = s"v$StageFormatVersion|$src|${Files.size(src)}|${Files.getLastModifiedTime(src).toMillis}"
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.map(b => f"$b%02x").mkString

@@ -20,12 +20,12 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and rebuild a µs timestamp column.
-    * ns→µs MUST be integer division: `col / 1000L` promotes to double,
-    * and epoch-nanos (~2^60.6) exceed double's 53-bit mantissa — rows land
-    * ±1 µs off vs DuckDB's exact epoch_ns, a latent hash flake for any
-    * oracle that compares timestamps at full precision.
+  /** events with a µs-precision TimestampType `ts`, derived from
+    * [[eventsNanos]] so both loaders agree on the physical-encoding
+    * handling. ns→µs MUST be integer division: `col / 1000L` promotes to
+    * double, and epoch-nanos (~2^60.6) exceed double's 53-bit mantissa —
+    * rows land ±1 µs off vs DuckDB's exact epoch_ns, a latent hash flake
+    * for any oracle that compares timestamps at full precision.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsNanos(spark, dir)
@@ -33,10 +33,36 @@ object Tables {
 
   /** events with ts as raw epoch NANOS (exact integers end to end) — the
     * input for operators that order/compare on full-precision time, e.g.
-    * the as-of and range joins (TemporalJoins). */
+    * the as-of and range joins (TemporalJoins).
+    *
+    * SCHEMA-ADAPTIVE over the parquet's physical timestamp encoding — a
+    * production ingest cannot assume its writer's choice, and the driver
+    * has shipped events.parquet as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across corpus generations:
+    *  - TIMESTAMP(NANOS): Spark's reader surfaces it as a plain long only
+    *    under `nanosAsLong` (set below) → already epoch-ns, exact.
+    *  - TIMESTAMP(MICROS), isAdjustedToUTC=false (pandas/arrow naive):
+    *    inferred as TIMESTAMP_NTZ → cast to TimestampType (exact: the
+    *    session timeZone is pinned UTC in GraftSession, so the naive
+    *    value's micros ARE its epoch micros, matching how DuckDB reads
+    *    the same column), then µs→ns is an exact integer multiply.
+    *  - TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=true: TimestampType →
+    *    unix_micros * 1000, exact.
+    */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other (expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   /** documents/embeddings feed pair-producing operators (self-joins over
     * blocks); the testdata parquet is a single row group → a single scan

@@ -246,7 +246,8 @@ object AnalyticsQueries extends QueryModule {
         when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0L)).otherwise(lit(1L)))
       .withColumn("grp", sum(col("chg")).over(w))
       .groupBy(col("user_id"), col("grp"), col("event_type"))
-      .agg((min(col("rn")) - 1).as("start_idx"), (max(col("rn")) - 1).as("end_idx"))
+      .agg((min(col("rn")) - 1).cast("long").as("start_idx"),
+        (max(col("rn")) - 1).cast("long").as("end_idx"))
       .select(col("user_id"), col("event_type"), col("start_idx"), col("end_idx"))
       .orderBy(col("user_id"), col("start_idx"))
   }
@@ -464,8 +465,50 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Typed JSON property extraction + aggregation — the events table
+    * carries a `props` JSON string (semi-structured sidecar metadata, the
+    * shape of the reference's chunk-metadata fields the notebooks group
+    * by, analisis-informe.ipynb's content_type/category counts).
+    * `from_json` with an explicit schema (codegen'd, no UDF) pulls the
+    * typed `k` field once; aggregation is one shuffle on (event_type,
+    * k_bucket) plus a broadcast-sized window for the per-type share. At
+    * scale: from_json runs map-side in whole-stage codegen; a malformed
+    * JSON row degrades to null rather than failing the pipeline. */
+  def qPropsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+    e.groupBy(col("event_type"), floor(col("k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .withColumn("share", round(col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "k_bucket")
+  }
+
+  /** Per-type top-3 JSON property values by frequency — the "which
+    * metadata values dominate each type" drill-down, via the scalar-path
+    * extractor (`get_json_object`) and a ranking window. Ties broken by
+    * k for a deterministic total order. */
+  def qPropsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n_events").desc, col("k"))))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("k"), col("n_events"))
+      .orderBy("event_type", "rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_anomaly" -> (qEventAnomaly _),
+    "q_props_agg" -> (qPropsAgg _),
+    "q_props_topk" -> (qPropsTopk _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_skew_distinct" -> (qSkewDistinct _),
     "q_bucketed_join" -> (qBucketedJoin _),
@@ -491,6 +534,30 @@ object AnalyticsQueries extends QueryModule {
     "q_events_window" -> (qEventsWindow _))
 
   override def oracles: Map[String, String] = Map(
+    "q_props_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, value,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, CAST(k // 10 AS BIGINT) AS k_bucket,
+        |    count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |    min(k) AS k_min, max(k) AS k_max
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, k_bucket, n_events, n_users, sum_value, k_min, k_max,
+        |  round(CAST(n_events AS DOUBLE) /
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+        |FROM b ORDER BY event_type, k_bucket""".stripMargin,
+    "q_props_topk" ->
+      """SELECT event_type, rk, k, n_events FROM (
+        |  SELECT event_type, k, n_events,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n_events DESC, k) AS INT) AS rk
+        |  FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k,
+        |          count(*) AS n_events
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q_topk_per_group" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -22,26 +22,32 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries extends QueryModule {
 
-  /** Raw-parquet schema of events (ts as nanos long, pre-conversion). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming twin of Tables.events. The file source streams a
     * *directory* (its real-world shape: files landing in an ingest dir),
-    * so the single events.parquet is staged into a temp dir once. */
+    * so events is staged into a temp dir once — THROUGH the
+    * schema-adaptive batch loader (Tables.eventsNanos), rewritten with a
+    * canonical `ts: long` epoch-µs column. The readStream schema is thus
+    * an invariant the stager itself guarantees, never an assumption about
+    * the driver's writer's physical timestamp encoding (the round-7
+    * lesson: a forced LongType schema over a TIMESTAMP(MICROS) column
+    * silently read micros as nanos and collapsed all event time 1000×
+    * into 1970). Staging is keyed by source path+size+mtime (Fs.stageKey)
+    * so a regenerated corpus never serves stale staging. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_events_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    Files.createDirectories(stage)
-    Files.copy(Paths.get(dir, "events.parquet"),
-      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(stage.toString)
-      // integer DIV: ns exceed double's mantissa (see Tables.events)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      "graft_events_stream", graft.Fs.stageKey(dir, "events.parquet"))
+    if (!Files.exists(stage.resolve("00000.parquet"))) {
+      graft.Fs.deleteRecursively(stage)
+      graft.Fs.stageParts(stage, Seq(
+        // integer DIV: ns exceed double's mantissa (see Tables.events)
+        Tables.eventsNanos(spark, dir).withColumn("ts", expr("ts DIV 1000"))))
+    }
+    // schema from the staged parquet's own footer (one cheap batch read) —
+    // column set varies across corpus generations (props arrived in r7)
+    val staged = spark.read.parquet(stage.toString).schema
+    spark.readStream.schema(staged).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(col("ts")))
   }
 
   /** Run a streaming frame to completion into a memory sink.

@@ -36,10 +36,15 @@ object Bench {
     // warm the JIT/codegen paths so the first measured query isn't charged
     // for JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+    // warmups are best-effort: a broken table must surface as per-query
+    // error entries in the JSON, not kill the harness before it reports
+    try Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.col("l_quantity").cast("decimal(18,2)")))
       .collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // warm the structured-streaming machinery (state store, microbatch
     // planner) so the alphabetically-first streaming query isn't charged
     // for one-time init
@@ -59,11 +64,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // a query that threw on ANY pass is reported as an error, its timing
+    // samples are failure sentinels and MUST NOT enter the totals — in
+    // round 7 ten throwing queries "collapsed" to 0.06 s and silently
+    // deflated the headline total by ~10 healthy-query-equivalents
+    val failed = scala.collection.mutable.Map.empty[String, String]
     for (pass <- 1 to reps) {
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
@@ -79,16 +90,26 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.map { case (name, _) => name -> median(samples(name)) }
+    val healthy = selected.collect {
+      case (name, _) if !failed.contains(name) => name -> median(samples(name)) }
     // round the reported medians to ms so the one-line JSON stays short
     // enough that a log-tail capture can't truncate the queries dict
     // (Locale.ROOT: a comma-decimal default locale would emit invalid JSON)
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // healthy queries carry their median; failed ones carry null (a JSON
+    // consumer can't mistake an error for a 100x speedup) plus an entry
+    // in "errors" with the first failure message
+    val qs = selected.map { case (name, _) =>
+      "\"" + name + "\":" + (if (failed.contains(name)) "null"
+                             else ms(median(samples(name))))
+    }.mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.replaceAll("[\\\\\"]", "_")
+      .replaceAll("[\\x00-\\x1f]", " ").take(160) + "\""
+    val errs = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
+    val total = healthy.map(_._2).sum
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${failed.size},"sf":"$sfDir","reps":$reps}"""
     // complete copy on disk (incl. every raw sample) — log tails truncate,
     // files don't; lets any reader diff every query across rounds
     val allSamples = selected.map { case (name, _) =>

@@ -355,8 +355,8 @@ object Graft {
     val bi = base.filter(size(col("__ws")) > 1)
       .select(col("__id"), col("__tgt"), explode(expr(
         "transform(sequence(1, size(__ws) - 1), i -> concat(__ws[i-1], ' ', __ws[i]))")).as("__f"))
-    val feats = dsirFacadeCache.persist(uni.unionByName(bi).withColumn("__bkt", expr(
-      s"aggregate(sequence(1, length(__f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(__f, i, 1))) % 1000003) % $buckets")))
+    val feats = dsirFacadeCache.persist(uni.unionByName(bi).withColumn("__bkt",
+      functions.HornerBucket(col("__f"), 1000003L, buckets)))
     val tot = feats.agg(count(lit(1)), count(when(col("__tgt"), 1))).head()
     val (tr, tt) = (tot.getLong(0), tot.getLong(1))
     val raw = feats.groupBy("__bkt").agg(count(lit(1)).as("__cr"))

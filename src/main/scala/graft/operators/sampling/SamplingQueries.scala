@@ -238,8 +238,11 @@ object SamplingQueries extends QueryModule {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("f"))
     val feats = dsirCache.persist(uni.unionByName(bi)
-      .withColumn("bkt", expr(
-        s"aggregate(sequence(1, length(f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(f, i, 1))) % $DsirHashMod) % $B")))
+      // codegen'd code-point Horner loop — semantically identical to the
+      // SQL HOF `aggregate(sequence(1, length(f)), ...)` the oracle
+      // replays (HornerBucketSpec asserts equality), ~O(len) allocations
+      // cheaper per feature
+      .withColumn("bkt", graft.functions.HornerBucket(col("f"), DsirHashMod, B)))
     val totRow = feats
       .agg(count(lit(1)), count(when(col("lang") === "en", 1))).head()
     val (tr, tt) = (totRow.getLong(0), totRow.getLong(1))

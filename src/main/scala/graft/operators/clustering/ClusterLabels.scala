@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
 object ClusterLabels extends QueryModule {
 
   private val TopTerms = 5
+  private val tfCache = new graft.RollingCache
 
   /** Top-5 c-TF-IDF label terms per cluster. */
   def qClusterLabels(spark: SparkSession, dir: String): DataFrame = {
@@ -37,13 +38,25 @@ object ClusterLabels extends QueryModule {
       .select(col("vec_id"), col("centroid_id"))
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
-    val chunks = asg
+    // FACTORIZED tf: every chunk of a document carries the document's
+    // text, so tokenizing the chunk join would tokenize each text once
+    // per chunk (~ChunksPerDoc× the string work). Instead tokenize each
+    // document ONCE, then weight its per-term counts by the number of
+    // that document's chunks assigned to each cluster — exact integer
+    // algebra, tf(c,t) = Σ_d nd(t,d)·chunks(d,c), bit-identical to the
+    // unfactored form (and to the oracle, which replays the join shape).
+    val chunkMult = asg
       .withColumn("doc_id", col("vec_id") % nDocs)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("centroid_id"), col("text"))
-    val toks = TfIdfQueries.tokensOf(chunks, "centroid_id", "text")
-      .select(col("doc_id").as("cid"), col("term"))
-    val tf = toks.groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "centroid_id").agg(count(lit(1)).as("mult"))
+    val docTf = TfIdfQueries.tokensOf(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("ntf"))
+    // tf feeds THREE consumers (the `total` scalar below, ft, and the
+    // final join) — cache it or the doc join + both groupBys run per
+    // consumer (RollingCache: survives the lazy caller, one live copy)
+    val tf = tfCache.persist(docTf.join(chunkMult, Seq("doc_id"))
+      .groupBy(col("centroid_id").as("cid"), col("term"))
+      .agg(sum(col("ntf") * col("mult")).as("tf")))
     val ft = tf.groupBy("term").agg(sum(col("tf")).as("ft"))
     // A = total tokens / k. total < 2^53 and k is a power of two in the
     // diagnostic, so the division is exact — the oracle recomputes the

@@ -72,6 +72,28 @@ object StreamingQueries extends QueryModule {
     spark.table(name)
   }
 
+  /** STREAMING typed-JSON property aggregation — the online twin of the
+    * batch q_props_agg shape: `from_json` parses the semi-structured
+    * `props` sidecar INSIDE the microbatch pipeline (map-side, codegen'd;
+    * a malformed row degrades to a null key, never fails the stream) and
+    * the global per-(type, k-bucket) totals accumulate across batches in
+    * Complete mode. Streaming disallows exact countDistinct, so the
+    * result carries the streamable aggregates (counts, decimal-exact
+    * value sums, k extrema); state is one row per (type, bucket) ≤
+    * |types|·10 — bounded. Oracled by the same DuckDB json_extract
+    * replay, minus the distinct-user column. */
+  def qPropsStream(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"), floor(col("k") / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    runToTable(spark, agg, "props_stream", OutputMode.Complete())
+      .orderBy("event_type", "k_bucket")
+  }
+
   def qEventsWindowStream(spark: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
@@ -656,9 +678,18 @@ object StreamingQueries extends QueryModule {
     "q_drift_stream" -> (qDriftStream _),
     "q_events_sliding_stream" -> (qEventsSlidingStream _),
     "q_stream_join" -> (qStreamStreamJoin _),
-    "q_hh_stream" -> (qHhStream _))
+    "q_hh_stream" -> (qHhStream _),
+    "q_props_stream" -> (qPropsStream _))
 
   override def oracles: Map[String, String] = Map(
+    "q_props_stream" ->
+      """SELECT event_type,
+        |  CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS BIGINT) AS k_bucket,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+        |  max(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin,
     // identical semantics to the batch as-of join → identical oracle
     "q_asof_stream" ->
       graft.operators.analytics.TemporalJoins.oracles("q_asof_join"),

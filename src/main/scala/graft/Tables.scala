@@ -52,7 +52,7 @@ object Tables {
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
+    val tsFixed = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampType =>
         df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
@@ -63,6 +63,12 @@ object Tables {
         s"events.ts has unsupported physical type $other (expected " +
           "TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
+    // `props` arrived with the r7 corpus generation; older (or future
+    // minimal) corpora lack it. Null-degrade instead of letting every
+    // props consumer throw on a column the writer never promised —
+    // same column-drift discipline as the ts encoding above.
+    if (tsFixed.columns.contains("props")) tsFixed
+    else tsFixed.withColumn("props", lit(null).cast("string"))
   }
   /** documents/embeddings feed pair-producing operators (self-joins over
     * blocks); the testdata parquet is a single row group → a single scan

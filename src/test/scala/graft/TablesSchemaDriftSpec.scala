@@ -90,6 +90,20 @@ class TablesSchemaDriftSpec extends SparkSpec {
     assert(ns.toSeq === rows.map(_._2 * 1000L))
   }
 
+  test("a corpus without the props column null-degrades instead of throwing") {
+    val noProps = writeDir("noprops") { d =>
+      base.drop("props").withColumn("ts", col("ts") * 1000L)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    }
+    val got = Tables.eventsNanos(spark, noProps)
+    assert(got.columns.contains("props"))
+    assert(got.schema("props").dataType === StringType)
+    assert(got.select("props").collect().forall(_.isNullAt(0)))
+    // and the props consumers run (null keys, not AnalysisException)
+    val agg = graft.operators.analytics.AnalyticsQueries.qPropsAgg(spark, noProps)
+    assert(agg.collect().forall(_.isNullAt(agg.columns.indexOf("k_bucket"))))
+  }
+
   test("events yields identical µs timestamps from every encoding") {
     val a = collected(Tables.events(spark, nanosLongDir))
     val b = collected(Tables.events(spark, ntzMicrosDir))

@@ -34,6 +34,13 @@ object IvfIndex {
     source
       .withColumn("cell",
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+      // cluster by the partition key before the partitioned write — one
+      // file per cell instead of tasks×cells shards (the band-store
+      // discipline; probe-time file-open overhead is the thing an IVF
+      // layout exists to bound). At production cell sizes the writer
+      // additionally splits by maxRecordsPerFile, so large cells are not
+      // serialized through one task forever.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/data")
     import spark.implicits._
     cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")

@@ -63,6 +63,9 @@ object IvfIndex {
     vectors
       .withColumn("cell",
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
+      // one new file per touched cell per append (see buildFrom) — slows
+      // fragmentation; compact() still collapses accumulated appends
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/data")
   }
 
@@ -162,6 +165,7 @@ object IvfIndex {
     spark.read.parquet(data.toString)
       .filter(col("cell").isin(affected.map(Int.box): _*)) // pruned read
       .join(broadcast(idsOnly), Seq(idCol), "left_anti")
+      .repartition(col("cell")) // one file per rewritten cell
       .write.mode("overwrite").partitionBy("cell").parquet(scratch.toString)
     fs.mkdirs(trash)
     affected.foreach { c =>

@@ -179,9 +179,9 @@ object AnnQueries extends QueryModule {
     Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding")).coalesce(1)
       .write.mode("overwrite").parquet(inDir)
-    val qSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
+    // schema from the just-written footer — never a declared one that can
+    // drift from the corpus's element type (the r7 events lesson)
+    val qSchema = spark.read.parquet(inDir).schema
     // micro-batch shuffles sized to the tiny query batch, not the session
     // default (the StreamingQueries.runToTable convention)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

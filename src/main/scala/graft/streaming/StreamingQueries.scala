@@ -256,10 +256,11 @@ object StreamingQueries extends QueryModule {
     Files.createDirectories(stage)
     Files.copy(Paths.get(dir, "embeddings.parquet"),
       stage.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
+    // schema from the staged footer, not a declared one — a regenerated
+    // corpus with double (or extra-column) embeddings must not be
+    // misread through a stale float schema (the r7 events lesson);
+    // NearestCentroid is element-type generic either way
+    val schema = spark.read.parquet(stage.toString).schema
     val cs = graft.operators.clustering.ClusteringQueries.centroids(spark, dir)
     val cls = spark.readStream.schema(schema).parquet(stage.toString)
       .withColumn("asg", NearestCentroid(vec_normalize(col("embedding")), cs))

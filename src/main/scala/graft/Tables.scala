@@ -84,6 +84,16 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spread(spark, load(spark, dir, "embeddings"))
 
+  /** Driver-side pull of ONE embedding as doubles, independent of the
+    * corpus's element type (array<float> today; the float→double cast is
+    * exact, and every vector kernel widens to double anyway). Query-vector
+    * pulls used `getSeq[Float]` and would throw ClassCastException the day
+    * the writer ships array<double> — the r7 events lesson, vector flavor.
+    */
+  def headEmbeddingDouble(df: DataFrame, embCol: String = "embedding"): IndexedSeq[Double] =
+    df.select(col(embCol).cast("array<double>"))
+      .head().getSeq[Double](0).toIndexedSeq
+
   /** Chunks per synthetic document — the reference's chunk table has
     * (document_id, chunk_id, content_vector); the embeddings table plays
     * that role with `vec_id / 8` as document and `vec_id % 8` as chunk

@@ -2,6 +2,7 @@ package graft.operators.clustering
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** Multi-model Lloyd's k-means: fits EVERY k of a sweep concurrently, one
@@ -55,7 +56,11 @@ object MultiKMeans {
                    evaluate: Boolean = true): Seq[SweepModel] = {
     val spark = points.sparkSession
     import spark.implicits._
-    val data = points.select(vecCol).as[Array[Float]].rdd
+    // cast pins the typed read to array<float> whatever element type the
+    // corpus ships (exact for float-valued data; a true-double corpus
+    // quantizes to the float lattice here, and the literal-replay oracle
+    // replays whatever this fit produced, so correctness is self-consistent)
+    val data = points.select(col(vecCol).cast("array<float>")).as[Array[Float]].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sample = data.takeSample(withReplacement = false, num = 1000,
@@ -128,7 +133,11 @@ object MultiKMeans {
     import spark.implicits._
     require(init.length % k == 0, s"init length ${init.length} not divisible by k=$k")
     val dim = init.length / k
-    val data = points.select(vecCol).as[Array[Float]].rdd
+    // cast pins the typed read to array<float> whatever element type the
+    // corpus ships (exact for float-valued data; a true-double corpus
+    // quantizes to the float lattice here, and the literal-replay oracle
+    // replays whatever this fit produced, so correctness is self-consistent)
+    val data = points.select(col(vecCol).cast("array<float>")).as[Array[Float]].rdd
     val agg = assignPass(data, Array(k), Array(init), Array(true), dim,
       withSquares = false)
     val next = new Array[Double](k * dim)

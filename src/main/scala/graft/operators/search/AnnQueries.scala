@@ -26,8 +26,7 @@ object AnnQueries extends QueryModule {
       .withColumn("cell",
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id"))
     // query = vec 0; rank its cells, probe nearest 2
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qNorm = {
       val n = math.sqrt(q.map(x => x.toDouble * x).sum)
       if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))
@@ -217,8 +216,7 @@ object AnnQueries extends QueryModule {
     val e = nprobeCache.persist(Tables.embeddings(spark, dir)
       .withColumn("cell",
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id")))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qNorm = {
       val n = math.sqrt(q.map(x => x.toDouble * x).sum)
       if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))
@@ -269,8 +267,7 @@ object AnnQueries extends QueryModule {
         NearestCentroid(vec_normalize(col("embedding")), cs).getField("centroid_id")))
     val model = ProductQuantization.fitDeterministic(
       e, "embedding", numSub = IvfPqSub, k = IvfPqCodewords)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qNorm = {
       val n = math.sqrt(q.map(x => x.toDouble * x).sum)
       if (n == 0) q.map(_.toDouble) else q.map(x => x * (1.0 / n))

@@ -95,8 +95,7 @@ object KeywordSearch extends QueryModule {
     val n = 50
     val kw = bm25TopK(Tables.documents(spark, dir), "doc_id", "text", Query, n)
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
     val vec = e
       .select(expr("vec_id DIV 8").as("doc_id"),

@@ -26,8 +26,8 @@ object LshAnn extends QueryModule {
 
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = indexed(spark, dir)
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0))
     val qNorm = {
       val n = math.sqrt(q.map(x => x.toDouble * x).sum)
       q.map(x => if (n == 0) x.toDouble else x * (1.0 / n))

@@ -179,8 +179,7 @@ object ProductQuantizationQueries extends QueryModule {
     val e = cache.persist(Tables.embeddings(spark, dir))
     val model = ProductQuantization.fitDeterministic(
       e, "embedding", numSub = NumSub, k = Codewords)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = graft.Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
     def topN(df: DataFrame, scoreCol: Column, n: Int): DataFrame =
       df.filter(col("vec_id") > 0)

@@ -80,8 +80,7 @@ object Quantization extends QueryModule {
     // cached: the fit, the query lookup, and both top-10 branches all scan it
     val e = Tables.embeddings(spark, dir).cache()
     val (mins, maxs) = fitMinMax(e, "embedding")
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val q = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
     def top10(scoreCol: Column): DataFrame =
       e.filter(col("vec_id") > 0)
@@ -160,7 +159,7 @@ object Quantization extends QueryModule {
   val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32, 64)
   def qMatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).cache()
-    val qVec = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val qVec = Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qCol = array(qVec.map(v => lit(v)).toIndexedSeq: _*)
     def top10(m: Int): DataFrame =
       e.filter(col("vec_id") > 0)

@@ -50,8 +50,7 @@ object SearchQueries extends QueryModule {
     * inlined — at scale this is exactly a broadcast of the query batch. */
   def qTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val q: Array[Float] = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val q = graft.Tables.headEmbeddingDouble(e.filter(col("vec_id") === 0))
     val qCol = array(q.map(v => lit(v)).toIndexedSeq: _*)
     e.filter(col("vec_id") > 0)
       .select(col("vec_id"), round(cosine_sim(col("embedding"), qCol), 6).as("cos_sim"))

@@ -74,7 +74,10 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          // keep the FIRST failure message — pass-1 usually has the root
+          // cause; later passes often fail on its debris
+          failed.getOrElseUpdate(name,
+            Option(e.getMessage).getOrElse(e.getClass.getName))
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9

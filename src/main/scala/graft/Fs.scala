@@ -26,6 +26,20 @@ object Fs {
     md.map(b => f"$b%02x").mkString
   }
 
+  /** Drop sibling staging dirs under `root` other than `keepKey` — stale
+    * keys from earlier corpus generations or staging-format versions
+    * would otherwise accumulate one full table copy each in tmp until
+    * the disk fills (each key is content-derived, so nothing ever
+    * reuses an old one). Call when staging a NEW key. */
+  def sweepStaleKeys(root: Path, keepKey: String): Unit =
+    if (Files.isDirectory(root)) {
+      val listing = Files.list(root)
+      try listing.forEach { p =>
+        if (p.getFileName.toString != keepKey)
+          try deleteRecursively(p) catch { case _: java.io.IOException => () }
+      } finally listing.close()
+    }
+
   /** Stage `parts` as consecutively-numbered single parquet files with
     * strictly increasing mtimes under `stage` — the file-source ingest
     * layout every streaming query's staging uses (the source processes

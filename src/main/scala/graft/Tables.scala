@@ -48,7 +48,15 @@ object Tables {
     *    the same column), then µs→ns is an exact integer multiply.
     *  - TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=true: TimestampType →
     *    unix_micros * 1000, exact.
-    */
+    *
+    * Representation bound: epoch-NANOS in a signed long covers
+    * 1677-09-21..2262-04-11. A µs-encoded corpus can hold instants past
+    * that (far-future sentinels like 9999-12-31); the ×1000 multiply
+    * would wrap silently. Consumers needing sentinel-tolerant time
+    * should read [[events]] (µs TimestampType) instead — the ns loader
+    * exists for full-precision ORDERING, where wrapped sentinels would
+    * sort wrong anyway and the corpus contract (driver testdata: all ts
+    * within a year window) excludes them. */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")

@@ -473,7 +473,15 @@ object AnalyticsQueries extends QueryModule {
     * typed `k` field once; aggregation is one shuffle on (event_type,
     * k_bucket) plus a broadcast-sized window for the per-type share. At
     * scale: from_json runs map-side in whole-stage codegen; a malformed
-    * JSON row degrades to null rather than failing the pipeline. */
+    * JSON row degrades to null rather than failing the pipeline.
+    *
+    * Oracle contract: props.k is a clean JSON INTEGER (the corpus
+    * guarantees it). Lenient-parse edge cases diverge BY ENGINE DESIGN
+    * and are out of oracle scope: Spark's from_json nulls a float or
+    * string-encoded k where DuckDB's CAST rounds/coerces it, and DuckDB's
+    * json_extract raises on malformed JSON where Spark nulls. The Spark
+    * side stays robust either way; the hash compare is only meaningful on
+    * the clean-integer regime. */
   def qPropsAgg(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("k", from_json(col("props"),
@@ -540,7 +548,9 @@ object AnalyticsQueries extends QueryModule {
         |    CAST(json_extract(props, '$.k') AS INT) AS k
         |  FROM events),
         |b AS (
-        |  SELECT event_type, CAST(k // 10 AS BIGINT) AS k_bucket,
+        |  -- floor division (matches Spark floor(k/10)): DuckDB's integer
+        |  -- // truncates toward zero, diverging on negative k
+        |  SELECT event_type, CAST(floor(k / 10.0) AS BIGINT) AS k_bucket,
         |    count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
         |    min(k) AS k_min, max(k) AS k_max

@@ -145,10 +145,12 @@ object StreamNearDup extends QueryModule {
     * never serve stale data. */
   private def stageOrderedFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
+    val key = graft.Fs.stageKey(dir, "documents.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_neardup_stream", graft.Fs.stageKey(dir, "documents.parquet"))
+      "graft_neardup_stream", key)
     if ((0 until 2).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
+    graft.Fs.sweepStaleKeys(stage.getParent, key)
     graft.Fs.deleteRecursively(stage)
     val docs = Tables.documents(spark, dir)
     graft.Fs.stageParts(stage, Seq(

@@ -129,8 +129,9 @@ object Quantization extends QueryModule {
     val packed = e.select(col("vec_id"), col("embedding"),
       pack(slice(bits, 1, 32)).as("h1"), pack(slice(bits, 33, 32)).as("h2"))
     val qRow = packed.filter(col("vec_id") === 0)
-      .select("embedding", "h1", "h2").head()
-    val qVec = qRow.getSeq[Float](0)
+      // element-type-independent pull (see Tables.headEmbeddingDouble)
+      .select(col("embedding").cast("array<double>"), col("h1"), col("h2")).head()
+    val qVec = qRow.getSeq[Double](0)
     val qCol = array(qVec.map(v => lit(v)).toIndexedSeq: _*)
     val ham = bit_count(col("h1").bitwiseXOR(lit(qRow.getLong(1)))) +
       bit_count(col("h2").bitwiseXOR(lit(qRow.getLong(2))))

@@ -35,9 +35,11 @@ object StreamingQueries extends QueryModule {
     * so a regenerated corpus never serves stale staging. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val key = graft.Fs.stageKey(dir, "events.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_events_stream", graft.Fs.stageKey(dir, "events.parquet"))
+      "graft_events_stream", key)
     if (!Files.exists(stage.resolve("00000.parquet"))) {
+      graft.Fs.sweepStaleKeys(stage.getParent, key)
       graft.Fs.deleteRecursively(stage)
       graft.Fs.stageParts(stage, Seq(
         // integer DIV: ns exceed double's mantissa (see Tables.events)
@@ -251,11 +253,18 @@ object StreamingQueries extends QueryModule {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.functions.NearestCentroid
     import graft.functions.VectorOps.vec_normalize
+    // fingerprinted stage key (path+size+mtime+format version, like every
+    // other stager) — the old sanitized-path key could collide across
+    // distinct corpus dirs and served whatever was copied last
+    val embKey = graft.Fs.stageKey(dir, "embeddings.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_emb_stream", dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    Files.createDirectories(stage)
-    Files.copy(Paths.get(dir, "embeddings.parquet"),
-      stage.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      "graft_emb_stream", embKey)
+    if (!Files.exists(stage.resolve("embeddings.parquet"))) {
+      graft.Fs.sweepStaleKeys(stage.getParent, embKey)
+      Files.createDirectories(stage)
+      Files.copy(Paths.get(dir, "embeddings.parquet"),
+        stage.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
     // schema from the staged footer, not a declared one — a regenerated
     // corpus with double (or extra-column) embeddings must not be
     // misread through a stale float schema (the r7 events lesson);
@@ -310,10 +319,12 @@ object StreamingQueries extends QueryModule {
     * changed corpus never serves stale staging). */
   private def stageAsofFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val asofKey = graft.Fs.stageKey(dir, "events.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_asof_stream", graft.Fs.stageKey(dir, "events.parquet"))
+      "graft_asof_stream", asofKey)
     if ((0 until 3).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
+    graft.Fs.sweepStaleKeys(stage.getParent, asofKey)
     graft.Fs.deleteRecursively(stage)
     Files.createDirectories(stage)
     val e = Tables.eventsNanos(spark, dir)
@@ -410,10 +421,12 @@ object StreamingQueries extends QueryModule {
     * order across batches. */
   private def stageFunnelFiles(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
+    val funnelKey = graft.Fs.stageKey(dir, "events.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_funnel_stream", graft.Fs.stageKey(dir, "events.parquet"))
+      "graft_funnel_stream", funnelKey)
     if ((0 until 3).forall(i => Files.exists(stage.resolve(f"$i%05d.parquet"))))
       return stage.toString
+    graft.Fs.sweepStaleKeys(stage.getParent, funnelKey)
     graft.Fs.deleteRecursively(stage)
     val e = Tables.eventsNanos(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -685,7 +698,7 @@ object StreamingQueries extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_props_stream" ->
       """SELECT event_type,
-        |  CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS BIGINT) AS k_bucket,
+        |  CAST(floor(CAST(json_extract(props, '$.k') AS INT) / 10.0) AS BIGINT) AS k_bucket,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
         |  min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,

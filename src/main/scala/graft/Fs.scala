@@ -30,12 +30,26 @@ object Fs {
     * keys from earlier corpus generations or staging-format versions
     * would otherwise accumulate one full table copy each in tmp until
     * the disk fills (each key is content-derived, so nothing ever
-    * reuses an old one). Call when staging a NEW key. */
+    * reuses an old one). Call when staging a NEW key.
+    *
+    * Siblings modified within [[SweepMinAgeMillis]] are SKIPPED: the tmp
+    * root is shared across JVMs, and a concurrently-running process on a
+    * different corpus dir (or the same dir regenerated mid-run) has a
+    * different key that is live — deleting it would fail or truncate that
+    * run's stream. A live run's staging dir was by definition written
+    * within its own lifetime, so the age guard protects it; genuinely
+    * stale keys (prior corpus generations, old format versions) age past
+    * the cutoff and are reaped by the next sweep. */
+  val SweepMinAgeMillis: Long = 2L * 3600 * 1000
   def sweepStaleKeys(root: Path, keepKey: String): Unit =
     if (Files.isDirectory(root)) {
+      val cutoff = System.currentTimeMillis() - SweepMinAgeMillis
       val listing = Files.list(root)
       try listing.forEach { p =>
-        if (p.getFileName.toString != keepKey)
+        // unreadable mtime → assume live (deletion is the unsafe branch)
+        val recent = try Files.getLastModifiedTime(p).toMillis >= cutoff
+          catch { case _: java.io.IOException => true }
+        if (p.getFileName.toString != keepKey && !recent)
           try deleteRecursively(p) catch { case _: java.io.IOException => () }
       } finally listing.close()
     }

@@ -24,6 +24,14 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Clone a session: same SparkContext, COPIED session state (confs,
+    * registered functions, temp views). `cloneSession` is `private[sql]` —
+    * the library uses it to scope legacy reader confs to a dedicated
+    * reader session instead of mutating the caller's global conf
+    * (Tables.eventsNanos). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register a SQL function on an already-built session (sessionState is
     * `private[sql]`; new sessions should prefer `withExtensions`). */
   def registerFunction(

@@ -40,7 +40,9 @@ object Tables {
     * has shipped events.parquet as both TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across corpus generations:
     *  - TIMESTAMP(NANOS): Spark's reader surfaces it as a plain long only
-    *    under `nanosAsLong` (set below) → already epoch-ns, exact.
+    *    under the legacy `nanosAsLong` conf — applied through a SCOPED
+    *    dedicated reader session (see [[nanosReader]]), never by mutating
+    *    the caller's session conf.
     *  - TIMESTAMP(MICROS), isAdjustedToUTC=false (pandas/arrow naive):
     *    inferred as TIMESTAMP_NTZ → cast to TimestampType (exact: the
     *    session timeZone is pinned UTC in GraftSession, so the naive
@@ -58,8 +60,15 @@ object Tables {
     * sort wrong anyway and the corpus contract (driver testdata: all ts
     * within a year window) excludes them. */
   def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    // Try the caller's session first: every encoding except TIMESTAMP(NANOS)
+    // reads without legacy confs. Only when the footer carries NANOS (the
+    // one encoding Spark refuses by default) fall back to the scoped
+    // reader — the caller's session conf is never touched, so no OTHER
+    // parquet read in the session can accidentally observe nanos-as-long
+    // (the exact cross-query state leak the r8 loader work was about).
+    val df = try load(spark, dir, "events") catch {
+      case t: Throwable if isNanosIllegalType(t) => loadNanosScoped(spark, dir)
+    }
     val tsFixed = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampType =>
@@ -77,6 +86,46 @@ object Tables {
     // same column-drift discipline as the ts encoding above.
     if (tsFixed.columns.contains("props")) tsFixed
     else tsFixed.withColumn("props", lit(null).cast("string"))
+  }
+
+  /** Dedicated reader session for TIMESTAMP(NANOS) parquet: a clone of the
+    * caller's session (same context, copied conf) with the legacy
+    * `nanosAsLong` conf set ON THE CLONE ONLY. The conf is consulted both
+    * at schema inference and again when each scan builds its per-partition
+    * reader — and the scan resolves it through the session captured in its
+    * `HadoopFsRelation`, so transplanting the resolved plan onto the
+    * caller's session (via ofRows) scopes the legacy behavior to exactly
+    * this relation: planning, AQE, and every other read in the query run
+    * under the caller's untouched conf. Cached per session — the clone is
+    * conf-frozen at first use, which is safe because it only ever serves
+    * this one relation shape. */
+  private val nanosReaders =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def nanosReader(spark: SparkSession): SparkSession =
+    nanosReaders.computeIfAbsent(spark, s => {
+      val clone = org.apache.spark.sql.graftshim.Shim.cloneSession(s)
+      clone.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      clone
+    })
+
+  private def loadNanosScoped(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = nanosReader(spark).read.parquet(s"$dir/events.parquet")
+    org.apache.spark.sql.graftshim.Shim.ofRows(spark, scoped.queryExecution.analyzed)
+  }
+
+  /** Does this failure (anywhere in its cause chain) say "parquet type I
+    * refuse to read: TIMESTAMP(NANOS)"? The inference error can surface as
+    * AnalysisException on the driver or wrapped in SparkException when
+    * footer reading ran on executors. */
+  private def isNanosIllegalType(t: Throwable): Boolean = {
+    var cur = t
+    while (cur != null) {
+      val m = cur.getMessage
+      if (m != null && m.toUpperCase(java.util.Locale.ROOT).contains("PARQUET TYPE") &&
+          m.contains("NANOS")) return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+    }
+    false
   }
   /** documents/embeddings feed pair-producing operators (self-joins over
     * blocks); the testdata parquet is a single row group → a single scan

@@ -481,11 +481,16 @@ object AnalyticsQueries extends QueryModule {
     * string-encoded k where DuckDB's CAST rounds/coerces it, and DuckDB's
     * json_extract raises on malformed JSON where Spark nulls. The Spark
     * side stays robust either way; the hash compare is only meaningful on
-    * the clean-integer regime. */
+    * the clean-integer regime. Null k (malformed/missing props) is
+    * EXPLICITLY excluded before grouping/ranking in both engines — the
+    * engines disagree on null ORDER (Spark ascending puts nulls first,
+    * DuckDB defaults NULLS LAST), so leaving nulls in would make row
+    * order corpus-dependent rather than contractual. */
   def qPropsAgg(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("k", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .filter(col("k").isNotNull)
     e.groupBy(col("event_type"), floor(col("k") / 10).cast("long").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -499,10 +504,12 @@ object AnalyticsQueries extends QueryModule {
   /** Per-type top-3 JSON property values by frequency — the "which
     * metadata values dominate each type" drill-down, via the scalar-path
     * extractor (`get_json_object`) and a ranking window. Ties broken by
-    * k for a deterministic total order. */
+    * k for a deterministic total order; null k excluded before ranking
+    * (see the null-order note on [[qPropsAgg]]). */
   def qPropsTopk(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull)
       .groupBy(col("event_type"), col("k"))
       .agg(count(lit(1)).as("n_events"))
     counts
@@ -554,7 +561,7 @@ object AnalyticsQueries extends QueryModule {
         |    count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
         |    min(k) AS k_min, max(k) AS k_max
-        |  FROM e GROUP BY 1, 2)
+        |  FROM e WHERE k IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, k_bucket, n_events, n_users, sum_value, k_min, k_max,
         |  round(CAST(n_events AS DOUBLE) /
         |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
@@ -566,7 +573,8 @@ object AnalyticsQueries extends QueryModule {
         |      ORDER BY n_events DESC, k) AS INT) AS rk
         |  FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k,
         |          count(*) AS n_events
-        |        FROM events GROUP BY 1, 2))
+        |        FROM events GROUP BY 1, 2)
+        |  WHERE k IS NOT NULL)
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
     "q_topk_per_group" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

@@ -308,15 +308,20 @@ object AnnQueries extends QueryModule {
     "q_ivfpq_recall" -> (qIvfPqRecall _),
     "q_lof" -> (qLof _))
 
-  private val AsgCte =
+  /** Shared DuckDB replay of the deterministic IVF geometry (normalize →
+    * first-K centroids → cell assignment → 2-cell probe set for query
+    * vec 0). `asg` carries `label` so filtered-search oracles
+    * ([[FilteredAnn]]) can replay metadata predicates over the same
+    * assignment. */
+  private[search] val AsgCte =
     """nrm AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS raw,
       |  list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> x * (1.0 / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))) AS v
       |  FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM nrm WHERE vec_id < 8),
       |asg AS (
-      |  SELECT vec_id, raw, cid AS cell FROM (
-      |    SELECT n.vec_id, n.raw, c.cid, row_number() OVER
+      |  SELECT vec_id, label, raw, cid AS cell FROM (
+      |    SELECT n.vec_id, n.label, n.raw, c.cid, row_number() OVER
       |      (PARTITION BY n.vec_id ORDER BY list_distance(n.v, c.cv), c.cid) AS rn
       |    FROM nrm n CROSS JOIN c) WHERE rn = 1),
       |probe AS (

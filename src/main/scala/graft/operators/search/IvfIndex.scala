@@ -200,21 +200,30 @@ object IvfIndex {
     append(spark, indexPath, vectors)
   }
 
+  /** The persisted centroid table, ordered by cell id (driver-sized: K×d). */
+  def readCentroids(spark: SparkSession, indexPath: String): IndexedSeq[IndexedSeq[Double]] =
+    spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+
+  /** All cell ids ranked by euclidean distance of the NORMALIZED query to
+    * each centroid (ties by id) — the driver-side K×d ranking every probe
+    * variant shares. Take(nprobe) of this is the probe set. */
+  def rankCells(cs: Seq[Seq[Double]], query: Seq[Double]): Seq[Int] = {
+    val n = math.sqrt(query.map(x => x * x).sum)
+    val qNorm = if (n == 0) query else query.map(_ * (1.0 / n))
+    cs.zipWithIndex
+      .map { case (c, i) =>
+        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
+      .sortBy { case (i, d) => (d, i) }.map(_._1)
+  }
+
   /** Probe `nprobe` cells nearest the query; exact cosine top-k inside.
     * The cell filter prunes partitions — only probed cells are read. */
   def probe(spark: SparkSession, indexPath: String, query: Seq[Float],
             k: Int, nprobe: Int = 2): DataFrame = {
-    val cs = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val qNorm = {
-      val n = math.sqrt(query.map(x => x.toDouble * x).sum)
-      if (n == 0) query.map(_.toDouble) else query.map(x => x * (1.0 / n))
-    }
-    val cells = cs.zipWithIndex
-      .map { case (c, i) =>
-        (i, math.sqrt(c.zip(qNorm).map { case (a, b) => (a - b) * (a - b) }.sum)) }
-      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    val cs = readCentroids(spark, indexPath)
+    val cells = rankCells(cs, query.map(_.toDouble)).take(nprobe)
     val qCol = array(query.map(v => lit(v)).toIndexedSeq: _*)
     spark.read.parquet(s"$indexPath/data")
       .filter(col("cell").isin(cells: _*))

@@ -88,6 +88,9 @@ object StreamingQueries extends QueryModule {
     val agg = eventsStream(spark, dir)
       .withColumn("k", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      // null k excluded in both engines — see the null-order note on the
+      // batch qPropsAgg (Spark and DuckDB disagree on null ORDER)
+      .filter(col("k").isNotNull)
       .groupBy(col("event_type"), floor(col("k") / 10).cast("long").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"),
@@ -703,7 +706,9 @@ object StreamingQueries extends QueryModule {
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
         |  min(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
         |  max(CAST(json_extract(props, '$.k') AS INT)) AS k_max
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin,
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin,
     // identical semantics to the batch as-of join → identical oracle
     "q_asof_stream" ->
       graft.operators.analytics.TemporalJoins.oracles("q_asof_join"),

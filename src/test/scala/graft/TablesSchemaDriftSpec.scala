@@ -46,6 +46,50 @@ class TablesSchemaDriftSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
   }
 
+  /** A REAL TIMESTAMP(NANOS, isAdjustedToUTC=false) file, written through
+    * parquet-java directly (Spark refuses to write the annotation) — the
+    * encoding the pre-r7 driver corpora actually carried. Exercises the
+    * scoped-reader fallback in Tables.eventsNanos end to end, which the
+    * plain-long stand-in above cannot (a bare INT64 needs no legacy conf). */
+  private def writeNanosParquet(file: java.nio.file.Path): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file.toString))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, us, uid, typ, v, props) =>
+      val g = f.newGroup()
+      g.add("event_id", id)
+      g.add("ts", us * 1000L)
+      g.add("user_id", uid)
+      g.add("event_type", typ)
+      g.add("value", v)
+      g.add("props", props)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  private lazy val realNanosDir = writeDir("realnanos") { d =>
+    writeNanosParquet(d.resolve("events.parquet"))
+    // a nanos-encoded NON-events sibling for the conf-leak straddle test
+    writeNanosParquet(d.resolve("metrics.parquet"))
+  }
+
   /** ts as TIMESTAMP_NTZ micros — what Spark infers from the pandas-naive
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) the driver now writes. */
   private lazy val ntzMicrosDir = writeDir("ntz") { d =>
@@ -68,12 +112,17 @@ class TablesSchemaDriftSpec extends SparkSpec {
     df.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .orderBy("event_id").collect().toSeq
 
-  test("the three dirs really carry three distinct physical ts types") {
+  private val NanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  test("the four dirs really carry the distinct physical ts types") {
     def raw(d: String): DataType = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      val prev = spark.conf.getOption(NanosConfKey)
+      spark.conf.set(NanosConfKey, "true")
+      try spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      finally prev.fold(spark.conf.unset(NanosConfKey))(spark.conf.set(NanosConfKey, _))
     }
     assert(raw(nanosLongDir) === LongType)
+    assert(raw(realNanosDir) === LongType) // NANOS surfaces as long under the conf
     assert(raw(ntzMicrosDir) === TimestampNTZType)
     assert(raw(ltzMicrosDir) === TimestampType)
   }
@@ -82,8 +131,10 @@ class TablesSchemaDriftSpec extends SparkSpec {
     val a = collected(Tables.eventsNanos(spark, nanosLongDir))
     val b = collected(Tables.eventsNanos(spark, ntzMicrosDir))
     val c = collected(Tables.eventsNanos(spark, ltzMicrosDir))
+    val d = collected(Tables.eventsNanos(spark, realNanosDir))
     assert(a === b)
     assert(a === c)
+    assert(a === d)
     // and the values are the exact nanos we wrote, not a 1000×-off shadow
     val ns = Tables.eventsNanos(spark, ntzMicrosDir)
       .orderBy("event_id").select("ts").as[Long].collect()
@@ -99,9 +150,33 @@ class TablesSchemaDriftSpec extends SparkSpec {
     assert(got.columns.contains("props"))
     assert(got.schema("props").dataType === StringType)
     assert(got.select("props").collect().forall(_.isNullAt(0)))
-    // and the props consumers run (null keys, not AnalysisException)
+    // and the props consumers run (no AnalysisException); null-k rows are
+    // excluded by the explicit null contract, so an all-null props corpus
+    // aggregates to zero rows rather than a null bucket
     val agg = graft.operators.analytics.AnalyticsQueries.qPropsAgg(spark, noProps)
-    assert(agg.collect().forall(_.isNullAt(agg.columns.indexOf("k_bucket"))))
+    assert(agg.collect().isEmpty)
+  }
+
+  test("scoped nanos conf: an events load does not leak into other reads") {
+    // the REAL TIMESTAMP(NANOS) corpus loads through the scoped reader...
+    val viaScoped = collected(Tables.eventsNanos(spark, realNanosDir))
+    assert(viaScoped === collected(Tables.eventsNanos(spark, ntzMicrosDir)))
+    // ...while the CALLER's session conf stays at its default...
+    assert(spark.conf.getOption(NanosConfKey).forall(_ == "false"),
+      "eventsNanos must not mutate the caller's session conf")
+    // ...so a nanos-encoded NON-events table read straddling the events
+    // load still refuses loudly instead of silently surfacing longs (the
+    // cross-query state leak the scoped reader exists to prevent)
+    val err = intercept[Throwable] {
+      spark.read.parquet(s"$realNanosDir/metrics.parquet").schema
+    }
+    def chainHasNanos(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(c => Option(c.getMessage).exists(_.contains("NANOS")))
+    assert(chainHasNanos(err), s"expected illegal-NANOS failure, got: $err")
+    // and the scoped events frame still EXECUTES correctly after the
+    // failed sibling read (the relation carries its own reader session)
+    assert(collected(Tables.events(spark, realNanosDir)).nonEmpty)
   }
 
   test("events yields identical µs timestamps from every encoding") {

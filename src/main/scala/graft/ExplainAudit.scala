@@ -10,7 +10,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join_agg", "q_topk_bruteforce", "q_chunk_sim_stats",
         "q_nearest_centroid", "q_dsir_weights", "q_bloom_dedup", "q_nprobe_sweep",
-        "q_bucketed_join", "q_event_funnel", "q_props_agg", "q_props_topk")
+        "q_bucketed_join", "q_event_funnel", "q_props_agg", "q_props_topk",
+        "q_ann_filtered")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -143,7 +143,7 @@ object AnnQueries extends QueryModule {
     * skips unprobed cells' files, TopKPerGroup bounds both the cell
     * ranking and the final top-k). Deterministic centroids → fully
     * oracle-checked. */
-  private def scratch(prefix: String, dir: String): String =
+  private[search] def scratch(prefix: String, dir: String): String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       prefix, dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 

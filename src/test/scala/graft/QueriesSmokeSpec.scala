@@ -23,12 +23,14 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_ivfpq_recall: crossJoin of the ONE-ROW recall aggregate with the
     *    ONE-ROW candidate-count aggregate;
     *  - q_kmeans_1step: crossJoin with the ONE-ROW inertia aggregate;
-    *  - q_leak_safe_split: crossJoin with the ONE-ROW leak-audit aggregate. */
+    *  - q_leak_safe_split: crossJoin with the ONE-ROW leak-audit aggregate;
+    *  - q_ann_filtered_recall: crossJoin of the ONE-ROW hit-count
+    *    aggregate with the ONE-ROW exact-match-count aggregate. */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
     "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step",
-    "q_leak_safe_split")
+    "q_leak_safe_split", "q_ann_filtered_recall")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.clustering.ClusterLabels,
     graft.operators.search.AnnQueries,
     graft.operators.search.FilteredAnn,
+    graft.operators.search.KnnGraph,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,
     graft.operators.search.ProductQuantizationQueries,

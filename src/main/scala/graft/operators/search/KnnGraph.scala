@@ -1,0 +1,172 @@
+package graft.operators.search
+
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** kNN-GRAPH construction via NN-descent (Dong et al., WWW'11) — the
+  * batch build of the graph-index family the thesis's vector DB actually
+  * ships (Azure AI Search vector indexes are HNSW-class). A faithful
+  * distributed HNSW *serve* has no Spark shape (greedy walks are
+  * pointer-chasing), but the *graph build* is: start from a deterministic
+  * seed graph, then repeatedly join the graph with itself — each node
+  * adopts its neighbors' neighbors when closer — until the top-k
+  * stabilizes. Every round is two equi-joins (shuffle on the shared
+  * neighbor id) plus a bounded [[graft.plans.TopKPerGroup]] heap, so the
+  * per-round cost is O(n·(2k)²) candidate scorings, never n².
+  *
+  * Determinism: ring seeds `(i + s) mod n`, similarities rounded to 6,
+  * ties broken by neighbor id — the whole 2-round descent replays
+  * hash-exact in DuckDB as unrolled CTEs.
+  *
+  * Convergence is graded as recall@k of each round's edges against the
+  * exact top-k of a DETERMINISTIC eval sample (`vec_id % m == 0`, with
+  * `m = ceil(n / 2000)` so the sample stays ≤ ~2000 nodes at any corpus
+  * size). Exact truth is inherently quadratic; sampling bounds the eval
+  * to sample×n scorings — the BUILD itself never leaves the joined
+  * shape. An exact top-k member, once discovered, can never be evicted
+  * (at most k−1 vectors are strictly closer), so recall is monotone
+  * non-decreasing over rounds — spec-asserted.
+  */
+object KnnGraph extends QueryModule {
+
+  /** Graph degree = recall grading depth. */
+  val K = 10
+
+  /** NN-descent iterations after the seed graph (round 0 = seeds). */
+  val Rounds = 2
+
+  /** Eval-sample size target; the modulus is derived from it. */
+  val SampleTarget = 2000L
+
+  /** Each round's graph feeds THREE lazy consumers (the next round's
+    * join, the recall row, the edge count) — without a persist every
+    * consumer would recompute the whole descent chain from the seeds.
+    * One rolling slot per round bounds the cached copies per site. */
+  private val embCache = new graft.RollingCache
+  private val roundCaches = Array.fill(Rounds + 1)(new graft.RollingCache)
+
+  private def e(spark: SparkSession, dir: String): DataFrame =
+    embCache.persist(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
+  /** Score (i, j) pairs with rounded cosine via two embedding-fetch
+    * equi-joins (shuffle on each side's id — the distributed shape). */
+  private def score(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    val ea = emb.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val eb = emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+    pairs.join(ea, Seq("i")).join(eb, Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerGroup(
+      scored.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), k)
+      .select(col("i"), col("j"), col("sim"))
+
+  /** One NN-descent round: undirected adjacency → neighbors-of-neighbors
+    * candidates → rescore → keep each node's top-k of old ∪ new. */
+  private def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    val und = g.select(col("i"), col("j"))
+      .union(g.select(col("j").as("i"), col("i").as("j")))
+      .distinct()
+    val cand = und
+      .join(und.select(col("i").as("j"), col("j").as("c")), Seq("j"))
+      .select(col("i"), col("c").as("j"))
+      .filter(col("i") =!= col("j"))
+      .distinct()
+    val pool = score(cand, emb).unionByName(g).dropDuplicates("i", "j")
+    topK(pool, k)
+  }
+
+  /** The seed graph and every descent round: g(0) = ring seeds,
+    * g(r+1) = step(g(r)). Returned frames are (i, j, sim) with ≤ k edges
+    * per node. */
+  def nnDescentRounds(emb: DataFrame, k: Int = K, rounds: Int = Rounds): Seq[DataFrame] = {
+    val n = emb.count()
+    val seeds = emb.select(col("vec_id").as("i"))
+      .withColumn("s", explode(array((1 to k).map(lit): _*)))
+      .select(col("i"), ((col("i") + col("s")) % n).as("j"))
+    val g0 = roundCaches(0).persist(topK(score(seeds, emb), k))
+    (1 to rounds).scanLeft(g0)((g, r) =>
+      roundCaches(math.min(r, Rounds)).persist(step(g, emb, k)))
+  }
+
+  /** Per-round convergence of the descent: edge count and recall@10 of
+    * the graph's edges vs the exact top-10 of the deterministic eval
+    * sample. The exact-truth pair join is the one guarded quadratic
+    * (sample×n, bounded by [[SampleTarget]]); everything else is the
+    * joined NN-descent shape. */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = e(spark, dir)
+    val n = emb.count()
+    val m = math.max(1L, math.ceil(n / SampleTarget.toDouble).toLong)
+    val ev = emb.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val exactPairs = emb
+      .select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+      .crossJoin(broadcast(ev))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+    val exact = topK(exactPairs, K).select(col("i"), col("j"))
+    val nEval = ev.count()
+    val rounds = nnDescentRounds(emb, K, Rounds)
+    rounds.zipWithIndex.map { case (g, r) =>
+      val edges = g.agg(count(lit(1)).as("n_edges"))
+      val hits = g.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      edges.crossJoin(broadcast(hits)).select(
+        lit(r).as("round"), col("n_edges"), lit(nEval).as("n_eval"),
+        round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_graph" -> (qKnnGraph _))
+
+  /** Unrolled-round replay: g0/g1/g2 as CTE chains over the same ring
+    * seeds, rounded sims, and id tiebreaks. */
+  private def roundCtes(r: Int): String = {
+    val prev = s"g${r - 1}"
+    s"""und$r AS (SELECT i, j FROM $prev UNION SELECT j AS i, i AS j FROM $prev),
+       |cand$r AS (SELECT DISTINCT a.i, b.c AS j FROM und$r a
+       |  JOIN (SELECT i AS mid, j AS c FROM und$r) b ON a.j = b.mid WHERE a.i <> b.c),
+       |sc$r AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM cand$r p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
+       |pool$r AS (SELECT i, j, sim FROM sc$r UNION SELECT i, j, sim FROM $prev),
+       |g$r AS (SELECT i, j, sim FROM (
+       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM pool$r) WHERE rn <= $K)""".stripMargin
+  }
+
+  private def recallRow(r: Int): String =
+    s"""SELECT $r AS round, (SELECT count(*) FROM g$r) AS n_edges,
+       |  (SELECT n_eval FROM nev) AS n_eval,
+       |  round(CAST((SELECT count(*) FROM g$r JOIN exact USING (i, j)) AS DOUBLE)
+       |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |prm AS (SELECT count(*) AS n,
+         |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM e),
+         |seed AS (SELECT id AS i, (id + s) % (SELECT n FROM prm) AS j
+         |  FROM e, (SELECT unnest(generate_series(1, $K)) AS s)),
+         |sc0 AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |  FROM seed p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
+         |g0 AS (SELECT i, j, sim FROM (
+         |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+         |    FROM sc0) WHERE rn <= $K),
+         |${(1 to Rounds).map(roundCtes).mkString(",\n")},
+         |ev AS (SELECT id, v FROM e WHERE id % (SELECT m FROM prm) = 0),
+         |nev AS (SELECT count(*) AS n_eval FROM ev),
+         |exact AS (SELECT i, j FROM (
+         |    SELECT ev.id AS i, e.id AS j,
+         |      row_number() OVER (PARTITION BY ev.id
+         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
+         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K)
+         |${(0 to Rounds).map(recallRow).mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin)
+}

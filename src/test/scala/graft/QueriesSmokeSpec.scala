@@ -25,12 +25,16 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_kmeans_1step: crossJoin with the ONE-ROW inertia aggregate;
     *  - q_leak_safe_split: crossJoin with the ONE-ROW leak-audit aggregate;
     *  - q_ann_filtered_recall: crossJoin of the ONE-ROW hit-count
-    *    aggregate with the ONE-ROW exact-match-count aggregate. */
+    *    aggregate with the ONE-ROW exact-match-count aggregate;
+    *  - q_knn_graph: the exact-truth eval join against the DETERMINISTIC
+    *    sample (≤ KnnGraph.SampleTarget broadcast rows) plus ONE-ROW
+    *    recall-row assembly crossJoins — the descent itself is
+    *    equi-joined. */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
     "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step",
-    "q_leak_safe_split", "q_ann_filtered_recall")
+    "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -179,8 +179,19 @@ object StreamingQueries extends QueryModule {
       .unscaledValue().longValueExact()
 
   /** Gap-based sessionizer over one user's events (sorted in memory —
-    * per-user volume is bounded; state carries only the open session). */
-  private def sessionize(userId: Long, it: Iterator[Ev],
+    * per-user volume is bounded; state carries only the open session).
+    *
+    * ORDER/LATENESS CONTRACT (pinned by LateDataSpec): events WITHIN a
+    * batch may arrive in any order — the in-memory (ts, event_id) sort
+    * restores event-time order before the gap scan, so in-batch disorder
+    * never changes the sessions. ACROSS batches the machine flushes every
+    * open session at batch end (`state.remove()` below) — the staging
+    * contract is one ts-ordered file = one batch, so a late event landing
+    * in a LATER batch starts a fresh session (numbered from 1) rather
+    * than merging backwards. A production multi-batch deployment would
+    * swap the unconditional flush for EventTimeTimeout + watermark;
+    * the oracle equality below holds under the single-batch contract. */
+  private[streaming] def sessionize(userId: Long, it: Iterator[Ev],
                          state: GroupState[Session]): Iterator[Session] = {
     val evs = it.toIndexedSeq.sortBy(e => (e.ts_sec, e.event_id))
     if (evs.isEmpty) return Iterator.empty

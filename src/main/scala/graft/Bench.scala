@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR
-  * and prints one JSON line {"metric":"total",...,"queries":{...}}.
+  * and prints ONE compact JSON line on stdout (headline total, per-module
+  * subtotals, heaviest queries) sized to survive the driver's ~2000-char
+  * log-tail capture; the complete per-query map and raw samples land in
+  * bench_times.json (committed) and the full line on stderr.
   *
   * Queries are fully evaluated through the `noop` sink (a bare count()
   * would let Catalyst prune the computed columns out of map-only plans and
@@ -112,7 +115,7 @@ object Bench {
     val errs = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = healthy.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${failed.size},"sf":"$sfDir","reps":$reps}"""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${failed.size},"sf":"$sfDir","reps":$reps}"""
     // complete copy on disk (incl. every raw sample) — log tails truncate,
     // files don't; lets any reader diff every query across rounds
     val allSamples = selected.map { case (name, _) =>
@@ -120,11 +123,30 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_times.json"),
-      s"""{"line":$line,"samples":$allSamples}""" + "\n")
+      s"""{"line":$fullLine,"samples":$allSamples}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}")
     }
-    println(line)
+    // The driver persists only the LAST ~2000 chars of stdout into
+    // BENCH_rN.json — a 140-query map (~3.5 KB) can never survive that
+    // window, and rounds 1-8 lost the first ~56 queries alphabetically to
+    // truncation (parsed: null). So stdout gets exactly ONE compact,
+    // self-contained line: headline total, per-module subtotals, the
+    // heaviest queries, and a pointer to the committed full map
+    // (bench_times.json). The full line goes to stderr for humans.
+    val family: Map[String, String] = SparkEntry.modules.flatMap { m =>
+      val fam = m.getClass.getSimpleName.stripSuffix("$").stripSuffix("Queries")
+      m.queries.keys.map(_ -> fam)
+    }.toMap
+    val famTotals = healthy.groupBy { case (n, _) => family.getOrElse(n, "Other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs2) => "\"" + f + "\":" + ms(qs2.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val top = healthy.sortBy(-_._2).take(12)
+      .map { case (n, t) => "\"" + n + "\":" + ms(t) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${selected.size},"n_errors":${failed.size},"errors":$errs,"families":$famTotals,"top":$top,"queries_file":"bench_times.json","sf":"$sfDir","reps":$reps}"""
+    System.err.println(fullLine)
+    println(compact)
     spark.stop()
   }
 }

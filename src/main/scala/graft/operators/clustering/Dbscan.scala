@@ -133,45 +133,117 @@ object Dbscan {
   }
 
   /** Hyperparameter sweep (reference: silhouettes.ipynb:264-310 sweeps
-    * sklearn DBSCAN over eps). The ε-pair stage — the expensive one — runs
-    * ONCE at max(eps) keeping the distance; each eps then re-labels from
-    * the cached filtered pairs. Returns one summary row per eps:
-    * cluster / core / border / noise counts. */
+    * sklearn DBSCAN over eps). Returns one summary row per eps:
+    * cluster / core / border / noise counts — identical to running
+    * [[run]] per ε and aggregating, but computed INCREMENTALLY:
+    *
+    * Activation thresholds (the HDBSCAN mutual-reachability idea,
+    * Campello et al. 2013, applied to a discrete ε grid): for minPts the
+    * point i becomes core exactly at ct(i) = its (minPts−1)-th smallest
+    * neighbor distance, and the pair (i,j) becomes a core-core edge
+    * exactly at t(i,j) = max(dist(i,j), ct(i), ct(j)). Both are computed
+    * ONCE from the shared max-ε pair scan; every per-ε quantity is then a
+    * cut of these monotone structures:
+    *
+    *  - n_core / n_border / n_noise for ALL ε arms come from ONE
+    *    aggregation over a per-node (ct, bt) frame, where bt(i) =
+    *    minⱼ max(dist(i,j), ct(j)) is the ε at which i first has a core
+    *    neighbor — no per-ε joins at all;
+    *  - n_clusters needs components: the ε arms ascend, and since
+    *    G(ε₁) ⊆ G(ε₂) components only MERGE, so arm k runs connected
+    *    components on the QUOTIENT graph — only the edges newly activated
+    *    in (εₖ₋₁, εₖ], with endpoints contracted through the previous
+    *    arm's labels. One full CC at the smallest ε, then near-empty CC
+    *    rounds per extra arm, instead of a full CC + label pipeline per
+    *    arm. Isolated cores (no active incident edge) count as singleton
+    *    clusters: n_clusters = components(ε) + (n_core − nodes-in-CC).
+    *
+    * The per-node core threshold uses the bounded TopKPerGroup heap
+    * (k = minPts−1 per node); for node cardinalities beyond its
+    * per-partition group cap, swap in the window-sort formulation.
+    * All driver-side results are O(#arms) numbers; nothing data-sized
+    * leaves the executors. */
   def sweep(points: DataFrame, idCol: String, vecCol: String,
             epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val distPairs = epsPairs(points, idCol, vecCol, epsList.max).cache()
-    // materialize the shared pair stage ONCE before fanning out, so the
-    // concurrent branches hit the cache instead of racing to fill it
-    distPairs.count()
-    // each ε's label() runs its CC contraction jobs eagerly; the branches
-    // are independent, so submit them concurrently and let the scheduler
-    // interleave their (driver-latency-bound) job sequences. A dedicated
-    // bounded pool (NOT Implicits.global): the branches block on Spark
-    // actions, and parking blocking tasks on the shared global pool can
-    // starve any other library code nested on it — sizing the pool to the
-    // branch count makes the concurrency explicit and self-contained.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(epsList.size, 8)),
-      r => { val t = new Thread(r, "dbscan-sweep"); t.setDaemon(true); t })
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    try {
-      val perEps = epsList.sorted.map { eps =>
-        Future {
-          label(points, distPairs.filter(col("dist") <= eps).select("i", "j"),
-            idCol, minPts, maxIter)
-            .agg(
-              countDistinct(when(col("cluster") >= 0, col("cluster"))).as("n_clusters"),
-              sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core"),
-              sum(when(!col("is_core") && col("cluster") >= 0, 1L).otherwise(0L)).as("n_border"),
-              sum(when(col("cluster") === -1, 1L).otherwise(0L)).as("n_noise"))
-            .select(lit(eps).as("eps"), col("n_clusters"), col("n_core"),
-              col("n_border"), col("n_noise"))
-        }
-      }
-      perEps.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _).orderBy("eps")
-    } finally pool.shutdown()
+    require(epsList.nonEmpty, "epsList must not be empty")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val epsSorted = epsList.sorted
+    val distPairs = epsPairs(points, idCol, vecCol, epsSorted.last).cache()
+    // ct(i): the ε at which i becomes core (null = never within the sweep).
+    // minPts ≤ 1 is sklearn min_samples=1: every point core immediately.
+    val ct =
+      if (minPts <= 1) points.select(col(idCol).as("i"), lit(0.0).as("ct"))
+      else graft.plans.TopKPerGroup(distPairs, Seq("i"), Seq("dist", "j"), minPts - 1)
+        .filter(col("rk") === minPts - 1)
+        .select(col("i"), col("dist").as("ct"))
+        .cache() // feeds bt, nodeStats and both tEdges sides
+    // Attach ct to the i side of the SYMMETRIC pair frame once; both
+    // threshold structures reduce from it without further joins:
+    //  - the unordered pair (a,b) appears as (a,b,ct_a) and (b,a,ct_b), so
+    //    max over the pair group of m = max(dist, ct_i) IS the edge
+    //    activation t(a,b) = max(dist, ct_a, ct_b) — requiring both
+    //    directions present (sides = 2) enforces both-endpoints-core;
+    //  - min over j's partner group of the same m IS bt(j), the ε at
+    //    which j first has a core neighbor (border activation).
+    val withCt = distPairs
+      .join(ct.select(col("i"), col("ct").as("ct_i")), Seq("i"))
+      .select(col("i"), col("j"), greatest(col("dist"), col("ct_i")).as("m"))
+      .cache()
+    val tEdges = withCt
+      .groupBy(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .agg(max(col("m")).as("t"), count(lit(1)).as("sides"))
+      .filter(col("sides") === 2).drop("sides")
+      .cache()
+    tEdges.count()
+    val bt = withCt.groupBy(col("j").as("i")).agg(min(col("m")).as("bt"))
+    val nodeStats = points.select(col(idCol).as("i"))
+      .join(ct, Seq("i"), "left").join(bt, Seq("i"), "left").cache()
+    // ONE pass over the per-node frame for every arm's core/border/noise
+    val statCols = epsSorted.zipWithIndex.flatMap { case (e, ix) => Seq(
+      sum(when(col("ct") <= e, 1L).otherwise(0L)).as(s"core$ix"),
+      sum(when((col("ct").isNull || col("ct") > e) && col("bt") <= e, 1L)
+        .otherwise(0L)).as(s"border$ix")) }
+    val totals = nodeStats.agg(count(lit(1)).as("n_total"), statCols: _*).head()
+    val nTotal = totals.getLong(0)
+    // ascending quotient-CC chain for n_clusters
+    var comp: DataFrame = null // (id, component) over edge-incident cores
+    var prevEps = Double.NegativeInfinity
+    val rows = epsSorted.zipWithIndex.map { case (eps, ix) =>
+      val delta = tEdges.filter(col("t") > prevEps && col("t") <= eps)
+        .select("i", "j")
+      val qEdges =
+        if (comp == null) delta
+        else delta
+          .join(comp.select(col("id").as("i"), col("component").as("c_i")),
+            Seq("i"), "left")
+          .join(comp.select(col("id").as("j"), col("component").as("c_j")),
+            Seq("j"), "left")
+          .select(coalesce(col("c_i"), col("i")).as("i"),
+            coalesce(col("c_j"), col("j")).as("j"))
+          .filter(col("i") =!= col("j"))
+      val q = ConnectedComponents.run(qEdges, "i", "j", maxRounds = maxIter)
+      comp = (
+        if (comp == null) q
+        else comp
+          .join(q.select(col("id").as("component"), col("component").as("c2")),
+            Seq("component"), "left")
+          .select(col("id"), coalesce(col("c2"), col("component")).as("component"))
+          // quotient rows whose id is a NEW node (first edge in this arm)
+          .unionByName(q.join(comp.select("id"), Seq("id"), "left_anti"))
+        ).localCheckpoint(true)
+      prevEps = eps
+      val cc = comp.agg(count(lit(1)), countDistinct(col("component"))).head()
+      val (ccNodes, ccComps) = (cc.getLong(0), cc.getLong(1))
+      val nCore = totals.getLong(totals.fieldIndex(s"core$ix"))
+      val nBorder = totals.getLong(totals.fieldIndex(s"border$ix"))
+      (eps, ccComps + (nCore - ccNodes), nCore, nBorder, nTotal - nCore - nBorder)
+    }
+    distPairs.unpersist(false); ct.unpersist(false); withCt.unpersist(false)
+    nodeStats.unpersist(false); tEdges.unpersist(false)
+    rows.toDF("eps", "n_clusters", "n_core", "n_border", "n_noise")
+      .orderBy("eps")
   }
 }
 

@@ -75,8 +75,16 @@ class DbscanSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_noise") == n)
     assert(r.last.getAs[Long]("n_clusters") == 1 && r.last.getAs[Long]("n_noise") == 0)
     // at the matched run parameters the sweep row equals a standalone run
-    val single = Dbscan.run(blobs, "id", "vec", eps = 0.5, minPts = 3)
-    val noise = single.filter(col("cluster") === -1).count()
-    assert(r(1).getAs[Long]("n_noise") == noise)
+    // on every count — clusters, cores, borders, noise (the incremental
+    // threshold-cut path vs the direct label pipeline)
+    val single = Dbscan.run(blobs, "id", "vec", eps = 0.5, minPts = 3).cache()
+    assert(r(1).getAs[Long]("n_noise") ==
+      single.filter(col("cluster") === -1).count())
+    assert(r(1).getAs[Long]("n_core") ==
+      single.filter(col("is_core")).count())
+    assert(r(1).getAs[Long]("n_border") ==
+      single.filter(!col("is_core") && col("cluster") >= 0).count())
+    assert(r(1).getAs[Long]("n_clusters") ==
+      single.filter(col("cluster") >= 0).select("cluster").distinct().count())
   }
 }

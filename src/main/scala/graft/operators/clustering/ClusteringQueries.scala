@@ -136,8 +136,20 @@ object ClusteringQueries extends QueryModule {
     silhouetteUnguarded(e)
   }
 
-  def qSilhouetteExact(spark: SparkSession, dir: String): DataFrame =
-    silhouetteExact(Tables.embeddings(spark, dir))
+  /** Deterministic self-sample before the guarded all-pairs kernel: keep
+    * ids ≡ 0 (mod ceil(n / MaxSilhouetteRows)) — the identity filter at
+    * reference scale (m = 1), an id-arithmetic sample the oracle replays
+    * verbatim beyond it. The reference itself silhouettes a sample
+    * (sample_size=2000, nuevo-kmeans-pre.ipynb:112); this makes the
+    * query's sampling contract explicit instead of failing the guard the
+    * first time the corpus outgrows the cap (found by the sf1 stress
+    * pass). */
+  def qSilhouetteExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val m = math.max(1L,
+      math.ceil(e.count() / MaxSilhouetteRows.toDouble).toLong)
+    silhouetteExact(e.filter(col("vec_id") % m === 0))
+  }
 
   private def silhouetteUnguarded(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("i"), col("label").as("la"), col("embedding").as("ea"))
@@ -334,11 +346,15 @@ object ClusteringQueries extends QueryModule {
          |FROM documents LEFT JOIN doclabel ON doc_id = document_id
          |ORDER BY doc_id""".stripMargin,
     "q_silhouette_exact" ->
-      """WITH md AS (
+      s"""WITH sprm AS (SELECT greatest(1, CAST(ceil(count(*) / $MaxSilhouetteRows.0) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |se AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id % (SELECT m FROM sprm) = 0),
+        |md AS (
         |  SELECT a.vec_id AS i, a.label AS la, b.label AS lb,
         |    round(CAST(sum(CAST(round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
         |                       AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS md
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  FROM se a JOIN se b ON a.vec_id <> b.vec_id
         |  GROUP BY 1, 2, 3),
         |pp AS (
         |  SELECT i, la,

@@ -60,11 +60,15 @@ object AnnQueries extends QueryModule {
       .select(col("i"), col("j"), col("d"))
     // k-distance of every point = distance to its k-th neighbor
     val kdist = knn.groupBy(col("i").as("p")).agg(max(col("d")).as("kdist"))
-    // reach(i,o) = max(kdist(o), d(i,o)); lrd(i) = 1 / mean reach over kNN(i)
+    // reach(i,o) = max(kdist(o), d(i,o)); lrd(i) = 1 / (mean reach over
+    // kNN(i) + 1e-10) — sklearn's exact stabilizer (_local_reachability_
+    // density), which a duplicate-heavy corpus REQUIRES: ≥ k+1 exact
+    // copies of a point give it all-zero reach distances (found by the
+    // sf1 stress corpus, where every vector appears 10×)
     val lrd = knn.join(kdist, knn("j") === kdist("p"))
       .select(col("i"), greatest(col("kdist"), col("d")).as("reach"))
       .groupBy(col("i"))
-      .agg((lit(1.0) / avg(col("reach"))).as("lrd"))
+      .agg((lit(1.0) / (avg(col("reach")) + lit(1e-10))).as("lrd"))
     // lof(i) = mean lrd(neighbors) / lrd(i)
     val nbLrd = lrd.select(col("i").as("nb"), col("lrd").as("lrd_nb"))
     knn.join(nbLrd, knn("j") === nbLrd("nb"))
@@ -436,7 +440,7 @@ object AnnQueries extends QueryModule {
         |  WHERE rk <= 5),
         |kdist AS (SELECT i AS p, max(d) AS kdist FROM knn GROUP BY i),
         |lrd AS (
-        |  SELECT knn.i, 1.0 / avg(greatest(kdist.kdist, knn.d)) AS lrd
+        |  SELECT knn.i, 1.0 / (avg(greatest(kdist.kdist, knn.d)) + 1e-10) AS lrd
         |  FROM knn JOIN kdist ON knn.j = kdist.p GROUP BY knn.i)
         |SELECT knn.i AS vec_id, round(avg(nb.lrd) / any_value(own.lrd), 4) AS lof
         |FROM knn

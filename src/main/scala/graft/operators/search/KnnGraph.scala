@@ -40,15 +40,32 @@ object KnnGraph extends QueryModule {
   /** Eval-sample size target; the modulus is derived from it. */
   val SampleTarget = 2000L
 
-  /** Each round's graph feeds THREE lazy consumers (the next round's
-    * join, the recall row, the edge count) — without a persist every
-    * consumer would recompute the whole descent chain from the seeds.
-    * One rolling slot per round bounds the cached copies per site. */
-  private val embCache = new graft.RollingCache
-  private val roundCaches = Array.fill(Rounds + 1)(new graft.RollingCache)
+  /** Each round's graph feeds MANY lazy consumers (the next round's
+    * join, the recall row, the edge count, [[GraphServe]]'s adjacency) —
+    * and those consumers interleave across queries and specs, so a
+    * rolling per-site cache is wrong here: a second build would unpersist
+    * the frames the first build's consumers still hold, silently
+    * recomputing the whole descent chain from the seeds. The build is a
+    * deterministic pure function of (embedding plan, k, rounds), so it is
+    * memoized like [[graft.operators.clustering.KMeansOp.fit]] — each
+    * round persisted AND materialized once, then shared by every
+    * consumer. Cached copies are bounded by #distinct corpora per JVM ×
+    * (rounds+1) edge lists of ≤ n·k rows. */
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Seq[DataFrame]]
 
-  private def e(spark: SparkSession, dir: String): DataFrame =
-    embCache.persist(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private val exactCache = new graft.RollingCache
+
+  private[search] def e(spark: SparkSession, dir: String): DataFrame =
+    embCache.getOrElseUpdate(dir, {
+      val p = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).persist()
+      p.count()
+      p
+    })
 
   /** Score (i, j) pairs with rounded cosine via two embedding-fetch
     * equi-joins (shuffle on each side's id — the distributed shape). */
@@ -83,14 +100,27 @@ object KnnGraph extends QueryModule {
   /** The seed graph and every descent round: g(0) = ring seeds,
     * g(r+1) = step(g(r)). Returned frames are (i, j, sim) with ≤ k edges
     * per node. */
-  def nnDescentRounds(emb: DataFrame, k: Int = K, rounds: Int = Rounds): Seq[DataFrame] = {
+  def nnDescentRounds(emb: DataFrame, k: Int = K, rounds: Int = Rounds): Seq[DataFrame] =
+    built.getOrElseUpdate((emb.semanticHash(), k, rounds), buildRounds(emb, k, rounds))
+
+  /** The un-memoized build — the determinism spec's fresh-replay bypass. */
+  private[search] def buildRounds(emb: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
     val n = emb.count()
     val seeds = emb.select(col("vec_id").as("i"))
       .withColumn("s", explode(array((1 to k).map(lit): _*)))
       .select(col("i"), ((col("i") + col("s")) % n).as("j"))
-    val g0 = roundCaches(0).persist(topK(score(seeds, emb), k))
-    (1 to rounds).scanLeft(g0)((g, r) =>
-      roundCaches(math.min(r, Rounds)).persist(step(g, emb, k)))
+    // localCheckpoint, not persist: each round references its
+    // predecessor 2-3× (und twice in cand, once in pool), so the LOGICAL
+    // plan grows ~3^r copies of the seed tree even when every round's
+    // DATA is cached — and the driver re-canonicalizes that tree on
+    // every downstream action (CacheManager sameResult walks), turning
+    // millisecond jobs into minute-long planning stalls. Checkpointing
+    // truncates the plan to a LogicalRDD leaf. On a cluster that can
+    // lose executors, swap for reliable checkpoint() to a checkpoint
+    // dir — the memoized build is the natural unit to re-run.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val g0 = pin(topK(score(seeds, emb), k))
+    (1 to rounds).scanLeft(g0)((g, _) => pin(step(g, emb, k)))
   }
 
   /** Per-round convergence of the descent: edge count and recall@10 of
@@ -110,7 +140,9 @@ object KnnGraph extends QueryModule {
       .filter(col("i") =!= col("j"))
       .select(col("i"), col("j"),
         round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
-    val exact = topK(exactPairs, K).select(col("i"), col("j"))
+    // one rolling slot: `exact` feeds every round's recall row — without
+    // a persist the sample×n scoring pass would run once per round
+    val exact = exactCache.persist(topK(exactPairs, K).select(col("i"), col("j")))
     val nEval = ev.count()
     val rounds = nnDescentRounds(emb, K, Rounds)
     rounds.zipWithIndex.map { case (g, r) =>
@@ -147,19 +179,26 @@ object KnnGraph extends QueryModule {
        |  round(CAST((SELECT count(*) FROM g$r JOIN exact USING (i, j)) AS DOUBLE)
        |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall""".stripMargin
 
+  /** CTE chain building the descent graphs g0..g`Rounds` (plus the `e`
+    * embedding view and `prm` size params) — shared verbatim by this
+    * oracle and [[GraphServe]]'s, so the served graph and the graded
+    * graph replay from ONE definition. */
+  private[search] def graphCtePrefix: String =
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |prm AS (SELECT count(*) AS n,
+       |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM e),
+       |seed AS (SELECT id AS i, (id + s) % (SELECT n FROM prm) AS j
+       |  FROM e, (SELECT unnest(generate_series(1, $K)) AS s)),
+       |sc0 AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM seed p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
+       |g0 AS (SELECT i, j, sim FROM (
+       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM sc0) WHERE rn <= $K),
+       |${(1 to Rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |prm AS (SELECT count(*) AS n,
-         |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM e),
-         |seed AS (SELECT id AS i, (id + s) % (SELECT n FROM prm) AS j
-         |  FROM e, (SELECT unnest(generate_series(1, $K)) AS s)),
-         |sc0 AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-         |  FROM seed p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
-         |g0 AS (SELECT i, j, sim FROM (
-         |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-         |    FROM sc0) WHERE rn <= $K),
-         |${(1 to Rounds).map(roundCtes).mkString(",\n")},
+      s"""WITH $graphCtePrefix,
          |ev AS (SELECT id, v FROM e WHERE id % (SELECT m FROM prm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
          |exact AS (SELECT i, j FROM (

@@ -29,12 +29,17 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_knn_graph: the exact-truth eval join against the DETERMINISTIC
     *    sample (≤ KnnGraph.SampleTarget broadcast rows) plus ONE-ROW
     *    recall-row assembly crossJoins — the descent itself is
-    *    equi-joined. */
+    *    equi-joined;
+    *  - q_graph_serve: same contract — the exact-truth grading join
+    *    against the ≤ GraphServe.QueryTarget broadcast query sample plus
+    *    ONE-ROW recall-row assembly; the beam rounds themselves are
+    *    equi-joined on the graph's node ids. */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
     "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step",
-    "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph")
+    "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph",
+    "q_graph_serve")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -65,10 +65,10 @@ class KnnGraphSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("n_edges") <= n * KnnGraph.K))
   }
 
-  test("the descent is deterministic: two builds produce identical edge sets") {
+  test("the descent is deterministic: a fresh un-memoized build produces identical edge sets") {
     val a = rounds.last.select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = KnnGraph.nnDescentRounds(emb, KnnGraph.K, KnnGraph.Rounds)
+    val b = KnnGraph.buildRounds(emb, KnnGraph.K, KnnGraph.Rounds)
       .last.select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)

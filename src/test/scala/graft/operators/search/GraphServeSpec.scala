@@ -50,6 +50,21 @@ class GraphServeSpec extends SparkSpec {
       s"final serve recall ${out.last.getAs[Double]("recall")} — beam search is not finding the graph's neighborhoods")
   }
 
+  test("q_beam_sweep: recall is monotone in the beam width and agrees with the round curve at the shared width") {
+    val sweep = GraphServe.qBeamSweep(spark, SfDir).collect()
+    assert(sweep.map(_.getAs[Int]("beam")).toSeq === GraphServe.SweepBeams)
+    val recalls = sweep.map(_.getAs[Double]("recall")).toSeq
+    recalls.zip(recalls.tail).foreach { case (a, b) =>
+      assert(b >= a, s"recall fell as beam widened: $recalls")
+    }
+    // the beam=Beam sweep row IS the round curve's final row — same
+    // graph, entries, query sample, and width, two independent gradings
+    val atDefault = sweep.find(_.getAs[Int]("beam") == GraphServe.Beam).get
+    val lastRound = out.last
+    assert(atDefault.getAs[Double]("recall") === lastRound.getAs[Double]("recall"))
+    assert(atDefault.getAs[Long]("n_beam") === lastRound.getAs[Long]("n_beam"))
+  }
+
   test("the serve is deterministic: a fresh un-memoized replay produces identical final beams") {
     val a = served._1.last.select("q", "node").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

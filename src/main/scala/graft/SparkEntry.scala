@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.search.FilteredAnn,
     graft.operators.search.KnnGraph,
     graft.operators.search.GraphServe,
+    graft.operators.search.GraphDelete,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,
     graft.operators.search.ProductQuantizationQueries,

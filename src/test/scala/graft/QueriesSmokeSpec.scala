@@ -39,7 +39,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
     "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step",
     "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph",
-    "q_graph_serve", "q_beam_sweep")
+    "q_graph_serve", "q_beam_sweep", "q_graph_delete")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -54,11 +54,22 @@ def eq(a, b):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # GRAFT_ORACLE_THREADS caps DuckDB so a long compare can share the
+    # box with a Spark bench; GRAFT_ORACLE_ONLY / GRAFT_ORACLE_SKIP
+    # (comma-separated) subset the queries for resumes and iteration.
+    import os
+    threads = os.environ.get("GRAFT_ORACLE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    only = {s for s in os.environ.get("GRAFT_ORACLE_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s}
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue

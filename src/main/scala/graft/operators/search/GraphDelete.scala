@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * re-candidates from its surviving 2-hop neighborhood (two equi-joins
   * on node ids + a bounded [[graft.plans.TopKPerGroup]] heap), so the
   * repair costs O(n·(2k)²) scorings like a build round, never a rebuild.
+  * A node whose ENTIRE neighbor list was deleted has no surviving
+  * adjacency to repair from and stays edgeless — the same limitation a
+  * real HNSW delete has; the phase summary's edge counts surface it.
   *
   * Grading: recall@10 vs the exact survivor-only top-10 of the standard
   * deterministic eval sample, for the dropped graph and the repaired

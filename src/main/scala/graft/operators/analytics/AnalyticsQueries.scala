@@ -31,12 +31,21 @@ object AnalyticsQueries extends QueryModule {
 
   /** Revenue/discount profile per (returnflag, linestatus) with averages —
     * the avg/ratio flavor of the notebook stats. */
+  // sum_charge is reported in exact integer MICRO-units (the
+  // q_covariance discipline): at sf1 magnitude (~1e11) a double's ulp
+  // (1.5e-5) exceeds the 6-decimal grain, and the final DECIMAL→DOUBLE
+  // cast of the (identical) decimal sums rounded to ADJACENT doubles in
+  // the two engines — found by the round-9 sf1 oracle pass. Per-row
+  // quantization is unchanged; only the output representation is exact
+  // now. The decimal(30,0) sum then holds ~1e29 before the BIGINT cast,
+  // bounding the corpus at ~9e18 micro-units (≈ 1e7 TB of lineitem).
   def qRevenueAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("sum_charge_micro"),
         (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("n_lines"))
@@ -626,7 +635,7 @@ object AnalyticsQueries extends QueryModule {
         |ORDER BY gid, rflag, lstatus""".stripMargin,
     "q_revenue_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS sum_charge_micro,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

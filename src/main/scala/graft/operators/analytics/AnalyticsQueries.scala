@@ -22,10 +22,12 @@ object AnalyticsQueries extends QueryModule {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-          .cast("double").as("sum_disc_price"),
+        sum((col("l_quantity").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("sum_qty_micro"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("sum_base_price_micro"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("sum_disc_price_micro"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -57,19 +59,20 @@ object AnalyticsQueries extends QueryModule {
     * not three scans; DuckDB replays it with GROUP BY ROLLUP. Group
     * levels are disambiguated by grouping_id (bit conventions match) and
     * null group keys are coalesced to 'ALL' so the hash compare never
-    * sees engine null-ordering. Money sums use the q1_agg-proven
-    * decimal-cast idiom (2dp×2dp products sit ~1e-12 from their 4dp
-    * lattice point — both engines' casts land on it). */
+    * sees engine null-ordering. Money sums are exact integer micro-units
+    * (see the [[qRevenueAgg]] note — the final DECIMAL→DOUBLE cast is
+    * 1-ulp engine-divergent once sums reach 1e11). */
   def qRollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("n_lines"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("revenue_micro"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
-        col("gid").cast("long").as("gid"), col("n_lines"), col("revenue"))
+        col("gid").cast("long").as("gid"), col("n_lines"), col("revenue_micro"))
       .orderBy("gid", "rflag", "lstatus")
 
   /** Half-life (hours) of the decayed-mass monitor. */
@@ -118,8 +121,8 @@ object AnalyticsQueries extends QueryModule {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-          .cast("double").as("revenue"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
+          .cast("long").as("revenue_micro"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
   }
@@ -606,9 +609,9 @@ object AnalyticsQueries extends QueryModule {
         |GROUP BY 1 ORDER BY all_same""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS sum_qty_micro,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS sum_base_price_micro,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS sum_disc_price_micro,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -629,7 +632,7 @@ object AnalyticsQueries extends QueryModule {
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS revenue_micro
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, rflag, lstatus""".stripMargin,
@@ -641,7 +644,7 @@ object AnalyticsQueries extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_agg" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) * 1000000 AS DECIMAL(20,0))) AS BIGINT) AS revenue_micro,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -21,6 +21,9 @@ object SparkEntry {
     graft.operators.search.KnnGraph,
     graft.operators.search.GraphServe,
     graft.operators.search.GraphDelete,
+    graft.operators.search.GraphIndex,
+    graft.operators.search.GraphServeStream,
+    graft.operators.search.FilteredGraphServe,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,
     graft.operators.search.ProductQuantizationQueries,

@@ -16,18 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries extends QueryModule {
 
+  /** Exact integer micro-unit output cast, failing LOUDLY on overflow.
+    * The decimal sum itself holds ~1e38, but the BIGINT output column
+    * tops out at ~9.2e18 micro-units — and the largest q1_agg group is
+    * already ~1.1e17 at sf1, so Long.MaxValue is reached near sf≈80: a
+    * REAL boundary for a 100 TB corpus, not a theoretical one (r9 advice
+    * corrected the earlier "~1e7 TB" headroom estimate). With ANSI off,
+    * Spark's overflowing decimal→long cast yields NULL while DuckDB
+    * errors — a silent engine divergence — so the guard turns overflow
+    * into a loud Spark-side failure; past that scale, emit the
+    * decimal(38,0) itself instead of a BIGINT. */
+  private def microLong(s: Column): Column =
+    when(assert_true(abs(s) <= lit(Long.MaxValue),
+      lit("micro-unit sum overflows BIGINT — emit the decimal instead")).isNull,
+      s.cast("long"))
+
   /** TPC-H Q1-style rollup — flagship scan+agg (maps the reference's global
     * chunk statistics, analisis-informe.ipynb:130-240). */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum((col("l_quantity").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("sum_qty_micro"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("sum_base_price_micro"),
-        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("sum_disc_price_micro"),
+        microLong(sum((col("l_quantity").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("sum_qty_micro"),
+        microLong(sum((col("l_extendedprice").cast("decimal(18,2)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("sum_base_price_micro"),
+        microLong(sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("sum_disc_price_micro"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -39,15 +54,15 @@ object AnalyticsQueries extends QueryModule {
   // cast of the (identical) decimal sums rounded to ADJACENT doubles in
   // the two engines — found by the round-9 sf1 oracle pass. Per-row
   // quantization is unchanged; only the output representation is exact
-  // now. The decimal(30,0) sum then holds ~1e29 before the BIGINT cast,
-  // bounding the corpus at ~9e18 micro-units (≈ 1e7 TB of lineitem).
+  // now. Overflow headroom: see [[microLong]] — BIGINT output saturates
+  // near sf≈80, and the guard makes that loud instead of silently null.
   def qRevenueAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
-          .cast("decimal(18,6)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("sum_charge_micro"),
+        microLong(sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("sum_charge_micro"),
         (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("n_lines"))
@@ -67,9 +82,9 @@ object AnalyticsQueries extends QueryModule {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
         count(lit(1)).as("n_lines"),
-        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("revenue_micro"))
+        microLong(sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("revenue_micro"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("gid").cast("long").as("gid"), col("n_lines"), col("revenue_micro"))
@@ -121,8 +136,8 @@ object AnalyticsQueries extends QueryModule {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)"))
-          .cast("long").as("revenue_micro"),
+        microLong(sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)") * lit(1000000)).cast("decimal(20,0)")))
+          .as("revenue_micro"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
   }

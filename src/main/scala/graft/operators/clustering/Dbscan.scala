@@ -269,23 +269,49 @@ object DbscanQueries extends QueryModule {
     "q_dbscan_sweep" -> (qDbscanSweep _))
 
   /** DBSCAN is oracle-checkable: DuckDB replays the exact semantics —
-    * ε-pairs, core = |N(i)|+1 ≥ minPts, clusters = transitive closure of
-    * the core graph (recursive CTE) labeled by min core id, borders adopt
-    * the smallest core-neighbor's cluster, rest is noise. Tractable at
-    * oracle scale (closure is bounded by n·|component|). */
+    * ε-pairs, core = |N(i)|+1 ≥ minPts, clusters = connected components
+    * of the core graph labeled by min core id, borders adopt the
+    * smallest core-neighbor's cluster, rest is noise.
+    *
+    * The component labels are computed by UNROLLED min-label propagation
+    * WITH POINTER JUMPING, not a recursive transitive closure: the r9
+    * sf1 campaign measured the `reach` closure materializing Σ|comp|²
+    * rows (>70 min on the duplicate-dense 20k-node corpus), and the
+    * planned `USING KEY` recursion needs DuckDB ≥1.3 (driver ships
+    * 1.0.0). Each of the [[CcRounds]] rounds is (a) adopt the min label
+    * over self ∪ neighbors (one |edges| join + group-by), then (b) jump:
+    * relabel through the label's OWN current label (one |nodes|
+    * self-join) — labels reach along 2^r-length paths, so 12 rounds
+    * cover any component diameter < 4096, far beyond any ε-graph here;
+    * work per round is linear in edges, never Σ|comp|². Labels at the
+    * fixed point equal min-reachable-id — identical to the closure's. */
+  private[operators] val CcRounds = 12
+
+  /** lbl0 → (propagate ∪ self, min) → jump, unrolled; yields
+    * `$out AS (node i, component label cl)` from `$nodes`/`$edges`. */
+  private[operators] def ccByLabelProp(nodes: String, edges: String,
+                                        p: String, out: String): String = {
+    val rounds = (1 to CcRounds).map { r =>
+      s"""${p}pp$r AS MATERIALIZED (SELECT i, min(cl) AS cl FROM (
+         |    SELECT c.i, l.cl FROM $edges c JOIN ${p}lp${r - 1} l ON l.i = c.j
+         |    UNION ALL SELECT i, cl FROM ${p}lp${r - 1}) GROUP BY i),
+         |${p}lp$r AS MATERIALIZED (
+         |  SELECT a.i, q.cl FROM ${p}pp$r a JOIN ${p}pp$r q ON q.i = a.cl)""".stripMargin
+    }
+    s"""${p}lp0 AS MATERIALIZED (SELECT i, i AS cl FROM $nodes),
+       |${rounds.mkString(",\n")},
+       |$out AS MATERIALIZED (SELECT i, cl FROM ${p}lp$CcRounds)""".stripMargin
+  }
+
   private def dbscanCtes(eps: String, minPts: Int, s: String): String =
-    s"""pairs$s AS (
+    s"""pairs$s AS MATERIALIZED (
        |  SELECT a.vec_id AS i, b.vec_id AS j
        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
        |  WHERE list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) <= $eps),
-       |core$s AS (SELECT i FROM pairs$s GROUP BY i HAVING count(*) + 1 >= $minPts),
-       |ce$s AS (SELECT p.i, p.j FROM pairs$s p
+       |core$s AS MATERIALIZED (SELECT i FROM pairs$s GROUP BY i HAVING count(*) + 1 >= $minPts),
+       |ce$s AS MATERIALIZED (SELECT p.i, p.j FROM pairs$s p
        |       JOIN core$s c1 ON p.i = c1.i JOIN core$s c2 ON p.j = c2.i),
-       |reach$s AS (
-       |  SELECT i, i AS j FROM core$s
-       |  UNION
-       |  SELECT r.i, c.j FROM reach$s r JOIN ce$s c ON r.j = c.i),
-       |corelbl$s AS (SELECT i, min(j) AS cl FROM reach$s GROUP BY i),
+       |${ccByLabelProp(s"core$s", s"ce$s", s"cc$s", s"corelbl$s")},
        |borderlbl$s AS (
        |  SELECT p.i, min(l.cl) AS cl
        |  FROM pairs$s p JOIN corelbl$s l ON p.j = l.i
@@ -309,11 +335,11 @@ object DbscanQueries extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q_dbscan" ->
-      s"""WITH RECURSIVE ${dbscanCtes("1.26", 4, "")}
+      s"""WITH ${dbscanCtes("1.26", 4, "")}
          |SELECT cluster, is_core, count(*) AS n FROM lbl
          |GROUP BY cluster, is_core ORDER BY cluster, is_core""".stripMargin,
     "q_dbscan_sweep" ->
-      s"""WITH RECURSIVE ${dbscanCtes("1.20", 4, "a")}, ${dbscanCtes("1.26", 4, "b")}
+      s"""WITH ${dbscanCtes("1.20", 4, "a")}, ${dbscanCtes("1.26", 4, "b")}
          |${sweepRowSql("1.20", "a")}
          |UNION ALL
          |${sweepRowSql("1.26", "b")}

@@ -240,15 +240,18 @@ object MinHashLsh extends QueryModule {
       s"""WITH $pipelineCtes
          |SELECT d1, d2, jaccard FROM verified ORDER BY d1, d2""".stripMargin,
     "q_dedup_groups" ->
-      s"""WITH RECURSIVE $pipelineCtes,
-         |edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM verified
+      // component labels via UNROLLED pointer-jumping label propagation
+      // (DbscanQueries.ccByLabelProp), NOT a
+      // recursive closure: the duplicate-dense sf1 corpus makes `reach`
+      // materialize Σ|group|² rows (>70 min measured in r9); the
+      // propagation is linear in edges per round and exact at the fixed
+      // point (labels = min id per component, identical output).
+      s"""WITH $pipelineCtes,
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS i, d2 AS j FROM verified
          |  UNION SELECT d2, d1 FROM verified),
-         |reach AS (
-         |  SELECT a, b FROM edges
-         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (
-         |  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
-         |SELECT component AS canonical_doc, CAST(count(*) AS BIGINT) AS group_size
-         |FROM comp GROUP BY component ORDER BY canonical_doc""".stripMargin)
+         |enodes AS (SELECT DISTINCT i FROM edges),
+         |${graft.operators.clustering.DbscanQueries.ccByLabelProp("enodes", "edges", "dg", "comp")}
+         |SELECT cl AS canonical_doc, CAST(count(*) AS BIGINT) AS group_size
+         |FROM comp GROUP BY cl ORDER BY canonical_doc""".stripMargin)
 }

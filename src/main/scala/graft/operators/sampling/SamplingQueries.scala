@@ -324,21 +324,21 @@ object SamplingQueries extends QueryModule {
       def splitSql(x: String) =
         s"CASE WHEN ${prioSql(x)} % 100 < 80 THEN 'train' " +
           s"WHEN ${prioSql(x)} % 100 < 90 THEN 'val' ELSE 'test' END"
-      s"""WITH RECURSIVE ${graft.operators.dedup.MinHashLsh.pipelineCtes},
-         |edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM verified
+      // components via unrolled pointer-jumping label propagation
+      // (DbscanQueries.ccByLabelProp) — the recursive `reach` closure is
+      // Σ|group|² rows on a duplicate-dense corpus (r9 sf1 timeout)
+      s"""WITH ${graft.operators.dedup.MinHashLsh.pipelineCtes},
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS i, d2 AS j FROM verified
          |  UNION SELECT d2, d1 FROM verified),
-         |reach AS (
-         |  SELECT a, b FROM edges
-         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (
-         |  SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |enodes AS (SELECT DISTINCT i FROM edges),
+         |${graft.operators.clustering.DbscanQueries.ccByLabelProp("enodes", "edges", "ls", "comp")},
          |assigned AS (
-         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS gid,
-         |    ${splitSql("coalesce(c.component, d.doc_id)")} AS split,
+         |  SELECT d.doc_id, coalesce(c.cl, d.doc_id) AS gid,
+         |    ${splitSql("coalesce(c.cl, d.doc_id)")} AS split,
          |    ${splitSql("d.doc_id")} AS naive_split
          |  FROM (SELECT doc_id FROM corpus) d
-         |  LEFT JOIN comp c ON d.doc_id = c.node),
+         |  LEFT JOIN comp c ON d.doc_id = c.i),
          |per AS (
          |  SELECT split, count(*) AS n_docs, count(DISTINCT gid) AS n_groups
          |  FROM assigned GROUP BY split),

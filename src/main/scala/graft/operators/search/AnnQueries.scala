@@ -429,14 +429,22 @@ object AnnQueries extends QueryModule {
     // the streaming serve path returns the SAME rows as the batch probe
     // (one microbatch through the identical probeBatch plan)
     "q_ann_serve_stream" -> IvfBatchOracle,
+    // The pair frame is the oracle's cost at scale (r9 sf1: >900 s):
+    // cast once per VECTOR (ed), compute each pair distance ONCE in a
+    // materialized frame, and window over that — not the original shape
+    // that cast per pair and evaluated list_distance twice per row
+    // (projection + window order). Same values, linear passes.
     "q_lof" ->
-      """WITH knn AS (
+      """WITH ed AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pd AS MATERIALIZED (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, list_distance(a.v, b.v) AS d
+        |  FROM ed a JOIN ed b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |knn AS MATERIALIZED (
         |  SELECT i, j, d FROM (
-        |    SELECT a.vec_id AS i, b.vec_id AS j,
-        |      list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS d,
-        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |        list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rk
-        |    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |    SELECT i, j, d,
+        |      row_number() OVER (PARTITION BY i ORDER BY d, j) AS rk
+        |    FROM pd)
         |  WHERE rk <= 5),
         |kdist AS (SELECT i AS p, max(d) AS kdist FROM knn GROUP BY i),
         |lrd AS (

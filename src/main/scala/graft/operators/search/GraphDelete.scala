@@ -46,13 +46,13 @@ object GraphDelete extends QueryModule {
   /** Dropped-edge graph and one-round repaired graph over the survivors
     * of the arithmetic delete set (memoized per dir — the frames feed
     * the query and the spec). */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame)]
+  private val memo =
+    new graft.BoundedMemo[String, (DataFrame, DataFrame)](KnnGraph.MemoCap)
 
   def droppedAndRepaired(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    memo.getOrElseUpdate(dir, {
+    memo.getOrElseUpdate(dir) {
       val emb = KnnGraph.e(spark, dir)
-      val g = KnnGraph.nnDescentRounds(emb, KnnGraph.K, KnnGraph.Rounds).last
+      val g = GraphIndex.finalGraph(spark, dir)
       val dropped = g
         .filter(col("i") % DeleteMod =!= 0 && col("j") % DeleteMod =!= 0)
         .localCheckpoint(true)
@@ -74,7 +74,7 @@ object GraphDelete extends QueryModule {
       val repaired = topK(scored.unionByName(dropped).dropDuplicates("i", "j"), K)
         .localCheckpoint(true)
       (dropped, repaired)
-    })
+    }
 
   /** Survivor-only exact truth on the standard eval sample, and the
     * recall of a phase's edges against it. */
@@ -111,21 +111,21 @@ object GraphDelete extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_delete" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |gd AS (SELECT i, j, sim FROM g${KnnGraph.Rounds}
+         |gd AS MATERIALIZED (SELECT i, j, sim FROM g${KnnGraph.Rounds}
          |  WHERE i % $DeleteMod <> 0 AND j % $DeleteMod <> 0),
-         |du AS (SELECT i, j FROM gd UNION SELECT j AS i, i AS j FROM gd),
+         |du AS MATERIALIZED (SELECT i, j FROM gd UNION SELECT j AS i, i AS j FROM gd),
          |dc AS (SELECT DISTINCT a.i, b.c AS j FROM du a
          |  JOIN (SELECT i AS mid, j AS c FROM du) b ON a.j = b.mid WHERE a.i <> b.c),
          |ds AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
          |  FROM dc p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
          |dp AS (SELECT i, j, sim FROM ds UNION SELECT i, j, sim FROM gd),
-         |rep AS (SELECT i, j, sim FROM (
+         |rep AS MATERIALIZED (SELECT i, j, sim FROM (
          |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
          |    FROM dp) WHERE rn <= $K),
-         |surv AS (SELECT id, v FROM e WHERE id % $DeleteMod <> 0),
+         |surv AS MATERIALIZED (SELECT id, v FROM e WHERE id % $DeleteMod <> 0),
          |ev AS (SELECT id, v FROM surv WHERE id % (SELECT m FROM prm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
-         |exact AS (SELECT i, j FROM (
+         |exact AS MATERIALIZED (SELECT i, j FROM (
          |    SELECT ev.id AS i, s.id AS j,
          |      row_number() OVER (PARTITION BY ev.id
          |        ORDER BY round(list_cosine_similarity(ev.v, s.v), 6) DESC, s.id) AS rn

@@ -1,0 +1,497 @@
+package graft.operators.search
+
+import graft.QueryModule
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT graph index + incremental APPEND — the updatable
+  * HNSW-class index the reference's merge-back loop assumes
+  * (update-etiquetas.ipynb re-ingests batches into a live Azure vector
+  * index, which absorbs uploads incrementally). The [[KnnGraph]]
+  * NN-descent adjacency becomes a parquet ARTIFACT, so the multi-minute
+  * build is paid at write time and every serve-side consumer
+  * ([[GraphServe]], [[GraphDelete]], the beam sweep, streaming serve)
+  * starts from a scan, not a rebuild.
+  *
+  * Layout: `indexPath/edges/bucket=N/` — the edge list partitioned by
+  * `bucket = i mod NumBuckets`, the [[IvfIndex]] discipline applied to
+  * adjacency. Append then rewrites ONLY the buckets holding changed
+  * nodes (rename-aside + rename-in per bucket, crash-recoverable — the
+  * IvfIndex.delete swap), so at 10^11 nodes an append touches
+  * O(changed/NumBuckets · files), never the whole artifact. A `meta`
+  * sidecar pins (n, k, rounds, build version); [[ensure]] rebuilds when
+  * any of them drift, so a stale artifact can never serve a differently
+  * shaped corpus.
+  *
+  * Append = HNSW insert, Spark-shaped, in two bounded phases:
+  *  1. '''insertion beam''': every new vector beam-searches the OLD
+  *     graph ([[GraphServe]] geometry: arithmetic entry points, rounds
+  *     of one equi-join with the undirected adjacency + a bounded
+  *     [[graft.plans.TopKPerGroup]] heap) → its top-K old neighbors.
+  *     Unlike the serve, the query side is the whole new batch, so both
+  *     join sides shuffle — no driver bound on batch size.
+  *  2. '''one restricted descent round''': the exact dual of
+  *     [[GraphDelete]]'s repair — 2-hop candidates are generated only
+  *     THROUGH the new batch's neighborhoods (mid ∈ new ∪ Γ(new)), so
+  *     new↔new edges surface (two new nodes sharing an old neighbor)
+  *     and nearby old nodes adopt better new neighbors, while the rest
+  *     of the graph is untouched — O(|Γ(new)|·degree²) scorings, never
+  *     a rebuild.
+  *
+  * Deterministic throughout (arithmetic batch split and entries, rounded
+  * sims, id tiebreaks): the whole half-build → insert → repair → grade
+  * pipeline replays hash-exact in DuckDB as two namespaced
+  * [[KnnGraph.graphCtePrefixWhere]] chains plus unrolled insertion-beam
+  * CTEs. q_graph_append grades the appended graph against the full
+  * rebuild on the SAME exact truth — the append-law: half-build+append
+  * recall ≈ rebuild recall (spec-asserted bound).
+  */
+object GraphIndex extends QueryModule {
+
+  /** Kept degree / graded depth, matching the build. */
+  val K = KnnGraph.K
+
+  /** Edge-list buckets — the append-rewrite granularity. Sized so one
+    * bucket ≈ n·K/NumBuckets edges stays a few files; at 10^11 nodes
+    * raise it with the corpus (it is a layout constant, not a semantic
+    * one — the artifact records nothing about it beyond the dirs). */
+  val NumBuckets = 16
+
+  /** Insertion beam width (≥ K — the GraphServe no-eviction contract). */
+  val InsertBeam = GraphServe.Beam
+
+  /** Beam-expansion rounds for the insertion search. */
+  val InsertRounds = 2
+
+  /** Entry-point count target over the OLD nodes (ids ≡ 0 mod se). */
+  val Entries = GraphServe.Entries
+
+  /** q_graph_append's arithmetic batch split: ids ≡ NewResidue (mod
+    * AppendMod) are the 20% "new" batch; the rest is the half build. */
+  val AppendMod = 5
+  val NewResidue = 4
+
+  /** Bump when the BUILD semantics change (k, rounds, seeding, scoring):
+    * the version is pinned in the artifact's meta sidecar and a mismatch
+    * makes [[ensure]] rebuild instead of serving a stale graph. */
+  val BuildVersion = 1
+
+  private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
+    graft.plans.TopKPerGroup(
+      scored.withColumn("neg_sim", -col("sim")), Seq(keyCol), Seq("neg_sim", "j"), k)
+      .select(col(keyCol), col("j"), col("sim"))
+
+  private[search] def und(g: DataFrame): DataFrame =
+    g.select(col("i"), col("j"))
+      .union(g.select(col("j").as("i"), col("i").as("j")))
+      .distinct()
+
+  /** Score (i, j) pairs with rounded cosine via two embedding-fetch
+    * equi-joins — both sides shuffle on their id (the KnnGraph kernel;
+    * nothing here assumes either side is driver-sized). */
+  private def score(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    val ea = emb.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val eb = emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+    pairs.join(ea, Seq("i")).join(eb, Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+  }
+
+  // ---------------------------------------------------------------- artifact
+
+  /** Write a full edge list as a fresh artifact: bucketed by source node,
+    * one file per bucket ([[IvfIndex.buildFrom]] discipline), plus the
+    * meta sidecar. Overwrite is whole-directory — the incremental path is
+    * [[append]]. */
+  def build(spark: SparkSession, indexPath: String, graph: DataFrame,
+            n: Long): Unit = {
+    graph.select(col("i"), col("j"), col("sim"))
+      .withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/edges")
+    import spark.implicits._
+    Seq((n, K, KnnGraph.Rounds, BuildVersion))
+      .toDF("n", "k", "rounds", "build_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** The live edge list (i, j, sim). */
+  def edges(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/edges").select(col("i"), col("j"), col("sim"))
+
+  /** Incremental insert: beam-search each new vector into the live
+    * graph, adopt its top-K old neighbors, then run ONE descent round
+    * restricted to the new batch's neighborhoods, and rewrite only the
+    * buckets whose nodes changed (rename-aside + rename-in per bucket,
+    * recovered on the next call after a crash — the IvfIndex.delete
+    * swap discipline). `oldEmb`/`newEmb` carry (vec_id, embedding); ids
+    * must be disjoint. */
+  def append(spark: SparkSession, indexPath: String,
+             oldEmb: DataFrame, newEmb: DataFrame): Unit = {
+    val gOld = edges(spark, indexPath).localCheckpoint(true)
+    val gNew = appendedGraph(spark, gOld, oldEmb, newEmb)
+    val changed = gNew._2
+    val touched = changed
+      .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
+    swapBuckets(spark, indexPath, gNew._1, touched)
+    // meta: n grows by the batch; build params unchanged
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    Seq((meta.getAs[Long]("n") + newEmb.count(), K, KnnGraph.Rounds, BuildVersion))
+      .toDF("n", "k", "rounds", "build_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  private def topQ(df: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerGroup(
+      df.withColumn("neg_sim", -col("sim")), Seq("q"), Seq("neg_sim", "j"), k)
+      .select(col("q"), col("rk"), col("j"), col("sim"))
+
+  /** Distributed beam search of an ARBITRARY query frame into a graph —
+    * the kernel shared by the incremental insert (new batch → old
+    * graph), the streaming serve, and the filtered serve's two arms.
+    * Unlike [[GraphServe]]'s sample-bounded serve, the query side is
+    * joined, never broadcast, so the batch can be any size; `entries`
+    * is the only driver-bounded frame (≤ [[Entries]] rows, broadcast).
+    * The query point is excluded (j ≠ q — the GraphServe contract; a
+    * no-op when query ids are disjoint from the corpus, as in append).
+    * Returns the final beam (q, rk, j, sim), ≤ `beam` rows per query.
+    *
+    * Restricting `nodeEmb` restricts the SEARCH: candidates missing
+    * from it die in the embedding-fetch join before the heap — which is
+    * exactly the filtered serve's pre-filter arm. */
+  private[search] def beamSearch(queries: DataFrame, undAdj: DataFrame,
+                                 nodeEmb: DataFrame, entries: DataFrame,
+                                 beam: Int, rounds: Int): DataFrame = {
+    val qs = queries.select(col("q"), col("qv"))
+    def scoreQ(pairs: DataFrame): DataFrame =
+      pairs.filter(col("j") =!= col("q"))
+        .join(nodeEmb.select(col("vec_id").as("j"), col("embedding").as("nv")), Seq("j"))
+        .join(qs, Seq("q"))
+        .select(col("q"), col("j"),
+          round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
+    val entryPairs = qs.select(col("q")).withColumn("one", lit(1))
+      .join(broadcast(entries.select(col("j")).withColumn("one", lit(1))), Seq("one"))
+      .select(col("q"), col("j"))
+    val b0 = topQ(scoreQ(entryPairs), beam).localCheckpoint(true)
+    (1 to rounds).foldLeft(b0) { (b, _) =>
+      val cand = b.select(col("q"), col("j"))
+        .join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
+        .select(col("q"), col("c").as("j")).distinct()
+      topQ(scoreQ(cand).unionByName(b.select("q", "j", "sim")).dropDuplicates("q", "j"), beam)
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The append COMPUTE (shared by [[append]] and the replay spec):
+    * returns (full new edge list, changed-node frame). */
+  private[search] def appendedGraph(spark: SparkSession, gOld: DataFrame,
+                                    oldEmb: DataFrame, newEmb: DataFrame): (DataFrame, DataFrame) = {
+    val nOld = oldEmb.count()
+    val se = math.max(1L, math.ceil(nOld / Entries.toDouble).toLong)
+    val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
+    // phase 1: insertion beam over the old graph ----------------------
+    val entries = oldEmb.filter(col("vec_id") % se === 0)
+      .select(col("vec_id").as("j"))
+    val oldUnd = und(gOld).localCheckpoint(true)
+    // the final beam is already ranked (sim DESC, j) — its top-K prefix
+    // IS the adopted neighbor list
+    val bFinal = beamSearch(qs, oldUnd, oldEmb, entries, InsertBeam, InsertRounds)
+    val newEdges = bFinal.filter(col("rk") <= K)
+      .select(col("q").as("i"), col("j"), col("sim"))
+    // phase 2: one descent round through the new neighborhoods --------
+    val fullEmb = oldEmb.unionByName(newEmb)
+    val merged0 = gOld.unionByName(newEdges).localCheckpoint(true)
+    val nb = newEdges.select(col("i").as("mid"))
+      .union(newEdges.select(col("j").as("mid"))).distinct()
+    val mUnd = und(merged0)
+    val cand = mUnd.select(col("i"), col("j").as("mid"))
+      .join(nb, Seq("mid"))
+      .join(mUnd.select(col("i").as("mid"), col("j").as("c")), Seq("mid"))
+      .select(col("i"), col("c").as("j"))
+      .filter(col("i") =!= col("j"))
+      .distinct()
+    val changedI = cand.select(col("i")).distinct()
+      .union(newEdges.select(col("i")).distinct()).distinct()
+    val pool = score(cand, fullEmb)
+      .unionByName(merged0.join(changedI, Seq("i"), "left_semi"))
+      .dropDuplicates("i", "j")
+    val repaired = topKPer(pool, "i", K)
+    val gNew = merged0.join(changedI, Seq("i"), "left_anti")
+      .unionByName(repaired).localCheckpoint(true)
+    (gNew, changedI)
+  }
+
+  /** Rewrite only `touched` bucket dirs of the artifact from `gNew`,
+    * with rename-aside crash recovery (see [[IvfIndex.delete]] — same
+    * contract: a crash mid-swap is healed at the start of the next
+    * call; batch appends so the full-edge-list compute amortizes). */
+  private def swapBuckets(spark: SparkSession, indexPath: String,
+                          gNew: DataFrame, touched: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(s"$indexPath/edges")
+    val scratch = new Path(s"$indexPath/edges_appending")
+    val trash = new Path(s"$indexPath/edges_app_old")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(data), s"$data missing — not a built graph index")
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val live = new Path(data, st.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"append: recovery rename ${st.getPath} -> $live failed — " +
+              "restore manually before appending again")
+      }
+      fs.delete(trash, true)
+    }
+    fs.delete(scratch, true)
+    gNew.withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
+      .filter(col("bucket").isin(touched.map(Long.box): _*))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(scratch.toString)
+    fs.mkdirs(trash)
+    touched.foreach { b =>
+      val live = new Path(data, s"bucket=$b")
+      val fresh = new Path(scratch, s"bucket=$b")
+      if (fs.exists(live) && !fs.rename(live, new Path(trash, s"bucket=$b")))
+        throw new java.io.IOException(s"append: rename $live aside failed")
+      if (fs.exists(fresh) && !fs.rename(fresh, live))
+        throw new java.io.IOException(
+          s"append: rename $fresh -> $live failed — bucket $b is parked in " +
+            s"$trash and will be restored by the next append() call")
+    }
+    fs.delete(trash, true)
+    fs.delete(scratch, true)
+  }
+
+  // ------------------------------------------------------- artifact-backed
+
+  private val finalGraphMemo =
+    new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
+
+  private[search] def artifactPath(dir: String): String =
+    AnnQueries.scratch(s"graft_graph_index_v$BuildVersion", dir)
+
+  /** The corpus's FINAL descent graph, served from the persisted
+    * artifact when a valid one exists (meta matches the corpus size and
+    * build version), else built once, persisted, and served — so across
+    * sessions the build cost is paid at WRITE time and a cold serve
+    * starts from a bucketed scan. Same rows either way (the build is
+    * deterministic), which is what lets [[GraphServe]]/[[GraphDelete]]
+    * replay against the un-persisted CTE chain. */
+  def finalGraph(spark: SparkSession, dir: String): DataFrame =
+    finalGraphMemo.getOrElseUpdate(dir) {
+      val idx = artifactPath(dir)
+      val emb = KnnGraph.e(spark, dir)
+      val n = emb.count()
+      if (!validArtifact(spark, idx, n)) {
+        val g = KnnGraph.nnDescentRounds(emb, dir, K, KnnGraph.Rounds).last
+        build(spark, idx, g, n)
+      }
+      edges(spark, idx).localCheckpoint(true)
+    }
+
+  private[search] def validArtifact(spark: SparkSession, idx: String, n: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(s"$idx/meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(meta) && fs.exists(new Path(s"$idx/edges")) && {
+      val m = spark.read.parquet(meta.toString).head()
+      m.getAs[Long]("n") == n && m.getAs[Int]("k") == K &&
+        m.getAs[Int]("rounds") == KnnGraph.Rounds &&
+        m.getAs[Int]("build_version") == BuildVersion
+    }
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Half-build → persist → APPEND → grade, memoized per dir (the frames
+    * feed the query and the append-law spec). */
+  private val appendMemo =
+    new graft.BoundedMemo[String, (DataFrame, DataFrame)](KnnGraph.MemoCap)
+
+  private[search] def halfAndAppended(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    appendMemo.getOrElseUpdate(dir) {
+      val emb = KnnGraph.e(spark, dir)
+      val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
+      val newEmb = emb.filter(col("vec_id") % AppendMod === NewResidue)
+      val gOld = KnnGraph.nnDescentRounds(oldEmb, s"$dir#old$AppendMod$NewResidue",
+        K, KnnGraph.Rounds).last
+      val idx = AnnQueries.scratch(s"graft_graph_append_v$BuildVersion", dir)
+      build(spark, idx, gOld, oldEmb.count())
+      append(spark, idx, oldEmb, newEmb)
+      (gOld, edges(spark, idx).localCheckpoint(true))
+    }
+
+  private def exactTopK(emb: DataFrame, ev: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup(
+      emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+        .crossJoin(broadcast(ev))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+        .withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), K)
+      .select(col("i"), col("j"))
+
+  /** The append-law drill: recall@10 of (0) the half build on the OLD
+    * corpus's truth, (1) the appended graph and (2) the full rebuild on
+    * the FULL corpus's truth — same deterministic eval sample
+    * ([[KnnGraph.SampleTarget]] modulus). Phase 1 ≈ phase 2 is the law;
+    * the gap IS the cost of incremental maintenance vs a rebuild. */
+  def qGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnGraph.e(spark, dir)
+    val n = emb.count()
+    val m = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
+    val ev = emb.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val oev = ev.filter(col("i") % AppendMod =!= NewResidue)
+    val exactFull = exactTopK(emb, ev).localCheckpoint(true)
+    val exactOld = exactTopK(oldEmb, oev).localCheckpoint(true)
+    val nEv = ev.count()
+    val nOev = oev.count()
+    val (gOld, gApp) = halfAndAppended(spark, dir)
+    val gFull = finalGraph(spark, dir)
+    Seq(("half_build", 0, gOld, exactOld, nOev),
+        ("appended", 1, gApp, exactFull, nEv),
+        ("full_rebuild", 2, gFull, exactFull, nEv)).map {
+      case (name, ord, g, exact, nEval) =>
+        val edgesN = g.agg(count(lit(1)).as("n_edges"))
+        val hits = g.join(exact, Seq("i", "j"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        edgesN.crossJoin(broadcast(hits)).select(
+          lit(ord).as("phase_ord"), lit(name).as("phase"),
+          col("n_edges"), lit(nEval).as("n_eval"),
+          round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("phase_ord")
+  }
+
+  /** Index health stats over the PERSISTED artifact — the [[AnnQueries]]
+    * q_ivf_stats sibling an index tuner watches: degree spread,
+    * reciprocal-edge share (descent symmetrizes neighborhoods, so low
+    * reciprocity flags a half-converged build), isolated nodes (corpus
+    * vectors with NO out-edges — unreachable as sources; a delete can
+    * strand them). Exact integers + two rounded ratios, one row. */
+  def qGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnGraph.e(spark, dir)
+    val n = emb.count()
+    val g = finalGraph(spark, dir)
+    val deg = g.groupBy("i").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_indexed"), min(col("d")).as("min_degree"),
+      max(col("d")).as("max_degree"), sum(col("d")).as("n_edges"))
+    val recip = g.select(col("i"), col("j"))
+      .join(g.select(col("j").as("i"), col("i").as("j")), Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    degStats.crossJoin(broadcast(recip)).select(
+      lit(n).as("n_vectors"), col("n_indexed"),
+      (lit(n) - col("n_indexed")).as("isolated_nodes"),
+      col("n_edges"), col("min_degree"), col("max_degree"),
+      round(col("n_edges").cast("double") / col("n_indexed"), 6).as("avg_degree"),
+      round(col("n_recip").cast("double") / col("n_edges"), 6).as("reciprocal_share"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_append" -> (qGraphAppend _),
+    "q_graph_stats" -> (qGraphStats _))
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Insertion-beam CTEs round r over the old graph's `ound`. */
+  private def insertCtes(r: Int): String = {
+    val prev = s"ib${r - 1}"
+    s"""ic$r AS (SELECT DISTINCT p.q, u.j FROM $prev p JOIN ound u ON u.i = p.j),
+       |is$r AS (SELECT p.q, p.j, round(list_cosine_similarity(qn.qv, oe.v), 6) AS sim
+       |  FROM ic$r p JOIN oe ON oe.id = p.j JOIN qn ON qn.q = p.q
+       |  WHERE p.j <> p.q),
+       |ip$r AS (SELECT q, j, sim FROM is$r UNION SELECT q, j, sim FROM $prev),
+       |ib$r AS MATERIALIZED (SELECT q, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM ip$r) WHERE rn <= $InsertBeam)""".stripMargin
+  }
+
+  /** The shared append replay: old chain (prefix `o`), insertion beams,
+    * merged graph + one restricted descent round → `gapp`. */
+  private def appendCtes: String =
+    s"""${KnnGraph.graphCtePrefixWhere(s"vec_id % $AppendMod <> $NewResidue", "o")},
+       |fe AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qn AS MATERIALIZED (SELECT id AS q, v AS qv FROM fe WHERE id % $AppendMod = $NewResidue),
+       |ound AS MATERIALIZED (SELECT i, j FROM og${KnnGraph.Rounds}
+       |  UNION SELECT j AS i, i AS j FROM og${KnnGraph.Rounds}),
+       |sprm AS (SELECT greatest(1, CAST(ceil((SELECT n FROM oprm) / $Entries.0) AS BIGINT)) AS se),
+       |oent AS (SELECT id AS j FROM oe WHERE id % (SELECT se FROM sprm) = 0),
+       |is0 AS (SELECT qn.q, oent.j, round(list_cosine_similarity(qn.qv, oe.v), 6) AS sim
+       |  FROM qn CROSS JOIN oent JOIN oe ON oe.id = oent.j WHERE oent.j <> qn.q),
+       |ib0 AS MATERIALIZED (SELECT q, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM is0) WHERE rn <= $InsertBeam),
+       |${(1 to InsertRounds).map(insertCtes).mkString(",\n")},
+       |newe AS MATERIALIZED (SELECT q AS i, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM ib$InsertRounds) WHERE rn <= $K),
+       |mrg AS MATERIALIZED (SELECT i, j, sim FROM og${KnnGraph.Rounds} UNION ALL SELECT i, j, sim FROM newe),
+       |nb AS (SELECT i AS mid FROM newe UNION SELECT j AS mid FROM newe),
+       |mund AS MATERIALIZED (SELECT i, j FROM mrg UNION SELECT j AS i, i AS j FROM mrg),
+       |mcand AS (SELECT DISTINCT a.i, b.j AS j FROM mund a
+       |  JOIN nb ON nb.mid = a.j
+       |  JOIN mund b ON b.i = a.j
+       |  WHERE a.i <> b.j),
+       |msc AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM mcand p JOIN fe a ON a.id = p.i JOIN fe b ON b.id = p.j),
+       |mpool AS (SELECT i, j, sim FROM msc UNION SELECT i, j, sim FROM mrg),
+       |gapp AS MATERIALIZED (SELECT i, j, sim FROM (
+       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM mpool) WHERE rn <= $K)""".stripMargin
+
+  private def phaseRow(ord: Int, name: String, g: String, exact: String,
+                       nev: String): String =
+    s"""SELECT $ord AS phase_ord, '$name' AS phase,
+       |  (SELECT count(*) FROM $g) AS n_edges,
+       |  (SELECT n_eval FROM $nev) AS n_eval,
+       |  round(CAST((SELECT count(*) FROM $g JOIN $exact USING (i, j)) AS DOUBLE)
+       |        / ((SELECT n_eval FROM $nev) * $K), 6) AS recall""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_graph_append" ->
+      s"""WITH ${KnnGraph.graphCtePrefix},
+         |$appendCtes,
+         |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM prm) = 0),
+         |nev AS (SELECT count(*) AS n_eval FROM ev),
+         |oev AS (SELECT id, v FROM ev WHERE id % $AppendMod <> $NewResidue),
+         |noev AS (SELECT count(*) AS n_eval FROM oev),
+         |exactf AS MATERIALIZED (SELECT i, j FROM (
+         |    SELECT ev.id AS i, e.id AS j,
+         |      row_number() OVER (PARTITION BY ev.id
+         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
+         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K),
+         |exacto AS MATERIALIZED (SELECT i, j FROM (
+         |    SELECT oev.id AS i, oe.id AS j,
+         |      row_number() OVER (PARTITION BY oev.id
+         |        ORDER BY round(list_cosine_similarity(oev.v, oe.v), 6) DESC, oe.id) AS rn
+         |    FROM oev JOIN oe ON oe.id <> oev.id) WHERE rn <= $K)
+         |${phaseRow(0, "half_build", s"og${KnnGraph.Rounds}", "exacto", "noev")}
+         |UNION ALL
+         |${phaseRow(1, "appended", "gapp", "exactf", "nev")}
+         |UNION ALL
+         |${phaseRow(2, "full_rebuild", s"g${KnnGraph.Rounds}", "exactf", "nev")}
+         |ORDER BY phase_ord""".stripMargin,
+    "q_graph_stats" ->
+      s"""WITH ${KnnGraph.graphCtePrefix},
+         |g AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}),
+         |deg AS (SELECT i, count(*) AS d FROM g GROUP BY i),
+         |ds AS (SELECT count(*) AS n_indexed, min(d) AS min_degree,
+         |    max(d) AS max_degree, sum(d) AS n_edges FROM deg),
+         |rc AS (SELECT count(*) AS n_recip FROM g a
+         |  WHERE EXISTS (SELECT 1 FROM g b WHERE b.i = a.j AND b.j = a.i))
+         |SELECT (SELECT n FROM prm) AS n_vectors,
+         |  CAST(ds.n_indexed AS BIGINT) AS n_indexed,
+         |  (SELECT n FROM prm) - ds.n_indexed AS isolated_nodes,
+         |  CAST(ds.n_edges AS BIGINT) AS n_edges,
+         |  CAST(ds.min_degree AS BIGINT) AS min_degree,
+         |  CAST(ds.max_degree AS BIGINT) AS max_degree,
+         |  round(CAST(ds.n_edges AS DOUBLE) / ds.n_indexed, 6) AS avg_degree,
+         |  round(CAST(rc.n_recip AS DOUBLE) / ds.n_edges, 6) AS reciprocal_share
+         |FROM ds, rc""".stripMargin)
+}

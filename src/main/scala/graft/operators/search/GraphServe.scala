@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * recall grading) replays hash-exact in DuckDB from the SAME graph CTE
   * chain ([[KnnGraph.graphCtePrefix]]) the build oracle uses.
   *
-  * Recall contract: with beam ≥ k and the shared (sim DESC, node) order,
-  * an exact top-k member that enters a query's beam can never be evicted
-  * (at most k−1 candidates order before it), so per-round recall@k is
-  * monotone non-decreasing — spec-asserted. The same argument across
+  * Recall contract: the query point is excluded from every beam (node ≠
+  * q, matching the q ≠ node exact truth — see [[scored]]); with beam ≥ k
+  * and the shared (sim DESC, node) order, an exact top-k member that
+  * enters a query's beam can never be evicted (at most k−1 candidates
+  * order before it), so per-round recall@k is monotone non-decreasing —
+  * spec-asserted. The same argument across
   * WIDTHS (a wider beam's candidate pool is a superset round by round)
   * makes recall monotone in the beam width, which is what
   * [[qBeamSweep]] measures: the ef/beam tuning curve of an HNSW-class
@@ -58,29 +60,29 @@ object GraphServe extends QueryModule {
     * grading, the sweep, the spec's monotonicity checks) and a rolling
     * per-site cache would let a second build unpersist frames the first
     * build's consumers still hold, recomputing the whole graph+beam DAG. */
-  private val servedMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (Seq[DataFrame], DataFrame, Long)]
+  private val servedMemo = new graft.BoundedMemo[
+    (String, Int), (Seq[DataFrame], DataFrame, Long)](KnnGraph.MemoCap)
 
   /** Query sample and exact truth depend only on the corpus — shared by
     * every beam width and both grading queries. */
-  private val qsMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val exactMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val qsMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
+  private val exactMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
 
   /** Deterministic query sample: ids ≡ mq−1 (mod mq), pinned once per dir. */
-  private def qsFor(spark: SparkSession, dir: String): DataFrame =
-    qsMemo.getOrElseUpdate(dir, {
+  private[search] def qsFor(spark: SparkSession, dir: String): DataFrame =
+    qsMemo.getOrElseUpdate(dir) {
       val emb = KnnGraph.e(spark, dir)
       val mq = math.max(2L, math.ceil(emb.count() / QueryTarget.toDouble).toLong)
       emb.filter(col("vec_id") % mq === mq - 1)
         .select(col("vec_id").as("q"), col("embedding").as("qv"))
         .localCheckpoint(true)
-    })
+    }
 
   /** Exact top-K of the query sample — the one guarded sample×n quadratic
     * (bounded by [[QueryTarget]]), pinned once per dir and shared by the
     * round curve and the width sweep. */
-  private def exactFor(spark: SparkSession, dir: String): DataFrame =
-    exactMemo.getOrElseUpdate(dir, {
+  private[search] def exactFor(spark: SparkSession, dir: String): DataFrame =
+    exactMemo.getOrElseUpdate(dir) {
       val emb = KnnGraph.e(spark, dir)
       val exactPairs = emb
         .select(col("vec_id").as("node"), col("embedding").as("nv"))
@@ -89,13 +91,20 @@ object GraphServe extends QueryModule {
         .select(col("q"), col("node"),
           round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
       topPer(exactPairs, K).select(col("q"), col("node")).localCheckpoint(true)
-    })
+    }
 
   /** Score (q, node) pairs: rounded cosine between the query's vector and
     * the node's — node side fetched by equi-join, query side broadcast
-    * (the sample is bounded by [[QueryTarget]]). */
-  private def scored(pairs: DataFrame, emb: DataFrame, qs: DataFrame): DataFrame =
-    pairs.join(emb.select(col("vec_id").as("node"), col("embedding").as("nv")), Seq("node"))
+    * (the sample is bounded by [[QueryTarget]]). The query point itself is
+    * EXCLUDED (node ≠ q): the query vectors come from the corpus, so
+    * without the filter q-self enters every beam at sim 1.0, permanently
+    * occupies rank 1 of the graded top-10 (recall ceiling 0.9 against the
+    * q≠node exact truth), and breaks round-monotone recall the round
+    * q-self is discovered. Filtering here covers b0 and every round's
+    * pool by induction (pools are scored ∪ previous beam). */
+  private[search] def scored(pairs: DataFrame, emb: DataFrame, qs: DataFrame): DataFrame =
+    pairs.filter(col("node") =!= col("q"))
+      .join(emb.select(col("vec_id").as("node"), col("embedding").as("nv")), Seq("node"))
       .join(broadcast(qs), Seq("q"))
       .select(col("q"), col("node"),
         round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
@@ -110,7 +119,7 @@ object GraphServe extends QueryModule {
     * (dir, beam)). */
   def beamRounds(spark: SparkSession, dir: String,
                  beam: Int = Beam): (Seq[DataFrame], DataFrame, Long) =
-    servedMemo.getOrElseUpdate((dir, beam), buildBeams(spark, dir, pin = true, beam))
+    servedMemo.getOrElseUpdate((dir, beam))(buildBeams(spark, dir, pin = true, beam))
 
   /** The un-memoized build. `pin = true` persists AND materializes every
     * shared frame (the memoized path); `pin = false` leaves the frames
@@ -126,7 +135,11 @@ object GraphServe extends QueryModule {
       if (!pin) df else df.localCheckpoint(true)
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
-    val g = KnnGraph.nnDescentRounds(emb, KnnGraph.K, KnnGraph.Rounds).last
+    // the artifact-backed final graph ([[GraphIndex.finalGraph]]): same
+    // rows as the in-session descent build, but a warm artifact turns a
+    // cold serve into a bucketed scan — the build cost is paid at write
+    // time (r9 verdict item 8)
+    val g = GraphIndex.finalGraph(spark, dir)
     val und = pinned(
       g.select(col("i"), col("j"))
         .union(g.select(col("j").as("i"), col("i").as("j"))).distinct())
@@ -190,40 +203,43 @@ object GraphServe extends QueryModule {
     "q_beam_sweep" -> (qBeamSweep _))
 
   /** Shared oracle prelude: descent graph, undirected adjacency, query
-    * sample, entry points, entry scores, exact truth. */
-  private def servePrelude: String =
+    * sample, entry points, entry scores, exact truth. Shared with the
+    * streaming serve ([[GraphServeStream]]) so batch and stream replay
+    * from ONE definition. */
+  private[search] def servePrelude: String =
     s"""${KnnGraph.graphCtePrefix},
-       |und AS (SELECT i, j FROM g${KnnGraph.Rounds}
+       |und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
        |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
-       |qprm AS (SELECT greatest(2, CAST(ceil((SELECT n FROM prm) / $QueryTarget.0) AS BIGINT)) AS mq,
+       |qprm AS MATERIALIZED (SELECT greatest(2, CAST(ceil((SELECT n FROM prm) / $QueryTarget.0) AS BIGINT)) AS mq,
        |    greatest(1, CAST(ceil((SELECT n FROM prm) / $Entries.0) AS BIGINT)) AS se),
-       |qs AS (SELECT id AS q, v AS qv FROM e
+       |qs AS MATERIALIZED (SELECT id AS q, v AS qv FROM e
        |  WHERE id % (SELECT mq FROM qprm) = (SELECT mq FROM qprm) - 1),
        |nev AS (SELECT count(*) AS n_eval FROM qs),
        |ent AS (SELECT id AS node FROM e WHERE id % (SELECT se FROM qprm) = 0),
        |es AS (SELECT qs.q, ent.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
-       |  FROM qs CROSS JOIN ent JOIN e ON e.id = ent.node),
-       |exact AS (SELECT q, node FROM (
+       |  FROM qs CROSS JOIN ent JOIN e ON e.id = ent.node WHERE ent.node <> qs.q),
+       |exact AS MATERIALIZED (SELECT q, node FROM (
        |    SELECT qs.q, e.id AS node,
        |      row_number() OVER (PARTITION BY qs.q
        |        ORDER BY round(list_cosine_similarity(qs.qv, e.v), 6) DESC, e.id) AS rn
        |    FROM qs JOIN e ON e.id <> qs.q) WHERE rn <= $K)""".stripMargin
 
   /** b0 for one beam width: top-`beam` of the entry scores. */
-  private def b0Cte(beam: Int, sfx: String): String =
-    s"""b${sfx}0 AS (SELECT q, node, sim FROM (
+  private[search] def b0Cte(beam: Int, sfx: String): String =
+    s"""b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
        |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
        |    FROM es) WHERE rn <= $beam)""".stripMargin
 
   /** One serve round as CTEs: beam ∪ scored graph-neighbors → top-beam. */
-  private def serveCtes(r: Int, beam: Int, sfx: String): String = {
+  private[search] def serveCtes(r: Int, beam: Int, sfx: String): String = {
     val prev = s"b$sfx${r - 1}"
     s"""bc$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
        |  JOIN und u ON u.i = p.node),
        |bs$sfx$r AS (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
-       |  FROM bc$sfx$r p JOIN e ON e.id = p.node JOIN qs ON qs.q = p.q),
+       |  FROM bc$sfx$r p JOIN e ON e.id = p.node JOIN qs ON qs.q = p.q
+       |  WHERE p.node <> p.q),
        |bp$sfx$r AS (SELECT q, node, sim FROM bs$sfx$r UNION SELECT q, node, sim FROM $prev),
-       |b$sfx$r AS (SELECT q, node, sim FROM (
+       |b$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
        |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
        |    FROM bp$sfx$r) WHERE rn <= $beam)""".stripMargin
   }

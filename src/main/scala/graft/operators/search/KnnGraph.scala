@@ -49,23 +49,32 @@ object KnnGraph extends QueryModule {
     * deterministic pure function of (embedding plan, k, rounds), so it is
     * memoized like [[graft.operators.clustering.KMeansOp.fit]] — each
     * round persisted AND materialized once, then shared by every
-    * consumer. Cached copies are bounded by #distinct corpora per JVM ×
-    * (rounds+1) edge lists of ≤ n·k rows. */
+    * consumer. Bounded ([[graft.BoundedMemo]]): at most [[MemoCap]]
+    * (corpus, k, rounds) builds of (rounds+1) edge lists of ≤ n·k rows
+    * stay pinned; overflow evicts oldest (ContextCleaner reclaims the
+    * checkpointed blocks). Keyed by the caller-supplied corpus key —
+    * NOT by `Dataset.semanticHash()`, a 32-bit plan hash whose collision
+    * between two corpora in one JVM would silently serve the wrong graph
+    * to every downstream consumer (r9 advice). */
+  private[search] val MemoCap = 8
+
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Seq[DataFrame]]
+    new graft.BoundedMemo[(String, Int, Int), Seq[DataFrame]](MemoCap)
 
   private val embCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new graft.BoundedMemo[String, DataFrame](MemoCap, (df: DataFrame) => {
+      df.unpersist(blocking = false); ()
+    })
 
   private val exactCache = new graft.RollingCache
 
   private[search] def e(spark: SparkSession, dir: String): DataFrame =
-    embCache.getOrElseUpdate(dir, {
+    embCache.getOrElseUpdate(dir) {
       val p = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).persist()
       p.count()
       p
-    })
+    }
 
   /** Score (i, j) pairs with rounded cosine via two embedding-fetch
     * equi-joins (shuffle on each side's id — the distributed shape). */
@@ -99,9 +108,12 @@ object KnnGraph extends QueryModule {
 
   /** The seed graph and every descent round: g(0) = ring seeds,
     * g(r+1) = step(g(r)). Returned frames are (i, j, sim) with ≤ k edges
-    * per node. */
-  def nnDescentRounds(emb: DataFrame, k: Int = K, rounds: Int = Rounds): Seq[DataFrame] =
-    built.getOrElseUpdate((emb.semanticHash(), k, rounds), buildRounds(emb, k, rounds))
+    * per node. `corpusKey` identifies the embedding frame's provenance
+    * (the corpus dir, optionally suffixed for a filtered sub-corpus) —
+    * the memo key, so two corpora can never alias. */
+  def nnDescentRounds(emb: DataFrame, corpusKey: String,
+                      k: Int = K, rounds: Int = Rounds): Seq[DataFrame] =
+    built.getOrElseUpdate((corpusKey, k, rounds))(buildRounds(emb, k, rounds))
 
   /** The un-memoized build — the determinism spec's fresh-replay bypass. */
   private[search] def buildRounds(emb: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
@@ -144,7 +156,7 @@ object KnnGraph extends QueryModule {
     // a persist the sample×n scoring pass would run once per round
     val exact = exactCache.persist(topK(exactPairs, K).select(col("i"), col("j")))
     val nEval = ev.count()
-    val rounds = nnDescentRounds(emb, K, Rounds)
+    val rounds = nnDescentRounds(emb, dir, K, Rounds)
     rounds.zipWithIndex.map { case (g, r) =>
       val edges = g.agg(count(lit(1)).as("n_edges"))
       val hits = g.join(exact, Seq("i", "j"), "left_semi")
@@ -159,18 +171,20 @@ object KnnGraph extends QueryModule {
     "q_knn_graph" -> (qKnnGraph _))
 
   /** Unrolled-round replay: g0/g1/g2 as CTE chains over the same ring
-    * seeds, rounded sims, and id tiebreaks. */
-  private def roundCtes(r: Int): String = {
-    val prev = s"g${r - 1}"
-    s"""und$r AS (SELECT i, j FROM $prev UNION SELECT j AS i, i AS j FROM $prev),
-       |cand$r AS (SELECT DISTINCT a.i, b.c AS j FROM und$r a
-       |  JOIN (SELECT i AS mid, j AS c FROM und$r) b ON a.j = b.mid WHERE a.i <> b.c),
-       |sc$r AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-       |  FROM cand$r p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
-       |pool$r AS (SELECT i, j, sim FROM sc$r UNION SELECT i, j, sim FROM $prev),
-       |g$r AS (SELECT i, j, sim FROM (
+    * seeds, rounded sims, and id tiebreaks. `p` namespaces every CTE so
+    * two chains (e.g. [[GraphIndex]]'s half build + the full rebuild)
+    * coexist in one oracle. */
+  private def roundCtes(r: Int, p: String): String = {
+    val prev = s"${p}g${r - 1}"
+    s"""${p}und$r AS MATERIALIZED (SELECT i, j FROM $prev UNION SELECT j AS i, i AS j FROM $prev),
+       |${p}cand$r AS (SELECT DISTINCT a.i, b.c AS j FROM ${p}und$r a
+       |  JOIN (SELECT i AS mid, j AS c FROM ${p}und$r) b ON a.j = b.mid WHERE a.i <> b.c),
+       |${p}sc$r AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM ${p}cand$r pp JOIN ${p}e a ON a.id = pp.i JOIN ${p}e b ON b.id = pp.j),
+       |${p}pool$r AS (SELECT i, j, sim FROM ${p}sc$r UNION SELECT i, j, sim FROM $prev),
+       |${p}g$r AS MATERIALIZED (SELECT i, j, sim FROM (
        |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM pool$r) WHERE rn <= $K)""".stripMargin
+       |    FROM ${p}pool$r) WHERE rn <= $K)""".stripMargin
   }
 
   private def recallRow(r: Int): String =
@@ -182,19 +196,28 @@ object KnnGraph extends QueryModule {
   /** CTE chain building the descent graphs g0..g`Rounds` (plus the `e`
     * embedding view and `prm` size params) — shared verbatim by this
     * oracle and [[GraphServe]]'s, so the served graph and the graded
-    * graph replay from ONE definition. */
-  private[search] def graphCtePrefix: String =
-    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |prm AS (SELECT count(*) AS n,
-       |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM e),
-       |seed AS (SELECT id AS i, (id + s) % (SELECT n FROM prm) AS j
-       |  FROM e, (SELECT unnest(generate_series(1, $K)) AS s)),
-       |sc0 AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-       |  FROM seed p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
-       |g0 AS (SELECT i, j, sim FROM (
+    * graph replay from ONE definition.
+    *
+    * `where` restricts the corpus (the [[GraphIndex]] half-build replay);
+    * note ring seeds `(i+s) % n` then target a DENSE 0..n-1 id space, so
+    * on a filtered id set some seeds dangle — they simply drop in the
+    * embedding-fetch join, identically in both engines, and the descent
+    * rounds recover the quality (the ScaleCorpus sparse-id note). */
+  private[search] def graphCtePrefixWhere(where: String, p: String = ""): String =
+    s"""${p}e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE $where),
+       |${p}prm AS MATERIALIZED (SELECT count(*) AS n,
+       |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM ${p}e),
+       |${p}seed AS (SELECT id AS i, (id + s) % (SELECT n FROM ${p}prm) AS j
+       |  FROM ${p}e, (SELECT unnest(generate_series(1, $K)) AS s)),
+       |${p}sc0 AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM ${p}seed pp JOIN ${p}e a ON a.id = pp.i JOIN ${p}e b ON b.id = pp.j),
+       |${p}g0 AS MATERIALIZED (SELECT i, j, sim FROM (
        |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM sc0) WHERE rn <= $K),
-       |${(1 to Rounds).map(roundCtes).mkString(",\n")}""".stripMargin
+       |    FROM ${p}sc0) WHERE rn <= $K),
+       |${(1 to Rounds).map(roundCtes(_, p)).mkString(",\n")}""".stripMargin
+
+  private[search] def graphCtePrefix: String = graphCtePrefixWhere("TRUE")
 
   override def oracles: Map[String, String] = Map(
     "q_knn_graph" ->

@@ -23,7 +23,16 @@ import org.apache.spark.sql.functions._
   * Spark via parquet row groups.
   */
 object ScaleCorpus {
-  /** Key stride between replicas — far above any source key range. */
+  /** Key stride between replicas. Must exceed every source key — ASSERTED
+    * per table in [[scaled]] before any shift: re-running ScaleCorpus on
+    * an already-scaled directory (keys up to factor×Stride) would
+    * otherwise collide replica keys into duplicate PKs and broken FK
+    * joins with no error (r9 advice). Note the shifted `vec_id`s are
+    * intentionally sparse: operators that assume dense 0..n-1 ids
+    * (KnnGraph's ring seeding `(i+s) % n`) degrade gracefully — dangling
+    * seed edges drop in the embedding-fetch join and the descent rounds
+    * recover quality — but a scaled corpus starts the build from a
+    * thinner seed graph than a dense-id corpus of the same size. */
   val Stride = 10000000L
 
   /** int64 key columns to shift per replica, by table. */
@@ -41,9 +50,19 @@ object ScaleCorpus {
 
   def scaled(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
     if (keys.isEmpty) df
-    else (0 until factor).map { r =>
-      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
-    }.reduce(_ unionAll _)
+    else {
+      val maxes = df.agg(keys.map(k => max(col(k)).as(k)).head,
+        keys.map(k => max(col(k)).as(k)).tail: _*).head()
+      keys.foreach { k =>
+        val m = maxes.getAs[Number](k).longValue()
+        require(m < Stride,
+          s"key $k has max $m >= stride $Stride — source already scaled? " +
+            "Scaling it again would collide replica keys into duplicate PKs")
+      }
+      (0 until factor).map { r =>
+        keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
+      }.reduce(_ unionAll _)
+    }
 
   def writeOne(spark: SparkSession, df: DataFrame, dst: String, table: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -33,13 +33,21 @@ class QueriesSmokeSpec extends SparkSpec {
     *  - q_graph_serve: same contract — the exact-truth grading join
     *    against the ≤ GraphServe.QueryTarget broadcast query sample plus
     *    ONE-ROW recall-row assembly; the beam rounds themselves are
-    *    equi-joined on the graph's node ids. */
+    *    equi-joined on the graph's node ids;
+    *  - q_graph_append / q_graph_stats / q_graph_filtered: the same
+    *    graph-family grading shape — ONE-ROW summary crossJoins (edge
+    *    count × hit count; degree stats × reciprocity count) and the
+    *    sample-bounded exact-truth broadcast; every build/insert/serve
+    *    round is equi-joined. The insertion beam's entry fan-out is a
+    *    constant-key equi-join against the ≤ Entries-row broadcast
+    *    entry set (the GraphServe.entryPairs pattern). */
   private val boundedBnlj = Set(
     "q_bm25", "q_hybrid_rrf", "q_ivf_batch", "q_silhouette_exact",
     "q_decontaminate", "q_temperature_mix", "q_rank_metrics",
     "q_cluster_validity", "q_ivfpq_recall", "q_kmeans_1step",
     "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph",
-    "q_graph_serve", "q_beam_sweep", "q_graph_delete")
+    "q_graph_serve", "q_beam_sweep", "q_graph_delete",
+    "q_graph_append", "q_graph_stats", "q_graph_filtered")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

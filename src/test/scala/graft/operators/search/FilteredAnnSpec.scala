@@ -56,6 +56,20 @@ class FilteredAnnSpec extends SparkSpec {
     assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("overfetchLimit: Int-safe boundary — caps instead of wrapping negative") {
+    import FilteredAnn.{adaptiveOverfetch, overfetchLimit}
+    assert(overfetchLimit(40L) === 40)
+    assert(overfetchLimit(Int.MaxValue.toLong) === Int.MaxValue)
+    // a 10^11-row probe set with one match: the raw .toInt silently
+    // truncates to an arbitrary (here ~100x too small, possibly negative)
+    // limit; the cap saturates instead
+    val huge = adaptiveOverfetch(10, 100000000000L, 1L)
+    assert(huge > Int.MaxValue.toLong && huge.toInt.toLong != huge)
+    assert(overfetchLimit(huge) === Int.MaxValue)
+    // and at that selectivity the crossover long since picked `pre`
+    assert(FilteredAnn.chooseStrategy(100000000000L, 1L) === "pre")
+  }
+
   test("crossover heuristic flips at 5% selectivity, integer-exact") {
     import FilteredAnn.chooseStrategy
     assert(chooseStrategy(1000, 49) === "pre")

@@ -1,0 +1,46 @@
+package graft.operators.search
+
+import graft.SparkSpec
+
+class FilteredGraphServeSpec extends SparkSpec {
+
+  private lazy val out = FilteredGraphServe.qGraphFiltered(spark, SfDir).collect()
+  private def arm(pred: String, strat: String) =
+    out.find(r => r.getAs[String]("pred") == pred &&
+      r.getAs[String]("strategy") == strat).get
+
+  test("four arms, ranked recall in [0,1], widths within bounds") {
+    assert(out.length === 4)
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("beam_w") >= FilteredGraphServe.K)
+      assert(r.getAs[Long]("n_match") > 0)
+    }
+  }
+
+  test("the adaptive width follows selectivity: narrower predicate -> wider post beam") {
+    assert(arm("narrow", "post").getAs[Long]("beam_w") >
+      arm("wide", "post").getAs[Long]("beam_w"))
+  }
+
+  test("crossover picks pre below 5% selectivity, post above") {
+    assert(arm("narrow", "pre").getAs[String]("chosen") === "pre")
+    assert(arm("wide", "pre").getAs[String]("chosen") === "post")
+  }
+
+  test("post-filter with adaptive over-fetch reaches serve-grade recall on both predicates") {
+    assert(arm("wide", "post").getAs[Double]("recall") >= 0.6)
+    assert(arm("narrow", "post").getAs[Double]("recall") >= 0.6)
+  }
+
+  test("the wide pre arm documents the filtered-subgraph connectivity failure") {
+    // beams restricted to matching nodes strand on a label stratum whose
+    // members are NOT each other's nearest neighbors — the 10-NN graph
+    // has few matching-matching edges, so the walk can't reach most of
+    // the exact filtered top-k. This row is the evidence the crossover
+    // heuristic exists for.
+    assert(arm("wide", "pre").getAs[Double]("recall") <
+      arm("wide", "post").getAs[Double]("recall"))
+  }
+}

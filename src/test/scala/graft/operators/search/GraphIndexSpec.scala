@@ -1,0 +1,83 @@
+package graft.operators.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphIndexSpec extends SparkSpec {
+
+  private lazy val out = GraphIndex.qGraphAppend(spark, SfDir).collect()
+  private def phase(name: String) = out.find(_.getAs[String]("phase") == name).get
+
+  test("artifact round-trip: the persisted final graph equals the in-session descent build") {
+    val emb = graft.Tables.embeddings(spark, SfDir).select(col("vec_id"), col("embedding"))
+    val direct = KnnGraph.nnDescentRounds(emb, SfDir, KnnGraph.K, KnnGraph.Rounds)
+      .last.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = GraphIndex.finalGraph(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(persisted === direct)
+  }
+
+  test("meta sidecar validates and detects drift (size, k, rounds, version)") {
+    GraphIndex.finalGraph(spark, SfDir) // ensure built
+    val idx = GraphIndex.artifactPath(SfDir)
+    val emb = graft.Tables.embeddings(spark, SfDir)
+    val n = emb.count()
+    assert(GraphIndex.validArtifact(spark, idx, n))
+    assert(!GraphIndex.validArtifact(spark, idx, n + 1),
+      "a corpus-size drift must invalidate the artifact")
+    assert(!GraphIndex.validArtifact(spark, idx + "_nope", n))
+  }
+
+  test("appended graph invariants: <=K per node, no self-loops, every node indexed") {
+    val (_, gApp) = GraphIndex.halfAndAppended(spark, SfDir)
+    val rows = gApp.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-loop edge")
+    val deg = rows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= GraphIndex.K)
+    val n = graft.Tables.embeddings(spark, SfDir).count()
+    assert(rows.map(_.getLong(0)).toSet.size === n,
+      "a node (old or newly appended) has no out-edges after append")
+  }
+
+  test("the append law: half-build + append recall tracks the full rebuild") {
+    val app = phase("appended").getAs[Double]("recall")
+    val full = phase("full_rebuild").getAs[Double]("recall")
+    // the incremental path must be in the rebuild's class — the artifact
+    // is useless if appends degrade it materially. (Empirically it BEATS
+    // the 2-round rebuild here: the insertion beam scores exact entry
+    // points and walks 2 serve rounds, which finds better neighborhoods
+    // for the new 20% than two descent rounds from ring seeds do —
+    // appended 0.458 vs rebuild 0.130 at sf0.001.)
+    assert(app >= full - 0.1, s"appended recall $app vs rebuild $full")
+    assert(app >= 0.25, s"appended recall $app — insertion beam is not finding neighborhoods")
+  }
+
+  test("append rewrites ONLY the touched buckets on disk") {
+    GraphIndex.halfAndAppended(spark, SfDir) // builds + appends the scratch artifact
+    val idx = graft.operators.search.AnnQueries.scratch(
+      s"graft_graph_append_v${GraphIndex.BuildVersion}", SfDir)
+    // the half graph was written with bucketed layout; after append every
+    // bucket dir still exists and holds parquet (bucket swap left no
+    // aside/scratch litter behind)
+    val root = new java.io.File(s"$idx/edges")
+    val buckets = root.listFiles().filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    assert(!new java.io.File(s"$idx/edges_appending").exists(), "scratch dir leaked")
+    assert(!new java.io.File(s"$idx/edges_app_old").exists(), "aside dir leaked")
+    // and the artifact still reads as a coherent edge list
+    val n = GraphIndex.edges(spark, idx).count()
+    assert(n > 0)
+  }
+
+  test("q_graph_stats: exact shape and internal consistency") {
+    val r = GraphIndex.qGraphStats(spark, SfDir).head()
+    assert(r.getAs[Long]("n_vectors") ===
+      graft.Tables.embeddings(spark, SfDir).count())
+    assert(r.getAs[Long]("n_indexed") + r.getAs[Long]("isolated_nodes") ===
+      r.getAs[Long]("n_vectors"))
+    assert(r.getAs[Long]("max_degree") <= GraphIndex.K)
+    assert(r.getAs[Long]("min_degree") >= 1)
+    val share = r.getAs[Double]("reciprocal_share")
+    assert(share > 0.0 && share <= 1.0)
+  }
+}

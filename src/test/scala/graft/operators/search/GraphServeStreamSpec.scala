@@ -1,0 +1,42 @@
+package graft.operators.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphServeStreamSpec extends SparkSpec {
+
+  private lazy val out = GraphServeStream.qGraphServeStream(spark, SfDir)
+    .collect()
+
+  test("every sampled query is served exactly top-K rows with contiguous ranks") {
+    val qs = GraphServe.qsFor(spark, SfDir).count()
+    val byQ = out.groupBy(_.getAs[Long]("q"))
+    assert(byQ.size === qs, s"served ${byQ.size} queries, sample has $qs")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === GraphServeStream.K, s"query $q served ${rows.length} rows")
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to GraphServeStream.K))
+    }
+  }
+
+  test("micro-batched serve is row-identical to a direct batch serve over the same artifact") {
+    val emb = KnnGraph.e(spark, SfDir)
+    val n = emb.count()
+    val se = math.max(1L, math.ceil(n / GraphServe.Entries.toDouble).toLong)
+    val entries = emb.filter(col("vec_id") % se === 0).select(col("vec_id").as("j"))
+    val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, SfDir))
+    val direct = GraphIndex.beamSearch(GraphServe.qsFor(spark, SfDir), undAdj,
+        emb, entries, GraphServe.Beam, GraphServe.Rounds)
+      .filter(col("rk") <= GraphServeStream.K)
+      .select(col("q"), col("rk"), col("j").as("node"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = out.map(r => (r.getAs[Long]("q"), r.getAs[Int]("rk"),
+      r.getAs[Long]("node"), r.getAs[Double]("sim"))).toSet
+    assert(streamed === direct,
+      "batch-boundary placement changed served rows — per-query independence broken")
+  }
+
+  test("served neighbors never include the query point and agree with the serve's beam contract") {
+    assert(out.forall(r => r.getAs[Long]("q") != r.getAs[Long]("node")))
+    out.foreach(r => assert(r.getAs[Double]("sim") <= 1.000001))
+  }
+}

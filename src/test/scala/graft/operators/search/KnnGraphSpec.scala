@@ -8,7 +8,7 @@ class KnnGraphSpec extends SparkSpec {
   private lazy val emb = graft.Tables.embeddings(spark, SfDir)
     .select(col("vec_id"), col("embedding"))
 
-  private lazy val rounds = KnnGraph.nnDescentRounds(emb, KnnGraph.K, KnnGraph.Rounds)
+  private lazy val rounds = KnnGraph.nnDescentRounds(emb, SfDir, KnnGraph.K, KnnGraph.Rounds)
 
   test("every round keeps at most K neighbors per node, none a self-loop") {
     rounds.foreach { g =>

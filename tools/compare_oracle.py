@@ -92,14 +92,25 @@ def main(sf_dir, out_dir):
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}"); n_bad += 1; continue
         bad = None
-        for i in range(len(got)):
-            for c in got.columns:
-                a, b = got[c].iloc[i], exp[c].iloc[i]
-                if (a is None) != (b is None) or (a is not None and not (pd.isna(a) and pd.isna(b) if not isinstance(a, tuple) else False) and not eq(a, b)):
-                    if pd.isna(a) and pd.isna(b) if not isinstance(a, (tuple, type(None))) else False:
-                        continue
-                    bad = (i, c, a, b); break
-            if bad: break
+        for c in got.columns:
+            # vectorized per-column compare (the r9 per-row Python loop
+            # timed out >90 s/query on the sf1 799k-row stream joins):
+            # exact equality with NaN==NaN, like the driver's hash. The
+            # slow scalar path runs only to LOCALIZE an already-found
+            # mismatch, never on the green path.
+            a, b = got[c], exp[c]
+            if a.dtype.kind == "f" and b.dtype.kind == "f":
+                neq = ~((a == b) | (a.isna() & b.isna()))
+            elif a.dtype == object or b.dtype == object:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+            else:
+                neq = a != b
+            if neq.any():
+                i = int(neq.idxmax())
+                av, bv = a.iloc[i], b.iloc[i]
+                if not eq(av, bv) and not (pd.isna(av) and pd.isna(bv)
+                                           if not isinstance(av, (tuple, type(None))) else False):
+                    bad = (i, c, av, bv); break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}"); n_bad += 1
         else:

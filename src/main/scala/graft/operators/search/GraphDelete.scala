@@ -76,13 +76,25 @@ object GraphDelete extends QueryModule {
       (dropped, repaired)
     }
 
+  /** Eval modulus that cannot collide with the arithmetic delete set:
+    * when the standard sample modulus is a multiple of [[DeleteMod]],
+    * EVERY sampled id (≡ 0 mod m) is also deleted (≡ 0 mod 5) and the
+    * eval sample is empty — a division by zero the r10 sf1 campaign hit
+    * at n=20000 (m=10). DeleteMod is prime, so bumping such an m by one
+    * makes it coprime; at every driver scale (m=1) this is the identity,
+    * so the graded rows are unchanged where the oracle already ran. */
+  private[search] def evalModulus(n: Long): Long = {
+    val m = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    if (m % DeleteMod == 0) m + 1 else m
+  }
+
   /** Survivor-only exact truth on the standard eval sample, and the
     * recall of a phase's edges against it. */
   def qGraphDelete(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val surv = emb.filter(col("vec_id") % DeleteMod =!= 0)
     val n = emb.count()
-    val m = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    val m = evalModulus(n)
     val ev = surv.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
     val exactPairs = surv
@@ -93,6 +105,9 @@ object GraphDelete extends QueryModule {
         round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
     val exact = topK(exactPairs, K).select(col("i"), col("j")).localCheckpoint(true)
     val nEval = ev.count()
+    require(nEval > 0,
+      s"empty delete-eval sample at n=$n (modulus ${evalModulus(n)}) — " +
+        "evalModulus no longer avoids the delete set")
     val (dropped, repaired) = droppedAndRepaired(spark, dir)
     Seq(("dropped", 0, dropped), ("repaired", 1, repaired)).map { case (name, ord, g) =>
       val edges = g.agg(count(lit(1)).as("n_edges"))
@@ -123,7 +138,8 @@ object GraphDelete extends QueryModule {
          |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
          |    FROM dp) WHERE rn <= $K),
          |surv AS MATERIALIZED (SELECT id, v FROM e WHERE id % $DeleteMod <> 0),
-         |ev AS (SELECT id, v FROM surv WHERE id % (SELECT m FROM prm) = 0),
+         |evm AS (SELECT CASE WHEN m % $DeleteMod = 0 THEN m + 1 ELSE m END AS m FROM prm),
+         |ev AS (SELECT id, v FROM surv WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
          |exact AS MATERIALIZED (SELECT i, j FROM (
          |    SELECT ev.id AS i, s.id AS j,

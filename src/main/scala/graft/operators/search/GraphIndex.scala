@@ -271,7 +271,7 @@ object GraphIndex extends QueryModule {
   private val finalGraphMemo =
     new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
 
-  private[search] def artifactPath(dir: String): String =
+  def artifactPath(dir: String): String =
     AnnQueries.scratch(s"graft_graph_index_v$BuildVersion", dir)
 
   /** The corpus's FINAL descent graph, served from the persisted
@@ -343,7 +343,13 @@ object GraphIndex extends QueryModule {
   def qGraphAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
-    val m = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    // eval modulus coprime to the batch split (the GraphDelete.evalModulus
+    // collision, caught by the r10 sf1 campaign): a multiple of AppendMod
+    // would sample ONLY old nodes (id ≡ 0 mod m ⇒ id ≢ NewResidue mod 5),
+    // silently grading the appended phase on zero new queries. Identity
+    // at every driver scale (m = 1).
+    val m0 = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    val m = if (m0 % AppendMod == 0) m0 + 1 else m0
     val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
     val ev = emb.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
@@ -457,7 +463,8 @@ object GraphIndex extends QueryModule {
     "q_graph_append" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
          |$appendCtes,
-         |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM prm) = 0),
+         |evm AS (SELECT CASE WHEN m % $AppendMod = 0 THEN m + 1 ELSE m END AS m FROM prm),
+         |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
          |oev AS (SELECT id, v FROM ev WHERE id % $AppendMod <> $NewResidue),
          |noev AS (SELECT count(*) AS n_eval FROM oev),

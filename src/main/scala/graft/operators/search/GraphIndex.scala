@@ -110,10 +110,7 @@ object GraphIndex extends QueryModule {
       .withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/edges")
-    import spark.implicits._
-    Seq((n, K, KnnGraph.Rounds, BuildVersion))
-      .toDF("n", "k", "rounds", "build_version")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    writeMeta(spark, indexPath, n)
   }
 
   /** The live edge list (i, j, sim). */
@@ -136,10 +133,16 @@ object GraphIndex extends QueryModule {
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
     swapBuckets(spark, indexPath, gNew._1, touched)
-    // meta: n grows by the batch; build params unchanged
+    // meta n is recomputed from the caller's frames (the post-append
+    // corpus), never by arithmetic on the stored meta: under crash-retry
+    // a repeated delete/append must CONVERGE, and a blind increment
+    // double-counts a replayed batch
+    writeMeta(spark, indexPath, oldEmb.count() + newEmb.count())
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String, n: Long): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
-    Seq((meta.getAs[Long]("n") + newEmb.count(), K, KnnGraph.Rounds, BuildVersion))
+    Seq((n, K, KnnGraph.Rounds, BuildVersion))
       .toDF("n", "k", "rounds", "build_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
   }
@@ -222,6 +225,100 @@ object GraphIndex extends QueryModule {
     val gNew = merged0.join(changedI, Seq("i"), "left_anti")
       .unionByName(repaired).localCheckpoint(true)
     (gNew, changedI)
+  }
+
+  /** Incremental DELETE on the artifact: drop every edge touching a
+    * deleted id, then repair ONLY the degraded survivors (nodes that
+    * lost a neighbor) with one descent-style round over the surviving
+    * adjacency — the [[GraphDelete]] semantics restricted to the nodes
+    * that actually changed, so the rewrite (and the repair compute) is
+    * proportional to the deletion's blast radius, not the corpus. Only
+    * buckets holding degraded or deleted nodes are rewritten. `emb`
+    * must be the SURVIVOR embeddings (deleted ids absent). */
+  def delete(spark: SparkSession, indexPath: String,
+             delIds: DataFrame, emb: DataFrame): Unit = {
+    val gOld = edges(spark, indexPath).localCheckpoint(true)
+    val ids = delIds.select(col("vec_id")).distinct().localCheckpoint(true)
+    val dropped = gOld
+      .join(ids.select(col("vec_id").as("i")), Seq("i"), "left_anti")
+      .join(ids.select(col("vec_id").as("j")), Seq("j"), "left_anti")
+      .select(col("i"), col("j"), col("sim"))
+    // survivors that LOST an out-neighbor — the only nodes whose lists
+    // can improve from a repair
+    val degraded = gOld
+      .join(ids.select(col("vec_id").as("j")), Seq("j"), "left_semi")
+      .select(col("i")).distinct()
+      .join(ids.select(col("vec_id").as("i")), Seq("i"), "left_anti")
+      .localCheckpoint(true)
+    val dUnd = und(dropped)
+    val cand = dUnd.join(degraded, Seq("i"), "left_semi")
+      .select(col("i"), col("j").as("mid"))
+      .join(dUnd.select(col("i").as("mid"), col("j").as("c")), Seq("mid"))
+      .select(col("i"), col("c").as("j"))
+      .filter(col("i") =!= col("j"))
+      .distinct()
+    val pool = score(cand, emb)
+      .unionByName(dropped.join(degraded, Seq("i"), "left_semi"))
+      .dropDuplicates("i", "j")
+    val repaired = topKPer(pool, "i", K)
+    val gNew = dropped.join(degraded, Seq("i"), "left_anti")
+      .unionByName(repaired).localCheckpoint(true)
+    val changed = degraded.unionByName(ids.select(col("vec_id").as("i"))).distinct()
+    val touched = changed
+      .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    swapBuckets(spark, indexPath, gNew, touched)
+    // survivor count, not meta-minus-batch: deleting already-absent ids
+    // must be a no-op for convergence under retry (see append)
+    writeMeta(spark, indexPath, emb.count())
+  }
+
+  /** UPSERT = [[delete]] the batch's ids + [[append]] its vectors — the
+    * reference's merge-back loop (update-etiquetas.ipynb re-ingests
+    * re-labeled documents into the live index). The two steps commit
+    * independently; a failure between them leaves the ids absent
+    * (delete-first, the [[IvfIndex.upsert]] rationale: re-running the
+    * same upsert converges — deleting absent ids is a no-op and the
+    * append completes the replacement; append-first's failure mode is
+    * duplicate serve results, worse than a transient gap).
+    * `survivorEmb` = corpus minus the batch ids, `batch` = the new
+    * (vec_id, embedding) rows. */
+  def upsert(spark: SparkSession, indexPath: String,
+             survivorEmb: DataFrame, batch: DataFrame): Unit = {
+    delete(spark, indexPath, batch.select(col("vec_id")), survivorEmb)
+    append(spark, indexPath, survivorEmb, batch)
+  }
+
+  /** COMPACT the artifact: rewrite every bucket into one file, healing
+    * the small-file accumulation repeated [[append]]/[[delete]] swaps
+    * leave behind ([[IvfIndex.compact]]'s sibling — at 10^11 edges,
+    * serve-scan latency degrades with file count once buckets
+    * fragment). One scan + one shuffle keyed by bucket, whole-directory
+    * swap via two renames (run without concurrent readers; see the
+    * IvfIndex.compact scaladoc for the object-store manifest variant). */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(s"$indexPath/edges")
+    val fresh = new Path(s"$indexPath/edges_compacting")
+    val old = new Path(s"$indexPath/edges_old")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(data),
+      s"$data missing — a previous compact crashed mid-swap; restore from $old")
+    fs.delete(old, true)
+    fs.delete(fresh, true)
+    spark.read.parquet(data.toString)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(fresh.toString)
+    if (!fs.rename(data, old))
+      throw new java.io.IOException(s"compact: rename $data -> $old failed")
+    if (!fs.rename(fresh, data)) {
+      val rolledBack = fs.rename(old, data)
+      throw new java.io.IOException(
+        s"compact: rename $fresh -> $data failed" +
+          (if (rolledBack) " (previous layout restored)"
+           else s"; ROLLBACK $old -> $data ALSO FAILED — restore manually from $old"))
+    }
+    fs.delete(old, true)
   }
 
   /** Rewrite only `touched` bucket dirs of the artifact from `gNew`,

@@ -786,9 +786,15 @@ object StreamingQueries extends QueryModule {
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_enrich_stream" ->
-      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+      // the modulo key is PRECOMPUTED in a projection so the join is a
+      // plain equi-join: with the scalar subquery inline in the ON
+      // clause, DuckDB 1.0 planned a nested-loop join (800k × 150k at
+      // sf1 — the real cause of the r9 "compare timeout" on this query)
+      """WITH nc AS (SELECT count(*) AS n FROM customer),
+        |ek AS (SELECT event_type, value,
+        |         user_id % (SELECT n FROM nc) + 1 AS ck FROM events)
+        |SELECT c_mktsegment, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-        |FROM events e JOIN customer c
-        |  ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+        |FROM ek e JOIN customer c ON c.c_custkey = e.ck
         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin)
 }

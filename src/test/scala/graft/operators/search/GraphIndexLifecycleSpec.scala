@@ -1,0 +1,78 @@
+package graft.operators.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Artifact-level lifecycle laws: delete → upsert → compact on a
+  * scratch copy of the sf0.001 graph index. */
+class GraphIndexLifecycleSpec extends SparkSpec {
+
+  private val DelMod = 7 // different from the query drills' 5 — independent set
+
+  private lazy val emb = graft.Tables.embeddings(spark, SfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  private lazy val idx = {
+    val p = java.nio.file.Files.createTempDirectory("graft_gidx_life").toString
+    val g = GraphIndex.finalGraph(spark, SfDir)
+    GraphIndex.build(spark, p, g, emb.count())
+    p
+  }
+
+  private def edgeSet(path: String): Set[(Long, Long)] =
+    GraphIndex.edges(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("delete removes every edge touching the batch, repairs only degraded survivors, and keeps the rest byte-identical") {
+    val before = edgeSet(idx)
+    val delIds = emb.filter(col("vec_id") % DelMod === 0).select(col("vec_id"))
+    val deleted = delIds.collect().map(_.getLong(0)).toSet
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    // nodes that lose a neighbor — eligible for repair; everyone else
+    // must come through UNTOUCHED
+    val degraded = before.filter { case (i, j) => deleted(j) && !deleted(i) }.map(_._1)
+    GraphIndex.delete(spark, idx, delIds, surv)
+    val after = edgeSet(idx)
+    assert(after.forall { case (i, j) => !deleted(i) && !deleted(j) },
+      "an edge still touches a deleted id")
+    val untouchedBefore = before.filter { case (i, _) => !deleted(i) && !degraded(i) }
+    assert(untouchedBefore.subsetOf(after),
+      "a non-degraded survivor's edge list changed during delete")
+    val deg = after.groupBy(_._1).map(_._2.size)
+    assert(deg.max <= GraphIndex.K)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Long]("n") === surv.count(), "meta n not decremented")
+  }
+
+  test("upsert with the original vectors restores every id as an indexed source") {
+    val batch = emb.filter(col("vec_id") % DelMod === 0)
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    GraphIndex.upsert(spark, idx, surv, batch)
+    val after = edgeSet(idx)
+    val n = emb.count()
+    assert(after.groupBy(_._1).keySet.size.toLong === n,
+      "an id is missing as a source after upsert")
+    assert(after.forall { case (i, j) => i != j })
+    val deg = after.groupBy(_._1).map(_._2.size)
+    assert(deg.max <= GraphIndex.K && deg.min >= 1)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Long]("n") === n, "meta n not restored by upsert")
+  }
+
+  test("compact collapses each bucket to one file without changing a single edge") {
+    val before = GraphIndex.edges(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    GraphIndex.compact(spark, idx)
+    val after = GraphIndex.edges(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before, "compact changed the edge list")
+    val buckets = new java.io.File(s"$idx/edges").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { b =>
+      val parts = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${b.getName} has ${parts.length} files after compact")
+    }
+  }
+}

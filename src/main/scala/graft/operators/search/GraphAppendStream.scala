@@ -1,0 +1,203 @@
+package graft.operators.search
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING ingest into the live graph index: micro-batched new vectors
+  * are [[GraphIndex.append]]ed into the persisted artifact batch by
+  * batch — the reference's merge-back loop end to end
+  * (update-etiquetas.ipynb re-ingests labeled batches into the live
+  * Azure vector index), and the ingest half that pairs with
+  * [[GraphServeStream]]'s query half.
+  *
+  * Unlike the serve, appends are NOT batch-boundary independent: batch
+  * 2's insertion beams walk a graph that already contains batch 1, so
+  * the sequential result differs (slightly, and deterministically) from
+  * one bulk append of the union. That difference IS the measured
+  * quantity: q_graph_append_stream grades the 2-micro-batch ingest and
+  * the one-shot bulk append against the SAME exact truth, and the
+  * near-equality of the two recalls is the law that makes incremental
+  * ingest safe to run forever (spec-asserted; the oracle replays both
+  * arms hash-exact — the one-shot arm from the SAME
+  * [[GraphIndex.appendCtes]] chain q_graph_append uses).
+  *
+  * Determinism: the new 20% batch (ids ≡ 4 mod 5) splits arithmetically
+  * into micro-batches (ids ≡ 4 mod 10, then ≡ 9 mod 10) staged as
+  * one-file-per-batch with forced mtime order ([[graft.Fs.stageParts]],
+  * maxFilesPerTrigger=1) — the batch ORDER is pinned, and a residue
+  * guard inside foreachBatch fails loudly if the source ever delivers
+  * them out of order. Each batch's `oldEmb` side is the arithmetic
+  * prefix corpus, so every entry set, beam, and repair replays in SQL.
+  */
+object GraphAppendStream extends QueryModule {
+
+  val K = GraphIndex.K
+
+  /** Micro-batch residues of the new batch, in pinned arrival order. */
+  val BatchResidues: Seq[Long] = Seq(4L, 9L) // mod 10
+
+  private val memo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
+
+  /** The artifact after the 2-micro-batch streamed ingest. */
+  private[search] def streamedGraph(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(dir) {
+      val emb = KnnGraph.e(spark, dir)
+      val oldEmb = emb.filter(
+        col("vec_id") % GraphIndex.AppendMod =!= GraphIndex.NewResidue)
+      val gOld = KnnGraph.nnDescentRounds(oldEmb,
+        s"$dir#old${GraphIndex.AppendMod}${GraphIndex.NewResidue}",
+        K, KnnGraph.Rounds).last
+      val idx = AnnQueries.scratch(
+        s"graft_graph_appstream_v${GraphIndex.BuildVersion}", dir)
+      GraphIndex.build(spark, idx, gOld, oldEmb.count())
+      val stage = java.nio.file.Files.createTempDirectory("graft_appstream_in")
+      graft.Fs.deleteAtExit(stage)
+      graft.Fs.stageParts(stage, BatchResidues.map(r =>
+        emb.filter(col("vec_id") % 10 === r)))
+      val schema = spark.read.parquet(stage.toString).schema
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ingest = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          .writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_appstream_ck").toString)
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val res = BatchResidues(batchId.toInt)
+            val rows = batch.toDF().localCheckpoint(true)
+            // the ingest semantics depend on arrival order — verify the
+            // arithmetic split REALLY arrived in the pinned order
+            // instead of silently appending against the wrong prefix
+            require(rows.filter(col("vec_id") % 10 =!= res).isEmpty,
+              s"micro-batch $batchId is not the ids ≡ $res (mod 10) slice — " +
+                "file-source ordering broke the pinned ingest order")
+            // prefix corpus for this batch: everything except the
+            // residues that have not arrived yet
+            val pending = BatchResidues.drop(batchId.toInt)
+            val prefixOld = pending.foldLeft(emb)((d, r) =>
+              d.filter(col("vec_id") % 10 =!= r))
+            GraphIndex.append(spark, idx, prefixOld, rows)
+          }
+          .start()
+        try ingest.processAllAvailable() finally ingest.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      GraphIndex.edges(spark, idx).localCheckpoint(true)
+    }
+
+  /** Streamed-ingest vs one-shot bulk append, graded on the SAME full
+    * exact truth (coprime eval modulus — the GraphDelete.evalModulus
+    * discipline). */
+  def qGraphAppendStream(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnGraph.e(spark, dir)
+    val n = emb.count()
+    val m0 = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
+    val m = if (m0 % GraphIndex.AppendMod == 0) m0 + 1 else m0
+    val ev = emb.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val exact = graft.plans.TopKPerGroup(
+        emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+          .crossJoin(broadcast(ev))
+          .filter(col("i") =!= col("j"))
+          .select(col("i"), col("j"), round(
+            graft.functions.VectorOps.cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+          .withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), K)
+      .select(col("i"), col("j")).localCheckpoint(true)
+    val nEv = ev.count()
+    val gOneshot = GraphIndex.halfAndAppended(spark, dir)._2
+    val gStream = streamedGraph(spark, dir)
+    Seq(("oneshot", 0, gOneshot), ("streamed", 1, gStream)).map {
+      case (name, ord, g) =>
+        val edgesN = g.agg(count(lit(1)).as("n_edges"))
+        val hits = g.join(exact, Seq("i", "j"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        edgesN.crossJoin(broadcast(hits)).select(
+          lit(ord).as("phase_ord"), lit(name).as("phase"),
+          col("n_edges"), lit(nEv).as("n_eval"),
+          round(col("n_hits").cast("double") / lit(nEv * K), 6).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy("phase_ord")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_append_stream" -> (qGraphAppendStream _))
+
+  /** Insertion beams of one micro-batch `t` over adjacency `und` with
+    * query set `qn$t` and entries `oent$t`, node embeddings scored from
+    * `src$t` — then the merged graph + restricted round → `gs$t`. */
+  private def streamBatchCtes(t: Int, prevGraph: String): String = {
+    val rounds = (1 to GraphIndex.InsertRounds).map { r =>
+      val prev = s"ib$t${r - 1}"
+      s"""ic$t$r AS (SELECT DISTINCT p.q, u.j FROM $prev p JOIN sund$t u ON u.i = p.j),
+         |is$t$r AS (SELECT p.q, p.j, round(list_cosine_similarity(qq.qv, s.v), 6) AS sim
+         |  FROM ic$t$r p JOIN src$t s ON s.id = p.j JOIN qn$t qq ON qq.q = p.q
+         |  WHERE p.j <> p.q),
+         |ip$t$r AS (SELECT q, j, sim FROM is$t$r UNION SELECT q, j, sim FROM $prev),
+         |ib$t$r AS MATERIALIZED (SELECT q, j, sim FROM (
+         |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+         |    FROM ip$t$r) WHERE rn <= ${GraphIndex.InsertBeam})""".stripMargin
+    }
+    s"""qn$t AS MATERIALIZED (SELECT id AS q, v AS qv FROM fe
+       |  WHERE id % 10 = ${BatchResidues(t)}),
+       |src$t AS MATERIALIZED (SELECT id, v FROM fe
+       |  WHERE ${BatchResidues.drop(t).map(r => s"id % 10 <> $r").mkString(" AND ")}),
+       |sund$t AS MATERIALIZED (SELECT i, j FROM $prevGraph
+       |  UNION SELECT j AS i, i AS j FROM $prevGraph),
+       |snn$t AS (SELECT count(*) AS n FROM src$t),
+       |sprm$t AS (SELECT greatest(1, CAST(ceil((SELECT n FROM snn$t) / ${GraphIndex.Entries}.0) AS BIGINT)) AS se),
+       |oent$t AS (SELECT id AS j FROM src$t WHERE id % (SELECT se FROM sprm$t) = 0),
+       |is${t}0 AS (SELECT qq.q, oent$t.j, round(list_cosine_similarity(qq.qv, s.v), 6) AS sim
+       |  FROM qn$t qq CROSS JOIN oent$t JOIN src$t s ON s.id = oent$t.j
+       |  WHERE oent$t.j <> qq.q),
+       |ib${t}0 AS MATERIALIZED (SELECT q, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM is${t}0) WHERE rn <= ${GraphIndex.InsertBeam}),
+       |${rounds.mkString(",\n")},
+       |newe$t AS MATERIALIZED (SELECT q AS i, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM ib$t${GraphIndex.InsertRounds}) WHERE rn <= $K),
+       |mrg$t AS MATERIALIZED (SELECT i, j, sim FROM $prevGraph
+       |  UNION ALL SELECT i, j, sim FROM newe$t),
+       |nb$t AS (SELECT i AS mid FROM newe$t UNION SELECT j AS mid FROM newe$t),
+       |mund$t AS MATERIALIZED (SELECT i, j FROM mrg$t UNION SELECT j AS i, i AS j FROM mrg$t),
+       |mcand$t AS (SELECT DISTINCT a.i, b.j AS j FROM mund$t a
+       |  JOIN nb$t ON nb$t.mid = a.j
+       |  JOIN mund$t b ON b.i = a.j
+       |  WHERE a.i <> b.j),
+       |fe2$t AS MATERIALIZED (SELECT id, v FROM fe
+       |  WHERE ${BatchResidues.drop(t + 1).map(r => s"id % 10 <> $r").mkString(" AND ") match {
+           case "" => "TRUE"; case s => s }}),
+       |msc$t AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM mcand$t p JOIN fe2$t a ON a.id = p.i JOIN fe2$t b ON b.id = p.j),
+       |mpool$t AS (SELECT i, j, sim FROM msc$t UNION SELECT i, j, sim FROM mrg$t),
+       |gs$t AS MATERIALIZED (SELECT i, j, sim FROM (
+       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM mpool$t) WHERE rn <= $K)""".stripMargin
+  }
+
+  private def phaseRow(ord: Int, name: String, g: String): String =
+    s"""SELECT $ord AS phase_ord, '$name' AS phase,
+       |  (SELECT count(*) FROM $g) AS n_edges,
+       |  (SELECT n_eval FROM nev) AS n_eval,
+       |  round(CAST((SELECT count(*) FROM $g JOIN exactf USING (i, j)) AS DOUBLE)
+       |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_graph_append_stream" ->
+      s"""WITH ${KnnGraph.graphCtePrefix},
+         |${GraphIndex.appendCtes},
+         |${streamBatchCtes(0, s"og${KnnGraph.Rounds}")},
+         |${streamBatchCtes(1, "gs0")},
+         |evm AS (SELECT CASE WHEN m % ${GraphIndex.AppendMod} = 0 THEN m + 1 ELSE m END AS m FROM prm),
+         |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
+         |nev AS (SELECT count(*) AS n_eval FROM ev),
+         |exactf AS MATERIALIZED (SELECT i, j FROM (
+         |    SELECT ev.id AS i, e.id AS j,
+         |      row_number() OVER (PARTITION BY ev.id
+         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
+         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K)
+         |${phaseRow(0, "oneshot", "gapp")}
+         |UNION ALL
+         |${phaseRow(1, "streamed", "gs1")}
+         |ORDER BY phase_ord""".stripMargin)
+}

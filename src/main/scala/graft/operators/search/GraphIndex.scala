@@ -516,8 +516,9 @@ object GraphIndex extends QueryModule {
   }
 
   /** The shared append replay: old chain (prefix `o`), insertion beams,
-    * merged graph + one restricted descent round → `gapp`. */
-  private def appendCtes: String =
+    * merged graph + one restricted descent round → `gapp`. Shared with
+    * [[GraphAppendStream]]'s oracle (the one-shot arm). */
+  private[search] def appendCtes: String =
     s"""${KnnGraph.graphCtePrefixWhere(s"vec_id % $AppendMod <> $NewResidue", "o")},
        |fe AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qn AS MATERIALIZED (SELECT id AS q, v AS qv FROM fe WHERE id % $AppendMod = $NewResidue),

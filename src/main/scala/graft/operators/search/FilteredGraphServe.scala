@@ -154,7 +154,9 @@ object FilteredGraphServe extends QueryModule {
   }
 
   private def predBlock(tag: String, p: String): String = {
-    val pe = p.replace("id", "el.id") // predicate over the el row
+    // word-boundary qualification: a blind substring replace would
+    // corrupt predicates containing "id" inside another identifier
+    val pe = p.replaceAll("\\bid\\b", "el.id")
     s"""st_$tag AS (SELECT count(*) AS n_match FROM el WHERE $p),
        |wf_$tag AS (SELECT CASE WHEN n_match = 0 THEN $K
        |    ELSE least($K * (((SELECT n FROM prm) + n_match - 1) // n_match),

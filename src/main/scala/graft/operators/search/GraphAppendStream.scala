@@ -92,18 +92,12 @@ object GraphAppendStream extends QueryModule {
   def qGraphAppendStream(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
-    val m0 = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
-    val m = if (m0 % GraphIndex.AppendMod == 0) m0 + 1 else m0
+    val m = KnnGraph.evalModulus(n, GraphIndex.AppendMod)
     val ev = emb.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
-    val exact = graft.plans.TopKPerGroup(
-        emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
-          .crossJoin(broadcast(ev))
-          .filter(col("i") =!= col("j"))
-          .select(col("i"), col("j"), round(
-            graft.functions.VectorOps.cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
-          .withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), K)
-      .select(col("i"), col("j")).localCheckpoint(true)
+    // the SAME exact-truth kernel as q_graph_append — both arms of both
+    // drills grade against one definition
+    val exact = GraphIndex.exactTopK(emb, ev).localCheckpoint(true)
     val nEv = ev.count()
     val gOneshot = GraphIndex.halfAndAppended(spark, dir)._2
     val gStream = streamedGraph(spark, dir)

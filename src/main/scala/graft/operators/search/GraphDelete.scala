@@ -76,17 +76,11 @@ object GraphDelete extends QueryModule {
       (dropped, repaired)
     }
 
-  /** Eval modulus that cannot collide with the arithmetic delete set:
-    * when the standard sample modulus is a multiple of [[DeleteMod]],
-    * EVERY sampled id (≡ 0 mod m) is also deleted (≡ 0 mod 5) and the
-    * eval sample is empty — a division by zero the r10 sf1 campaign hit
-    * at n=20000 (m=10). DeleteMod is prime, so bumping such an m by one
-    * makes it coprime; at every driver scale (m=1) this is the identity,
-    * so the graded rows are unchanged where the oracle already ran. */
-  private[search] def evalModulus(n: Long): Long = {
-    val m = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
-    if (m % DeleteMod == 0) m + 1 else m
-  }
+  /** Eval modulus that cannot collide with the arithmetic delete set
+    * ([[KnnGraph.evalModulus]] — shared with the append drills so the
+    * collision fix is structural, not per-site). */
+  private[search] def evalModulus(n: Long): Long =
+    KnnGraph.evalModulus(n, DeleteMod)
 
   /** Survivor-only exact truth on the standard eval sample, and the
     * recall of a phase's edges against it. */

@@ -72,10 +72,11 @@ object GraphIndex extends QueryModule {
   val AppendMod = 5
   val NewResidue = 4
 
-  /** Bump when the BUILD semantics change (k, rounds, seeding, scoring):
-    * the version is pinned in the artifact's meta sidecar and a mismatch
-    * makes [[ensure]] rebuild instead of serving a stale graph. */
-  val BuildVersion = 1
+  /** Bump when the BUILD semantics or the meta schema change: the
+    * version is pinned in the artifact's meta sidecar and a mismatch
+    * makes [[finalGraph]] rebuild instead of serving a stale graph.
+    * v2: meta carries a corpus content fingerprint. */
+  val BuildVersion = 2
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -105,12 +106,12 @@ object GraphIndex extends QueryModule {
     * meta sidecar. Overwrite is whole-directory — the incremental path is
     * [[append]]. */
   def build(spark: SparkSession, indexPath: String, graph: DataFrame,
-            n: Long): Unit = {
+            n: Long, fp: Long = 0L): Unit = {
     graph.select(col("i"), col("j"), col("sim"))
       .withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/edges")
-    writeMeta(spark, indexPath, n)
+    writeMeta(spark, indexPath, n, fp)
   }
 
   /** The live edge list (i, j, sim). */
@@ -137,14 +138,32 @@ object GraphIndex extends QueryModule {
     // corpus), never by arithmetic on the stored meta: under crash-retry
     // a repeated delete/append must CONVERGE, and a blind increment
     // double-counts a replayed batch
-    writeMeta(spark, indexPath, oldEmb.count() + newEmb.count())
+    writeMeta(spark, indexPath, oldEmb.count() + newEmb.count(),
+      corpusFingerprint(oldEmb.unionByName(newEmb)))
   }
 
-  private def writeMeta(spark: SparkSession, indexPath: String, n: Long): Unit = {
+  private def writeMeta(spark: SparkSession, indexPath: String, n: Long,
+                        fp: Long): Unit = {
     import spark.implicits._
-    Seq((n, K, KnnGraph.Rounds, BuildVersion))
-      .toDF("n", "k", "rounds", "build_version")
+    Seq((n, K, KnnGraph.Rounds, BuildVersion, fp))
+      .toDF("n", "k", "rounds", "build_version", "corpus_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Order-independent content fingerprint of an embedding frame (sum
+    * of per-row xxhash64 over id+vector): one scan, so [[finalGraph]]
+    * can detect an in-place corpus regeneration that kept the row count
+    * — row-count-only validation silently served a stale graph (r10
+    * review finding). */
+  private[search] def corpusFingerprint(emb: DataFrame): Long = {
+    // decimal accumulator: full-range int64 hashes summed as BIGINT
+    // overflow under ANSI after a handful of rows; decimal(38,0) holds
+    // ~1e19 rows' worth, folded back to a long at the end
+    val r = emb.agg(sum(
+      xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))).head()
+    if (r.isNullAt(0)) 0L
+    else r.getDecimal(0).toBigInteger
+      .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
   }
 
   private def topQ(df: DataFrame, k: Int): DataFrame =
@@ -270,7 +289,7 @@ object GraphIndex extends QueryModule {
     swapBuckets(spark, indexPath, gNew, touched)
     // survivor count, not meta-minus-batch: deleting already-absent ids
     // must be a no-op for convergence under retry (see append)
-    writeMeta(spark, indexPath, emb.count())
+    writeMeta(spark, indexPath, emb.count(), corpusFingerprint(emb))
   }
 
   /** UPSERT = [[delete]] the batch's ids + [[append]] its vectors — the
@@ -348,6 +367,15 @@ object GraphIndex extends QueryModule {
       .filter(col("bucket").isin(touched.map(Long.box): _*))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(scratch.toString)
+    // a touched bucket with ZERO surviving rows gets an explicit EMPTY
+    // dir: the rename loop then always installs a fresh dir, so a crash
+    // after the swap but before the trash cleanup can never be
+    // misdiagnosed by recovery as "live missing → restore the aside
+    // copy" — which would resurrect deleted edges (r10 review finding)
+    touched.foreach { b =>
+      val f = new Path(scratch, s"bucket=$b")
+      if (!fs.exists(f)) fs.mkdirs(f)
+    }
     fs.mkdirs(trash)
     touched.foreach { b =>
       val live = new Path(data, s"bucket=$b")
@@ -383,14 +411,16 @@ object GraphIndex extends QueryModule {
       val idx = artifactPath(dir)
       val emb = KnnGraph.e(spark, dir)
       val n = emb.count()
-      if (!validArtifact(spark, idx, n)) {
+      val fp = corpusFingerprint(emb)
+      if (!validArtifact(spark, idx, n, fp)) {
         val g = KnnGraph.nnDescentRounds(emb, dir, K, KnnGraph.Rounds).last
-        build(spark, idx, g, n)
+        build(spark, idx, g, n, fp)
       }
       edges(spark, idx).localCheckpoint(true)
     }
 
-  private[search] def validArtifact(spark: SparkSession, idx: String, n: Long): Boolean = {
+  private[search] def validArtifact(spark: SparkSession, idx: String, n: Long,
+                                    fp: Long): Boolean = {
     import org.apache.hadoop.fs.Path
     val meta = new Path(s"$idx/meta")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
@@ -398,7 +428,8 @@ object GraphIndex extends QueryModule {
       val m = spark.read.parquet(meta.toString).head()
       m.getAs[Long]("n") == n && m.getAs[Int]("k") == K &&
         m.getAs[Int]("rounds") == KnnGraph.Rounds &&
-        m.getAs[Int]("build_version") == BuildVersion
+        m.getAs[Int]("build_version") == BuildVersion &&
+        m.getAs[Long]("corpus_fp") == fp
     }
   }
 
@@ -422,7 +453,7 @@ object GraphIndex extends QueryModule {
       (gOld, edges(spark, idx).localCheckpoint(true))
     }
 
-  private def exactTopK(emb: DataFrame, ev: DataFrame): DataFrame =
+  private[search] def exactTopK(emb: DataFrame, ev: DataFrame): DataFrame =
     graft.plans.TopKPerGroup(
       emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
         .crossJoin(broadcast(ev))
@@ -440,13 +471,11 @@ object GraphIndex extends QueryModule {
   def qGraphAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
-    // eval modulus coprime to the batch split (the GraphDelete.evalModulus
-    // collision, caught by the r10 sf1 campaign): a multiple of AppendMod
-    // would sample ONLY old nodes (id ≡ 0 mod m ⇒ id ≢ NewResidue mod 5),
-    // silently grading the appended phase on zero new queries. Identity
-    // at every driver scale (m = 1).
-    val m0 = math.max(1L, math.ceil(n / KnnGraph.SampleTarget.toDouble).toLong)
-    val m = if (m0 % AppendMod == 0) m0 + 1 else m0
+    // eval modulus coprime to the batch split (KnnGraph.evalModulus —
+    // the collision class the r10 sf1 campaign caught): a multiple of
+    // AppendMod would sample ONLY old nodes, silently grading the
+    // appended phase on zero new queries. Identity at driver scales.
+    val m = KnnGraph.evalModulus(n, AppendMod)
     val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
     val ev = emb.filter(col("vec_id") % m === 0)
       .select(col("vec_id").as("i"), col("embedding").as("emb_i"))

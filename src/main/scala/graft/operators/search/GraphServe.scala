@@ -140,9 +140,7 @@ object GraphServe extends QueryModule {
     // cold serve into a bucketed scan — the build cost is paid at write
     // time (r9 verdict item 8)
     val g = GraphIndex.finalGraph(spark, dir)
-    val und = pinned(
-      g.select(col("i"), col("j"))
-        .union(g.select(col("j").as("i"), col("i").as("j"))).distinct())
+    val und = pinned(GraphIndex.und(g))
     val qs = qsFor(spark, dir)
     val se = math.max(1L, math.ceil(n / Entries.toDouble).toLong)
     // constant-key equi-join (not a cross join): the entry set is

@@ -40,6 +40,17 @@ object KnnGraph extends QueryModule {
   /** Eval-sample size target; the modulus is derived from it. */
   val SampleTarget = 2000L
 
+  /** Standard eval-sample modulus, bumped to the next value coprime
+    * with `avoid` (a PRIME arithmetic batch/delete split): a modulus
+    * that shares the split's factor samples only one residue class —
+    * at sf1 that emptied q_graph_delete's sample entirely and removed
+    * every new node from q_graph_append's (the r10 campaign findings).
+    * Identity wherever the raw modulus is 1 (every driver scale). */
+  private[search] def evalModulus(n: Long, avoid: Long): Long = {
+    val m = math.max(1L, math.ceil(n / SampleTarget.toDouble).toLong)
+    if (m % avoid == 0) m + 1 else m
+  }
+
   /** Each round's graph feeds MANY lazy consumers (the next round's
     * join, the recall row, the edge count, [[GraphServe]]'s adjacency) —
     * and those consumers interleave across queries and specs, so a

@@ -54,10 +54,13 @@ object ScaleCorpus {
       val maxes = df.agg(keys.map(k => max(col(k)).as(k)).head,
         keys.map(k => max(col(k)).as(k)).tail: _*).head()
       keys.foreach { k =>
-        val m = maxes.getAs[Number](k).longValue()
-        require(m < Stride,
-          s"key $k has max $m >= stride $Stride — source already scaled? " +
-            "Scaling it again would collide replica keys into duplicate PKs")
+        // an empty table has a NULL max — nothing to collide with
+        if (!maxes.isNullAt(maxes.fieldIndex(k))) {
+          val m = maxes.getAs[Number](k).longValue()
+          require(m < Stride,
+            s"key $k has max $m >= stride $Stride — source already scaled? " +
+              "Scaling it again would collide replica keys into duplicate PKs")
+        }
       }
       (0 until factor).map { r =>
         keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))

@@ -17,15 +17,19 @@ class GraphIndexSpec extends SparkSpec {
     assert(persisted === direct)
   }
 
-  test("meta sidecar validates and detects drift (size, k, rounds, version)") {
+  test("meta sidecar validates and detects drift (size, content fingerprint, version)") {
     GraphIndex.finalGraph(spark, SfDir) // ensure built
     val idx = GraphIndex.artifactPath(SfDir)
     val emb = graft.Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding"))
     val n = emb.count()
-    assert(GraphIndex.validArtifact(spark, idx, n))
-    assert(!GraphIndex.validArtifact(spark, idx, n + 1),
+    val fp = GraphIndex.corpusFingerprint(emb)
+    assert(GraphIndex.validArtifact(spark, idx, n, fp))
+    assert(!GraphIndex.validArtifact(spark, idx, n + 1, fp),
       "a corpus-size drift must invalidate the artifact")
-    assert(!GraphIndex.validArtifact(spark, idx + "_nope", n))
+    assert(!GraphIndex.validArtifact(spark, idx, n, fp + 1),
+      "a same-size content drift must invalidate the artifact (r10 review)")
+    assert(!GraphIndex.validArtifact(spark, idx + "_nope", n, fp))
   }
 
   test("appended graph invariants: <=K per node, no self-loops, every node indexed") {

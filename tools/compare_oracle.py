@@ -99,18 +99,22 @@ def main(sf_dir, out_dir):
             # slow scalar path runs only to LOCALIZE an already-found
             # mismatch, never on the green path.
             a, b = got[c], exp[c]
-            if a.dtype.kind == "f" and b.dtype.kind == "f":
-                neq = ~((a == b) | (a.isna() & b.isna()))
-            elif a.dtype == object or b.dtype == object:
+            if (a.dtype.kind in "fmM") or (b.dtype.kind in "fmM") \
+                    or a.dtype == object or b.dtype == object:
+                # null-tolerant branch: float NaN, datetime NaT, object None
                 neq = ~((a == b) | (a.isna() & b.isna()))
             else:
                 neq = a != b
             if neq.any():
-                i = int(neq.idxmax())
-                av, bv = a.iloc[i], b.iloc[i]
-                if not eq(av, bv) and not (pd.isna(av) and pd.isna(bv)
-                                           if not isinstance(av, (tuple, type(None))) else False):
-                    bad = (i, c, av, bv); break
+                # re-check EVERY flagged row with the authoritative scalar
+                # compare, not just the first — a tolerated first row must
+                # not mask a genuine mismatch later in the column
+                for i in neq[neq].index:
+                    av, bv = a.iloc[int(i)], b.iloc[int(i)]
+                    if not eq(av, bv) and not (pd.isna(av) and pd.isna(bv)
+                                               if not isinstance(av, (tuple, type(None))) else False):
+                        bad = (int(i), c, av, bv); break
+                if bad: break
         if bad:
             print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}"); n_bad += 1
         else:

@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.search.GraphAppendStream,
     graft.operators.search.GraphServeStream,
     graft.operators.search.FilteredGraphServe,
+    graft.operators.search.GraphSqServe,
     graft.operators.search.KeywordSearch,
     graft.operators.search.Quantization,
     graft.operators.search.ProductQuantizationQueries,

@@ -154,25 +154,41 @@ object DedupQueries extends QueryModule {
     val cs = ClusteringQueries.centroids(spark, dir)
     // both pair-join sides read the same assignment branch; the rolling
     // cache bounds repeated invocations to one live cached copy
-    val pts = semDedupCache.persist(Tables.embeddings(spark, dir)
+    // EXACT-DUPLICATE CONTRACTION before the pair join (r10 scale fix):
+    // a crawled corpus is duplicate-heavy — the sf1 stress corpus plants
+    // 10-copy groups, and within-cluster pairs grow QUADRATICALLY in
+    // copies (100× pairs at 10 copies; 9.7× measured wall). Identical
+    // vectors have identical sims, so the pair join only needs DISTINCT
+    // vectors: for a copy-group with ids {i1<…<im}, every non-minimum
+    // member is dropped unconditionally (sim 1 with the earlier i1 >
+    // τ), and i1 is dropped iff SOME OTHER similar group has an earlier
+    // min id (any of its members is earlier ⟺ its min is). Output is
+    // IDENTICAL to the all-pairs form — the oracle still replays the
+    // quadratic definition and hash-matches.
+    val uniq = semDedupCache.persist(Tables.embeddings(spark, dir)
       .withColumn("v", vec_normalize(col("embedding")))
       .withColumn("centroid_id",
         NearestCentroid(col("v"), cs).getField("centroid_id"))
-      .select(col("vec_id"), col("centroid_id"), col("v")))
-    val a = pts.select(col("centroid_id"), col("vec_id").as("v1"), col("v").as("va"))
-    val b = pts.select(col("centroid_id"), col("vec_id").as("v2"), col("v").as("vb"))
+      .groupBy(col("centroid_id"), col("v"))
+      .agg(min(col("vec_id")).as("mid"), count(lit(1)).as("cnt")))
+    val a = uniq.select(col("centroid_id"), col("mid").as("m1"), col("v").as("va"))
+    val b = uniq.select(col("centroid_id"), col("mid").as("m2"), col("v").as("vb"))
     // normalized vectors → dot product IS cosine; round-then-compare keeps
     // the τ boundary identical across engines (same scheme as qDedupEmbed)
-    val dropped = a.join(b, Seq("centroid_id"))
-      .filter(col("v1") < col("v2"))
+    val repDropped = a.join(b, Seq("centroid_id"))
+      .filter(col("m1") < col("m2"))
       .filter(round(vec_dot(col("va"), col("vb")), 6) > 0.4)
       .groupBy(col("centroid_id"))
-      .agg(countDistinct(col("v2")).as("n_dropped"))
-    pts.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
-      .join(dropped, Seq("centroid_id"), "left")
+      .agg(countDistinct(col("m2")).as("n_rep_dropped"))
+    uniq.groupBy(col("centroid_id"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        sum(col("cnt") - 1).as("n_copy_dropped"))
+      .join(repDropped, Seq("centroid_id"), "left")
       .select(col("centroid_id"), col("n_vecs"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        (col("n_copy_dropped") + coalesce(col("n_rep_dropped"), lit(0L)))
+          .as("n_dropped"),
+        (col("n_vecs") - col("n_copy_dropped")
+          - coalesce(col("n_rep_dropped"), lit(0L))).as("n_kept"))
       .orderBy("centroid_id")
   }
 

@@ -41,8 +41,11 @@ object FilteredGraphServe extends QueryModule {
   /** Pre-arm beam width (the default serve width). */
   val Beam = GraphServe.Beam
 
-  /** The two drilled predicates: ~10% (label stratum) and ~2% (label
-    * stratum ∩ id prefix) of the corpus. */
+  /** The two drilled predicates. `wide` is one label stratum (~10% at
+    * every scale); `narrow` conjoins a FIXED id prefix (`id < 100`), so
+    * its selectivity shrinks with the corpus (~2% at sf0.001, ~0.2% at
+    * sf0.01, …) — deliberately, to drill the regime far below the 5%
+    * crossover where pre-filtering is the only sane arm. */
   private val Preds: Seq[(String, (Column, Column) => Column, String)] = Seq(
     ("narrow", (id, label) => label === 3 && id < 100, "label = 3 AND id < 100"),
     ("wide", (_, label) => label === 3, "label = 3"))
@@ -65,8 +68,8 @@ object FilteredGraphServe extends QueryModule {
       val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
         .localCheckpoint(true)
       val qs = GraphServe.qsFor(spark, dir)
-      val se = math.max(1L, math.ceil(n / GraphServe.Entries.toDouble).toLong)
-      val entriesAll = el.filter(col("vec_id") % se === 0)
+      val se = GraphServe.upperModulus(n)
+      val entriesAll = el.filter(GraphServe.entryPick(col("vec_id"), se))
         .select(col("vec_id").as("j"))
       val arms = Preds.flatMap { case (tag, predFn, _) =>
         val pred = predFn(col("vec_id"), col("label"))
@@ -198,10 +201,10 @@ object FilteredGraphServe extends QueryModule {
          |undx AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
          |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
          |qprm AS (SELECT greatest(2, CAST(ceil((SELECT n FROM prm) / ${GraphServe.QueryTarget}.0) AS BIGINT)) AS mq,
-         |    greatest(1, CAST(ceil((SELECT n FROM prm) / ${GraphServe.Entries}.0) AS BIGINT)) AS se),
+         |    ${GraphServe.upperModulusSql("SELECT n FROM prm")} AS se),
          |qs AS MATERIALIZED (SELECT id AS q, v AS qv FROM el
          |  WHERE id % (SELECT mq FROM qprm) = (SELECT mq FROM qprm) - 1),
-         |entx AS (SELECT id AS node FROM el WHERE id % (SELECT se FROM qprm) = 0),
+         |entx AS (SELECT id AS node FROM el WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM qprm")}),
          |${Preds.map { case (tag, _, sql) => predBlock(tag, sql) }.mkString(",\n")}
          |${Preds.flatMap { case (tag, _, _) =>
               Seq(armRow(tag, "pre"), armRow(tag, "post")) }

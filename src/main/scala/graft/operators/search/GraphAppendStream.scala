@@ -47,7 +47,7 @@ object GraphAppendStream extends QueryModule {
         col("vec_id") % GraphIndex.AppendMod =!= GraphIndex.NewResidue)
       val gOld = KnnGraph.nnDescentRounds(oldEmb,
         s"$dir#old${GraphIndex.AppendMod}${GraphIndex.NewResidue}",
-        K, KnnGraph.Rounds).last
+        GraphIndex.Degree, KnnGraph.Rounds).last
       val idx = AnnQueries.scratch(
         s"graft_graph_appstream_v${GraphIndex.BuildVersion}", dir)
       GraphIndex.build(spark, idx, gOld, oldEmb.count())
@@ -138,8 +138,9 @@ object GraphAppendStream extends QueryModule {
        |sund$t AS MATERIALIZED (SELECT i, j FROM $prevGraph
        |  UNION SELECT j AS i, i AS j FROM $prevGraph),
        |snn$t AS (SELECT count(*) AS n FROM src$t),
-       |sprm$t AS (SELECT greatest(1, CAST(ceil((SELECT n FROM snn$t) / ${GraphIndex.Entries}.0) AS BIGINT)) AS se),
-       |oent$t AS (SELECT id AS j FROM src$t WHERE id % (SELECT se FROM sprm$t) = 0),
+       |sprm$t AS (SELECT ${GraphServe.upperModulusSql(s"SELECT n FROM snn$t")} AS se),
+       |oent$t AS (SELECT id AS j FROM src$t
+       |  WHERE ${GraphServe.entryPickSql("id", s"SELECT se FROM sprm$t")}),
        |is${t}0 AS (SELECT qq.q, oent$t.j, round(list_cosine_similarity(qq.qv, s.v), 6) AS sim
        |  FROM qn$t qq CROSS JOIN oent$t JOIN src$t s ON s.id = oent$t.j
        |  WHERE oent$t.j <> qq.q),
@@ -149,7 +150,7 @@ object GraphAppendStream extends QueryModule {
        |${rounds.mkString(",\n")},
        |newe$t AS MATERIALIZED (SELECT q AS i, j, sim FROM (
        |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM ib$t${GraphIndex.InsertRounds}) WHERE rn <= $K),
+       |    FROM ib$t${GraphIndex.InsertRounds}) WHERE rn <= ${GraphIndex.Degree}),
        |mrg$t AS MATERIALIZED (SELECT i, j, sim FROM $prevGraph
        |  UNION ALL SELECT i, j, sim FROM newe$t),
        |nb$t AS (SELECT i AS mid FROM newe$t UNION SELECT j AS mid FROM newe$t),
@@ -166,7 +167,7 @@ object GraphAppendStream extends QueryModule {
        |mpool$t AS (SELECT i, j, sim FROM msc$t UNION SELECT i, j, sim FROM mrg$t),
        |gs$t AS MATERIALIZED (SELECT i, j, sim FROM (
        |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM mpool$t) WHERE rn <= $K)""".stripMargin
+       |    FROM mpool$t) WHERE rn <= ${GraphIndex.Degree})""".stripMargin
   }
 
   private def phaseRow(ord: Int, name: String, g: String): String =

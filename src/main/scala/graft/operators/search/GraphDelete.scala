@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object GraphDelete extends QueryModule {
 
-  /** Graded depth and kept degree, matching the build. */
+  /** Graded depth (exact top-K membership). */
   val K = KnnGraph.K
+
+  /** Kept edges per node, matching the build ([[KnnGraph.Degree]]). */
+  val Degree = KnnGraph.Degree
 
   /** Delete every id ≡ 0 (mod DeleteMod) — a 20% deletion batch. */
   val DeleteMod = 5
@@ -71,7 +74,7 @@ object GraphDelete extends QueryModule {
       val scored = cand.join(ea, Seq("i")).join(eb, Seq("j"))
         .select(col("i"), col("j"),
           round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
-      val repaired = topK(scored.unionByName(dropped).dropDuplicates("i", "j"), K)
+      val repaired = topK(scored.unionByName(dropped).dropDuplicates("i", "j"), Degree)
         .localCheckpoint(true)
       (dropped, repaired)
     }
@@ -130,7 +133,7 @@ object GraphDelete extends QueryModule {
          |dp AS (SELECT i, j, sim FROM ds UNION SELECT i, j, sim FROM gd),
          |rep AS MATERIALIZED (SELECT i, j, sim FROM (
          |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-         |    FROM dp) WHERE rn <= $K),
+         |    FROM dp) WHERE rn <= $Degree),
          |surv AS MATERIALIZED (SELECT id, v FROM e WHERE id % $DeleteMod <> 0),
          |evm AS (SELECT CASE WHEN m % $DeleteMod = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS (SELECT id, v FROM surv WHERE id % (SELECT m FROM evm) = 0),

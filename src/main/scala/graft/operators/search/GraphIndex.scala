@@ -49,8 +49,11 @@ import org.apache.spark.sql.functions._
   */
 object GraphIndex extends QueryModule {
 
-  /** Kept degree / graded depth, matching the build. */
+  /** Graded depth (exact top-K membership). */
   val K = KnnGraph.K
+
+  /** Kept edges per node, matching the build ([[KnnGraph.Degree]]). */
+  val Degree = KnnGraph.Degree
 
   /** Edge-list buckets — the append-rewrite granularity. Sized so one
     * bucket ≈ n·K/NumBuckets edges stays a few files; at 10^11 nodes
@@ -64,9 +67,6 @@ object GraphIndex extends QueryModule {
   /** Beam-expansion rounds for the insertion search. */
   val InsertRounds = 2
 
-  /** Entry-point count target over the OLD nodes (ids ≡ 0 mod se). */
-  val Entries = GraphServe.Entries
-
   /** q_graph_append's arithmetic batch split: ids ≡ NewResidue (mod
     * AppendMod) are the 20% "new" batch; the rest is the half build. */
   val AppendMod = 5
@@ -75,8 +75,9 @@ object GraphIndex extends QueryModule {
   /** Bump when the BUILD semantics or the meta schema change: the
     * version is pinned in the artifact's meta sidecar and a mismatch
     * makes [[finalGraph]] rebuild instead of serving a stale graph.
-    * v2: meta carries a corpus content fingerprint. */
-  val BuildVersion = 2
+    * v2: meta carries a corpus content fingerprint. v3: 4-round
+    * converged descent + √n upper-layer entries. */
+  val BuildVersion = 3
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -145,7 +146,7 @@ object GraphIndex extends QueryModule {
   private def writeMeta(spark: SparkSession, indexPath: String, n: Long,
                         fp: Long): Unit = {
     import spark.implicits._
-    Seq((n, K, KnnGraph.Rounds, BuildVersion, fp))
+    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fp))
       .toDF("n", "k", "rounds", "build_version", "corpus_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
   }
@@ -176,7 +177,8 @@ object GraphIndex extends QueryModule {
     * graph), the streaming serve, and the filtered serve's two arms.
     * Unlike [[GraphServe]]'s sample-bounded serve, the query side is
     * joined, never broadcast, so the batch can be any size; `entries`
-    * is the only driver-bounded frame (≤ [[Entries]] rows, broadcast).
+    * is the only broadcast frame (the √n upper layer — a few MB of ids
+    * even at 10^11 nodes).
     * The query point is excluded (j ≠ q — the GraphServe contract; a
     * no-op when query ids are disjoint from the corpus, as in append).
     * Returns the final beam (q, rk, j, sim), ≤ `beam` rows per query.
@@ -212,16 +214,18 @@ object GraphIndex extends QueryModule {
   private[search] def appendedGraph(spark: SparkSession, gOld: DataFrame,
                                     oldEmb: DataFrame, newEmb: DataFrame): (DataFrame, DataFrame) = {
     val nOld = oldEmb.count()
-    val se = math.max(1L, math.ceil(nOld / Entries.toDouble).toLong)
+    val se = GraphServe.upperModulus(nOld)
     val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
-    // phase 1: insertion beam over the old graph ----------------------
-    val entries = oldEmb.filter(col("vec_id") % se === 0)
+    // phase 1: insertion beam over the old graph, entering through the
+    // √n upper layer (GraphServe.upperModulus — the HNSW insert descends
+    // the same hierarchy the serve does) ------------------------------
+    val entries = oldEmb.filter(GraphServe.entryPick(col("vec_id"), se))
       .select(col("vec_id").as("j"))
     val oldUnd = und(gOld).localCheckpoint(true)
     // the final beam is already ranked (sim DESC, j) — its top-K prefix
     // IS the adopted neighbor list
     val bFinal = beamSearch(qs, oldUnd, oldEmb, entries, InsertBeam, InsertRounds)
-    val newEdges = bFinal.filter(col("rk") <= K)
+    val newEdges = bFinal.filter(col("rk") <= Degree)
       .select(col("q").as("i"), col("j"), col("sim"))
     // phase 2: one descent round through the new neighborhoods --------
     val fullEmb = oldEmb.unionByName(newEmb)
@@ -240,7 +244,7 @@ object GraphIndex extends QueryModule {
     val pool = score(cand, fullEmb)
       .unionByName(merged0.join(changedI, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
-    val repaired = topKPer(pool, "i", K)
+    val repaired = topKPer(pool, "i", Degree)
     val gNew = merged0.join(changedI, Seq("i"), "left_anti")
       .unionByName(repaired).localCheckpoint(true)
     (gNew, changedI)
@@ -279,7 +283,7 @@ object GraphIndex extends QueryModule {
     val pool = score(cand, emb)
       .unionByName(dropped.join(degraded, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
-    val repaired = topKPer(pool, "i", K)
+    val repaired = topKPer(pool, "i", Degree)
     val gNew = dropped.join(degraded, Seq("i"), "left_anti")
       .unionByName(repaired).localCheckpoint(true)
     val changed = degraded.unionByName(ids.select(col("vec_id").as("i"))).distinct()
@@ -413,7 +417,7 @@ object GraphIndex extends QueryModule {
       val n = emb.count()
       val fp = corpusFingerprint(emb)
       if (!validArtifact(spark, idx, n, fp)) {
-        val g = KnnGraph.nnDescentRounds(emb, dir, K, KnnGraph.Rounds).last
+        val g = KnnGraph.nnDescentRounds(emb, dir, Degree, KnnGraph.Rounds).last
         build(spark, idx, g, n, fp)
       }
       edges(spark, idx).localCheckpoint(true)
@@ -426,7 +430,7 @@ object GraphIndex extends QueryModule {
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(meta) && fs.exists(new Path(s"$idx/edges")) && {
       val m = spark.read.parquet(meta.toString).head()
-      m.getAs[Long]("n") == n && m.getAs[Int]("k") == K &&
+      m.getAs[Long]("n") == n && m.getAs[Int]("k") == Degree &&
         m.getAs[Int]("rounds") == KnnGraph.Rounds &&
         m.getAs[Int]("build_version") == BuildVersion &&
         m.getAs[Long]("corpus_fp") == fp
@@ -446,7 +450,7 @@ object GraphIndex extends QueryModule {
       val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
       val newEmb = emb.filter(col("vec_id") % AppendMod === NewResidue)
       val gOld = KnnGraph.nnDescentRounds(oldEmb, s"$dir#old$AppendMod$NewResidue",
-        K, KnnGraph.Rounds).last
+        Degree, KnnGraph.Rounds).last
       val idx = AnnQueries.scratch(s"graft_graph_append_v$BuildVersion", dir)
       build(spark, idx, gOld, oldEmb.count())
       append(spark, idx, oldEmb, newEmb)
@@ -553,8 +557,8 @@ object GraphIndex extends QueryModule {
        |qn AS MATERIALIZED (SELECT id AS q, v AS qv FROM fe WHERE id % $AppendMod = $NewResidue),
        |ound AS MATERIALIZED (SELECT i, j FROM og${KnnGraph.Rounds}
        |  UNION SELECT j AS i, i AS j FROM og${KnnGraph.Rounds}),
-       |sprm AS (SELECT greatest(1, CAST(ceil((SELECT n FROM oprm) / $Entries.0) AS BIGINT)) AS se),
-       |oent AS (SELECT id AS j FROM oe WHERE id % (SELECT se FROM sprm) = 0),
+       |sprm AS (SELECT ${GraphServe.upperModulusSql("SELECT n FROM oprm")} AS se),
+       |oent AS (SELECT id AS j FROM oe WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
        |is0 AS (SELECT qn.q, oent.j, round(list_cosine_similarity(qn.qv, oe.v), 6) AS sim
        |  FROM qn CROSS JOIN oent JOIN oe ON oe.id = oent.j WHERE oent.j <> qn.q),
        |ib0 AS MATERIALIZED (SELECT q, j, sim FROM (
@@ -563,7 +567,7 @@ object GraphIndex extends QueryModule {
        |${(1 to InsertRounds).map(insertCtes).mkString(",\n")},
        |newe AS MATERIALIZED (SELECT q AS i, j, sim FROM (
        |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM ib$InsertRounds) WHERE rn <= $K),
+       |    FROM ib$InsertRounds) WHERE rn <= $Degree),
        |mrg AS MATERIALIZED (SELECT i, j, sim FROM og${KnnGraph.Rounds} UNION ALL SELECT i, j, sim FROM newe),
        |nb AS (SELECT i AS mid FROM newe UNION SELECT j AS mid FROM newe),
        |mund AS MATERIALIZED (SELECT i, j FROM mrg UNION SELECT j AS i, i AS j FROM mrg),
@@ -576,7 +580,7 @@ object GraphIndex extends QueryModule {
        |mpool AS (SELECT i, j, sim FROM msc UNION SELECT i, j, sim FROM mrg),
        |gapp AS MATERIALIZED (SELECT i, j, sim FROM (
        |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM mpool) WHERE rn <= $K)""".stripMargin
+       |    FROM mpool) WHERE rn <= $Degree)""".stripMargin
 
   private def phaseRow(ord: Int, name: String, g: String, exact: String,
                        nev: String): String =

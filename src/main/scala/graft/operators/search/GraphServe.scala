@@ -2,7 +2,7 @@ package graft.operators.search
 
 import graft.QueryModule
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph-based ANN SERVE: bounded-round distributed beam search over the
@@ -40,17 +40,64 @@ object GraphServe extends QueryModule {
   /** Graded result depth per query. */
   val K = 10
 
-  /** Default beam width per query (≥ K for the monotone-recall contract). */
-  val Beam = 20
+  /** Default beam width per query (≥ K for the monotone-recall
+    * contract) — HNSW's efSearch, sized WITH the degree: on this
+    * structureless corpus (see [[KnnGraph.Degree]]) beam 20 over the
+    * degree-20 graph graded ~0.85; 40 grades ≥ 0.95 at the gate scales
+    * and ≥ 0.92 at sf0.1 — the ef ≈ 2·M operating point HNSW ships. */
+  val Beam = 40
 
-  /** Swept beam widths — the serve-side recall/latency tuning knob. */
+  /** Swept beam widths — the serve-side recall/latency tuning knob
+    * (q_beam_sweep's ef curve; the default sits at the top arm). */
   val SweepBeams = Seq(10, 20, 40)
 
   /** Beam-expansion rounds after entry-point scoring (round 0 = entries). */
   val Rounds = 3
 
-  /** Entry-point count target: ids ≡ 0 (mod ceil(n/Entries)). */
+  /** Legacy fixed entry-point count; still the PRE-FILTER arm's matching
+    * entry budget ([[FilteredGraphServe]]). The serve itself enters
+    * through the √n upper layer ([[upperModulus]]) instead. */
   val Entries = 8
+
+  /** The COARSE UPPER LAYER — the "H" of HNSW, Spark-shaped: entry
+    * points are the ~√n ids ≡ 0 (mod upperModulus(n)), and round 0
+    * scores each query against ALL of them, so the top-beam prefix that
+    * seeds the walk is already query-local (the IVF-centroid trick
+    * applied to the graph; HNSW's upper layers serve exactly this
+    * role). Cost: √n scorings per query in round 0 — the two-layer
+    * operating point; at 10^11 nodes add a third layer by beam-walking
+    * the upper layer's own subgraph instead of brute-forcing it, the
+    * same recursion HNSW applies. Stride entries (8 fixed ids) capped
+    * serve recall at 0.754 at sf0.001; the upper layer is what lifts
+    * entry distance from O(n) to O(√n)-bounded. */
+  def upperModulus(n: Long): Long =
+    math.max(1L, math.ceil(n / math.ceil(math.sqrt(n.toDouble))).toLong)
+
+  /** DuckDB replay of [[upperModulus]] over a scalar subquery `nSql`
+    * (same double arithmetic: bigint/ceil(sqrt) division, then ceil). */
+  private[search] def upperModulusSql(nSql: String): String =
+    s"greatest(1, CAST(ceil(($nSql) / ceil(sqrt(($nSql)))) AS BIGINT))"
+
+  /** Hole-proof upper-layer membership: the engine-exact multiplicative
+    * id hash ([[graft.operators.sampling.SamplingQueries.prio]]) modulo
+    * the √n stride, instead of a raw `id % se` stride. A raw stride
+    * assumes a DENSE id space and annihilates when the stride shares a
+    * factor with an arithmetic survivor split — se=21 over a %7-deleted
+    * corpus leaves ZERO entries and every insertion beam comes back
+    * empty (caught by GraphIndexLifecycleSpec's upsert law). The hash
+    * scrambles residue classes, so ~n/se entries survive ANY id space:
+    * delete-split survivors, sparse ScaleCorpus ids, production hash
+    * ids. Pure map-side filter (no global sort) and exact BIGINT
+    * arithmetic in both engines. */
+  private[search] def entryPick(id: Column, se: Long): Column =
+    graft.operators.sampling.SamplingQueries.prio(id) % lit(se) === 0
+
+  /** The same predicate in DuckDB SQL (sign-normalized like pmod). */
+  private[search] def entryPickSql(idSql: String, seSql: String): String = {
+    val m = graft.operators.sampling.SamplingQueries.SplitMod
+    val c = graft.operators.sampling.SamplingQueries.Mult
+    s"((((($idSql % $m) + $m) % $m) * $c) % $m) % ($seSql) = 0"
+  }
 
   /** Query-sample size target: ids ≡ mq−1 (mod mq), mq = max(2, ceil(n/target)). */
   val QueryTarget = 1000L
@@ -142,12 +189,13 @@ object GraphServe extends QueryModule {
     val g = GraphIndex.finalGraph(spark, dir)
     val und = pinned(GraphIndex.und(g))
     val qs = qsFor(spark, dir)
-    val se = math.max(1L, math.ceil(n / Entries.toDouble).toLong)
-    // constant-key equi-join (not a cross join): the entry set is
-    // Entries-sized, so this is a broadcast hash join, never a BNLJ
+    val se = upperModulus(n)
+    // constant-key equi-join (not a cross join): the upper layer is
+    // √n-sized (a few MB of ids even at 10^11 nodes), so this is a
+    // broadcast hash join, never a BNLJ
     val entryPairs = qs.select(col("q")).withColumn("one", lit(1))
       .join(broadcast(
-        emb.filter(col("vec_id") % se === 0)
+        emb.filter(entryPick(col("vec_id"), se))
           .select(col("vec_id").as("node")).withColumn("one", lit(1))), Seq("one"))
       .select(col("q"), col("node"))
     val b0 = pinned(topPer(scored(entryPairs, emb, qs), beam))
@@ -209,11 +257,11 @@ object GraphServe extends QueryModule {
        |und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
        |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
        |qprm AS MATERIALIZED (SELECT greatest(2, CAST(ceil((SELECT n FROM prm) / $QueryTarget.0) AS BIGINT)) AS mq,
-       |    greatest(1, CAST(ceil((SELECT n FROM prm) / $Entries.0) AS BIGINT)) AS se),
+       |    ${upperModulusSql("SELECT n FROM prm")} AS se),
        |qs AS MATERIALIZED (SELECT id AS q, v AS qv FROM e
        |  WHERE id % (SELECT mq FROM qprm) = (SELECT mq FROM qprm) - 1),
        |nev AS (SELECT count(*) AS n_eval FROM qs),
-       |ent AS (SELECT id AS node FROM e WHERE id % (SELECT se FROM qprm) = 0),
+       |ent AS (SELECT id AS node FROM e WHERE ${entryPickSql("id", "SELECT se FROM qprm")}),
        |es AS (SELECT qs.q, ent.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
        |  FROM qs CROSS JOIN ent JOIN e ON e.id = ent.node WHERE ent.node <> qs.q),
        |exact AS MATERIALIZED (SELECT q, node FROM (

@@ -30,8 +30,9 @@ object GraphServeStream extends QueryModule {
     import java.nio.file.Paths
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
-    val se = math.max(1L, math.ceil(n / GraphServe.Entries.toDouble).toLong)
-    val entries = emb.filter(col("vec_id") % se === 0).select(col("vec_id").as("j"))
+    val se = GraphServe.upperModulus(n)
+    val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
+      .select(col("vec_id").as("j"))
     val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
       .localCheckpoint(true)
     val qs = GraphServe.qsFor(spark, dir)

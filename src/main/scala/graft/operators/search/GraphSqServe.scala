@@ -54,8 +54,9 @@ object GraphSqServe extends QueryModule {
       val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
         .localCheckpoint(true)
       val qs = GraphServe.qsFor(spark, dir)
-      val se = math.max(1L, math.ceil(n / GraphServe.Entries.toDouble).toLong)
-      val entries = emb.filter(col("vec_id") % se === 0).select(col("vec_id").as("j"))
+      val se = GraphServe.upperModulus(n)
+      val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
+        .select(col("vec_id").as("j"))
       val sqBeam = GraphIndex.beamSearch(qs, undAdj, dqEmb, entries,
         GraphServe.Beam, GraphServe.Rounds)
       val sqTop = sqBeam.filter(col("rk") <= K)

@@ -30,8 +30,9 @@ class FilteredGraphServeSpec extends SparkSpec {
   }
 
   test("post-filter with adaptive over-fetch reaches serve-grade recall on both predicates") {
-    assert(arm("wide", "post").getAs[Double]("recall") >= 0.6)
-    assert(arm("narrow", "post").getAs[Double]("recall") >= 0.6)
+    // deg-20 graph + √n entries + adaptive width: 0.9024 / 0.9592 here
+    assert(arm("wide", "post").getAs[Double]("recall") >= 0.85)
+    assert(arm("narrow", "post").getAs[Double]("recall") >= 0.85)
   }
 
   test("the wide pre arm documents the filtered-subgraph connectivity failure") {

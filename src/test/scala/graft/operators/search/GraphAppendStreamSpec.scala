@@ -11,7 +11,7 @@ class GraphAppendStreamSpec extends SparkSpec {
   test("streamed micro-batch ingest stays in the one-shot append's recall class") {
     val streamed = phase("streamed").getAs[Double]("recall")
     val oneshot = phase("oneshot").getAs[Double]("recall")
-    // sequential appends BEAT the bulk append here (0.582 vs 0.458 at
+    // sequential appends BEAT the bulk append here (0.991 vs 0.9868 at
     // sf0.001): each batch's insertion beams walk a graph already
     // holding the previous batches, and every batch runs its own
     // restricted repair round. The law is one-sided — streamed ingest
@@ -19,14 +19,14 @@ class GraphAppendStreamSpec extends SparkSpec {
     // continuous ingest degrades the index over time
     assert(streamed >= oneshot - 0.05,
       s"streamed $streamed trails oneshot $oneshot — incremental ingest degrades")
-    assert(streamed >= 0.25, s"streamed recall $streamed")
+    assert(streamed >= 0.9, s"streamed recall $streamed")
   }
 
   test("the streamed artifact indexes every id with bounded degree and no self-loops") {
     val g = GraphAppendStream.streamedGraph(spark, SfDir).collect()
     assert(g.forall(r => r.getLong(0) != r.getLong(1)))
     val deg = g.groupBy(_.getLong(0)).map(_._2.length)
-    assert(deg.max <= GraphAppendStream.K)
+    assert(deg.max <= GraphIndex.Degree)
     val n = graft.Tables.embeddings(spark, SfDir).count()
     assert(g.map(_.getLong(0)).toSet.size.toLong === n,
       "an id has no out-edges after the streamed ingest")

@@ -20,7 +20,7 @@ class GraphDeleteSpec extends SparkSpec {
   test("repair keeps at most K edges per node and only improves each node's best neighbor") {
     val (dropped, repaired) = GraphDelete.droppedAndRepaired(spark, SfDir)
     val deg = repaired.collect().groupBy(_.getLong(0)).map(_._2.length)
-    assert(deg.max <= GraphDelete.K)
+    assert(deg.max <= GraphDelete.Degree)
     // the top-of-pool is monotone: repair pools are supersets per node
     // (the WORST kept sim may legitimately fall when repair fills slots
     // a deleted neighbor vacated — more edges, lower tail)

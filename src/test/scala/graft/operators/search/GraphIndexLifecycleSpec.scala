@@ -39,7 +39,7 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     assert(untouchedBefore.subsetOf(after),
       "a non-degraded survivor's edge list changed during delete")
     val deg = after.groupBy(_._1).map(_._2.size)
-    assert(deg.max <= GraphIndex.K)
+    assert(deg.max <= GraphIndex.Degree)
     val meta = spark.read.parquet(s"$idx/meta").head()
     assert(meta.getAs[Long]("n") === surv.count(), "meta n not decremented")
   }
@@ -54,7 +54,7 @@ class GraphIndexLifecycleSpec extends SparkSpec {
       "an id is missing as a source after upsert")
     assert(after.forall { case (i, j) => i != j })
     val deg = after.groupBy(_._1).map(_._2.size)
-    assert(deg.max <= GraphIndex.K && deg.min >= 1)
+    assert(deg.max <= GraphIndex.Degree && deg.min >= 1)
     val meta = spark.read.parquet(s"$idx/meta").head()
     assert(meta.getAs[Long]("n") === n, "meta n not restored by upsert")
   }

@@ -57,11 +57,11 @@ class GraphServeSpec extends SparkSpec {
     }
   }
 
-  test("the serve reaches useful recall by the final round") {
-    // the graph build itself grades ≥0.9 recall by round 2 on this corpus;
-    // beam search over it from 8 entry points must recover most of the
-    // exact top-10 — the index answers queries, not just self-joins
-    assert(out.last.getAs[Double]("recall") >= 0.6,
+  test("the serve reaches HNSW-deployment-grade recall by the final round") {
+    // degree-20 build + √n upper-layer entries + beam 40 grade 0.9992
+    // at this scale and ≥0.92 at sf0.1 — the ≥0.9 bar is the r10
+    // verdict's done-criterion for the index the thesis optimizes
+    assert(out.last.getAs[Double]("recall") >= 0.9,
       s"final serve recall ${out.last.getAs[Double]("recall")} — beam search is not finding the graph's neighborhoods")
   }
 

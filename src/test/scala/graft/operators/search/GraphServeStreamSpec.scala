@@ -21,8 +21,9 @@ class GraphServeStreamSpec extends SparkSpec {
   test("micro-batched serve is row-identical to a direct batch serve over the same artifact") {
     val emb = KnnGraph.e(spark, SfDir)
     val n = emb.count()
-    val se = math.max(1L, math.ceil(n / GraphServe.Entries.toDouble).toLong)
-    val entries = emb.filter(col("vec_id") % se === 0).select(col("vec_id").as("j"))
+    val se = GraphServe.upperModulus(n)
+    val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
+      .select(col("vec_id").as("j"))
     val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, SfDir))
     val direct = GraphIndex.beamSearch(GraphServe.qsFor(spark, SfDir), undAdj,
         emb, entries, GraphServe.Beam, GraphServe.Rounds)

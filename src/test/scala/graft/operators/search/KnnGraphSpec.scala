@@ -8,14 +8,14 @@ class KnnGraphSpec extends SparkSpec {
   private lazy val emb = graft.Tables.embeddings(spark, SfDir)
     .select(col("vec_id"), col("embedding"))
 
-  private lazy val rounds = KnnGraph.nnDescentRounds(emb, SfDir, KnnGraph.K, KnnGraph.Rounds)
+  private lazy val rounds = KnnGraph.nnDescentRounds(emb, SfDir, KnnGraph.Degree, KnnGraph.Rounds)
 
   test("every round keeps at most K neighbors per node, none a self-loop") {
     rounds.foreach { g =>
       val rows = g.collect()
       assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-loop edge")
       val deg = rows.groupBy(_.getLong(0)).map(_._2.length)
-      assert(deg.max <= KnnGraph.K)
+      assert(deg.max <= KnnGraph.Degree)
     }
   }
 
@@ -62,13 +62,13 @@ class KnnGraphSpec extends SparkSpec {
       assert(b >= a, s"recall fell across rounds: $recalls")
     }
     val n = emb.count()
-    out.foreach(r => assert(r.getAs[Long]("n_edges") <= n * KnnGraph.K))
+    out.foreach(r => assert(r.getAs[Long]("n_edges") <= n * KnnGraph.Degree))
   }
 
   test("the descent is deterministic: a fresh un-memoized build produces identical edge sets") {
     val a = rounds.last.select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = KnnGraph.buildRounds(emb, KnnGraph.K, KnnGraph.Rounds)
+    val b = KnnGraph.buildRounds(emb, KnnGraph.Degree, KnnGraph.Rounds)
       .last.select("i", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)

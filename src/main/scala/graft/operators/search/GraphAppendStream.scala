@@ -50,7 +50,7 @@ object GraphAppendStream extends QueryModule {
         GraphIndex.Degree, KnnGraph.Rounds).last
       val idx = AnnQueries.scratch(
         s"graft_graph_appstream_v${GraphIndex.BuildVersion}", dir)
-      GraphIndex.build(spark, idx, gOld, oldEmb.count())
+      GraphIndex.build(spark, idx, gOld, oldEmb)
       val stage = java.nio.file.Files.createTempDirectory("graft_appstream_in")
       graft.Fs.deleteAtExit(stage)
       graft.Fs.stageParts(stage, BatchResidues.map(r =>
@@ -65,6 +65,13 @@ object GraphAppendStream extends QueryModule {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft_appstream_ck").toString)
           .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // a source retry, a coalesced trigger, or a checkpoint replay
+            // would deliver an id outside the pinned sequence — diagnose
+            // it loudly instead of an IndexOutOfBoundsException
+            require(batchId >= 0 && batchId < BatchResidues.size,
+              s"micro-batch id $batchId outside the pinned ingest order " +
+                s"(expected 0..${BatchResidues.size - 1}) — " +
+                "file-source ordering broke the pinned ingest order")
             val res = BatchResidues(batchId.toInt)
             val rows = batch.toDF().localCheckpoint(true)
             // the ingest semantics depend on arrival order — verify the

@@ -76,8 +76,11 @@ object GraphIndex extends QueryModule {
     * version is pinned in the artifact's meta sidecar and a mismatch
     * makes [[finalGraph]] rebuild instead of serving a stale graph.
     * v2: meta carries a corpus content fingerprint. v3: 4-round
-    * converged descent + √n upper-layer entries. */
-  val BuildVersion = 3
+    * converged descent + √n upper-layer entries. v4: meta carries the
+    * RAW fingerprint accumulator + last-batch fingerprint and the
+    * artifact carries a `nodes` (id, hash) sidecar, so append/delete
+    * fold the batch delta instead of re-scanning the corpus. */
+  val BuildVersion = 4
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -104,16 +107,32 @@ object GraphIndex extends QueryModule {
 
   /** Write a full edge list as a fresh artifact: bucketed by source node,
     * one file per bucket ([[IvfIndex.buildFrom]] discipline), plus the
-    * meta sidecar. Overwrite is whole-directory — the incremental path is
-    * [[append]]. */
+    * `nodes` (id, content hash) sidecar — same bucketing, one row per
+    * corpus vector, what lets [[delete]] subtract exactly the deleted
+    * rows' hashes without rescanning survivors — and the meta sidecar
+    * pinning (n, raw fingerprint accumulator). Overwrite is
+    * whole-directory — the incremental path is [[append]]. One full
+    * corpus scan, paid at BUILD time (the one place O(corpus) belongs). */
   def build(spark: SparkSession, indexPath: String, graph: DataFrame,
-            n: Long, fp: Long = 0L): Unit = {
+            emb: DataFrame): Unit = {
     graph.select(col("i"), col("j"), col("sim"))
       .withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/edges")
-    writeMeta(spark, indexPath, n, fp)
+    nodesOf(emb)
+      .withColumn("bucket", pmod(col("id"), lit(NumBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/nodes")
+    val (n, acc) = countAndAcc(emb)
+    writeMeta(spark, indexPath, n, acc, 0L)
   }
+
+  /** One (id, content hash) row per corpus vector — the rows the
+    * `nodes` sidecar holds. The hash is the [[corpusFingerprint]]
+    * per-row term, so Σh over nodes ≡ the raw meta accumulator. */
+  private def nodesOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("id"),
+      xxhash64(col("vec_id"), col("embedding")).as("h"))
 
   /** The live edge list (i, j, sim). */
   def edges(spark: SparkSession, indexPath: String): DataFrame =
@@ -125,46 +144,105 @@ object GraphIndex extends QueryModule {
     * buckets whose nodes changed (rename-aside + rename-in per bucket,
     * recovered on the next call after a crash — the IvfIndex.delete
     * swap discipline). `oldEmb`/`newEmb` carry (vec_id, embedding); ids
-    * must be disjoint. */
+    * must be disjoint.
+    *
+    * '''O(batch) bookkeeping''': meta n and the fingerprint accumulator
+    * fold the batch delta (n+|batch|, acc+Σhash(batch)) — ZERO
+    * full-corpus scans per call, which is what lets
+    * [[GraphAppendStream]] commit a micro-batch without re-reading a
+    * 100 TB corpus (spec-asserted via [[fingerprintScans]]). The full
+    * recompute survives only as [[validArtifact]]'s audit.
+    *
+    * '''Crash-retry contract''': meta commits FIRST carrying the
+    * batch's content fingerprint; the bucket swaps follow. A crash
+    * anywhere in between is healed by REPLAYING THE SAME BATCH (the
+    * foreachBatch/checkpoint contract): a replay whose fingerprint
+    * matches meta's `last_batch_fp` skips the fold (meta already
+    * reflects the batch), and the graph/nodes swaps are convergent
+    * under replay. Out-of-order replays are NOT supported — the
+    * streaming ingest's residue guard enforces ordering. */
   def append(spark: SparkSession, indexPath: String,
              oldEmb: DataFrame, newEmb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
-    val gNew = appendedGraph(spark, gOld, oldEmb, newEmb)
-    val changed = gNew._2
+    val (nOld, accOld, lastFp) = readMeta(spark, indexPath)
+    val (cntB, accB) = countAndAcc(newEmb) // one O(batch) scan
+    val fpB = batchFp(OpAppend, cntB, accB)
+    val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld)
     val touched = changed
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
-    swapBuckets(spark, indexPath, gNew._1, touched)
-    // meta n is recomputed from the caller's frames (the post-append
-    // corpus), never by arithmetic on the stored meta: under crash-retry
-    // a repeated delete/append must CONVERGE, and a blind increment
-    // double-counts a replayed batch
-    writeMeta(spark, indexPath, oldEmb.count() + newEmb.count(),
-      corpusFingerprint(oldEmb.unionByName(newEmb)))
+    if (lastFp != fpB)
+      writeMeta(spark, indexPath, nOld + cntB, accOld.add(accB), fpB)
+    val batchNodes = nodesOf(newEmb).localCheckpoint(true)
+    val touchedN = batchNodes
+      .select(pmod(col("id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    // partition-pruned union: only the batch's buckets are read back;
+    // dropDuplicates makes a replayed batch a no-op (same id, same h)
+    val nodesNew = nodes(spark, indexPath)
+      .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
+      .unionByName(batchNodes).dropDuplicates("id")
+    swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
+    swapDataset(spark, indexPath, "edges", "i",
+      gNew.select(col("i"), col("j"), col("sim")), touched)
   }
 
+  /** Raw per-batch content fingerprint: mixes the batch's hash
+    * accumulator, row count, and the operation tag. Deterministic from
+    * the CALLER's arguments alone, so a checkpoint replay reproduces it
+    * byte-exact regardless of artifact state. */
+  private def batchFp(op: Long, cnt: Long, acc: java.math.BigInteger): Long =
+    fold(acc) ^ java.lang.Long.rotateLeft(cnt, 17) ^ op
+  private val OpAppend = 0x5ca1ab1e0a99e4dL
+  private val OpDelete = 0x0de1e7e0f00dfaceL
+
+  /** (row count, raw Σ xxhash64(id, embedding)) of a frame in ONE scan.
+    * The decimal(38,0) accumulator is exact (full-range int64 hashes
+    * summed as BIGINT overflow under ANSI after a handful of rows;
+    * 38 digits hold ~1e19 rows' worth). */
+  private def countAndAcc(emb: DataFrame): (Long, java.math.BigInteger) = {
+    val r = emb.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigInteger.ZERO else r.getDecimal(1).toBigInteger)
+  }
+
+  private def fold(acc: java.math.BigInteger): Long =
+    acc.mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+
   private def writeMeta(spark: SparkSession, indexPath: String, n: Long,
-                        fp: Long): Unit = {
+                        acc: java.math.BigInteger, lastBatchFp: Long): Unit = {
     import spark.implicits._
-    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fp))
-      .toDF("n", "k", "rounds", "build_version", "corpus_fp")
+    // the RAW accumulator travels as a string: exact, unbounded, and
+    // immune to decimal-precision truncation at any corpus size
+    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fold(acc), acc.toString, lastBatchFp))
+      .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc", "last_batch_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
   }
 
+  private def readMeta(spark: SparkSession,
+                       indexPath: String): (Long, java.math.BigInteger, Long) = {
+    val m = spark.read.parquet(s"$indexPath/meta").head()
+    (m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
+      m.getAs[Long]("last_batch_fp"))
+  }
+
+  /** The live `nodes` sidecar (id, h, bucket). */
+  private def nodes(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/nodes")
+
+  /** Full-corpus fingerprint scans performed — the scale tripwire
+    * [[GraphAppendStreamSpec]] watches: a micro-batch commit must never
+    * increment it (the r10 verdict's O(corpus)-per-append finding). */
+  private[search] val fingerprintScans = new java.util.concurrent.atomic.AtomicLong
+
   /** Order-independent content fingerprint of an embedding frame (sum
-    * of per-row xxhash64 over id+vector): one scan, so [[finalGraph]]
-    * can detect an in-place corpus regeneration that kept the row count
-    * — row-count-only validation silently served a stale graph (r10
-    * review finding). */
+    * of per-row xxhash64 over id+vector): one FULL scan — the audit
+    * path ([[validArtifact]], specs), never the per-batch commit path,
+    * which folds deltas into the stored accumulator instead. */
   private[search] def corpusFingerprint(emb: DataFrame): Long = {
-    // decimal accumulator: full-range int64 hashes summed as BIGINT
-    // overflow under ANSI after a handful of rows; decimal(38,0) holds
-    // ~1e19 rows' worth, folded back to a long at the end
-    val r = emb.agg(sum(
-      xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)"))).head()
-    if (r.isNullAt(0)) 0L
-    else r.getDecimal(0).toBigInteger
-      .mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
+    fingerprintScans.incrementAndGet()
+    fold(countAndAcc(emb)._2)
   }
 
   private def topQ(df: DataFrame, k: Int): DataFrame =
@@ -210,10 +288,12 @@ object GraphIndex extends QueryModule {
   }
 
   /** The append COMPUTE (shared by [[append]] and the replay spec):
-    * returns (full new edge list, changed-node frame). */
+    * returns (full new edge list, changed-node frame). `nOld` comes
+    * from the artifact's meta (not a count over `oldEmb` — the commit
+    * path stays O(batch) in driver-forced actions). */
   private[search] def appendedGraph(spark: SparkSession, gOld: DataFrame,
-                                    oldEmb: DataFrame, newEmb: DataFrame): (DataFrame, DataFrame) = {
-    val nOld = oldEmb.count()
+                                    oldEmb: DataFrame, newEmb: DataFrame,
+                                    nOld: Long): (DataFrame, DataFrame) = {
     val se = GraphServe.upperModulus(nOld)
     val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
     // phase 1: insertion beam over the old graph, entering through the
@@ -257,7 +337,15 @@ object GraphIndex extends QueryModule {
     * that actually changed, so the rewrite (and the repair compute) is
     * proportional to the deletion's blast radius, not the corpus. Only
     * buckets holding degraded or deleted nodes are rewritten. `emb`
-    * must be the SURVIVOR embeddings (deleted ids absent). */
+    * must be the SURVIVOR embeddings (deleted ids absent).
+    *
+    * Bookkeeping is O(blast radius): the deleted rows' content hashes
+    * come from the `nodes` sidecar (partition-pruned to the batch's
+    * buckets), folded OUT of the meta accumulator — never a survivor
+    * rescan. Same meta-first + batch-fingerprint crash-retry contract
+    * as [[append]]; deleting already-absent ids is a no-op by
+    * construction (they contribute no sidecar rows), which is what
+    * makes a replayed [[upsert]] converge. */
   def delete(spark: SparkSession, indexPath: String,
              delIds: DataFrame, emb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
@@ -290,10 +378,31 @@ object GraphIndex extends QueryModule {
     val touched = changed
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    swapBuckets(spark, indexPath, gNew, touched)
-    // survivor count, not meta-minus-batch: deleting already-absent ids
-    // must be a no-op for convergence under retry (see append)
-    writeMeta(spark, indexPath, emb.count(), corpusFingerprint(emb))
+    // the batch fingerprint derives from the CALLER's id frame alone
+    // (ids-only hash), so a replay reproduces it whatever the artifact
+    // state; the fold amount derives from the sidecar, so only ids
+    // actually PRESENT subtract anything
+    val rI = ids.agg(count(lit(1)),
+      sum(xxhash64(col("vec_id")).cast("decimal(38,0)"))).head()
+    val fpD = batchFp(OpDelete, rI.getLong(0),
+      if (rI.isNullAt(1)) java.math.BigInteger.ZERO else rI.getDecimal(1).toBigInteger)
+    val touchedN = ids
+      .select(pmod(col("vec_id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val sidecar = nodes(spark, indexPath)
+      .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
+      .localCheckpoint(true) // pin PRE-swap state for the fold
+    val (nOld, accOld, lastFp) = readMeta(spark, indexPath)
+    if (lastFp != fpD) {
+      val rD = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
+      val accD = if (rD.isNullAt(1)) java.math.BigInteger.ZERO
+                 else rD.getDecimal(1).toBigInteger
+      writeMeta(spark, indexPath, nOld - rD.getLong(0), accOld.subtract(accD), fpD)
+    }
+    val nodesNew = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+    swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
+    swapDataset(spark, indexPath, "edges", "i", gNew, touched)
   }
 
   /** UPSERT = [[delete]] the batch's ids + [[append]] its vectors — the
@@ -312,18 +421,23 @@ object GraphIndex extends QueryModule {
     append(spark, indexPath, survivorEmb, batch)
   }
 
-  /** COMPACT the artifact: rewrite every bucket into one file, healing
-    * the small-file accumulation repeated [[append]]/[[delete]] swaps
-    * leave behind ([[IvfIndex.compact]]'s sibling — at 10^11 edges,
-    * serve-scan latency degrades with file count once buckets
-    * fragment). One scan + one shuffle keyed by bucket, whole-directory
-    * swap via two renames (run without concurrent readers; see the
+  /** COMPACT the artifact: rewrite every bucket of both datasets
+    * (edges + nodes sidecar) into one file each, healing the small-file
+    * accumulation repeated [[append]]/[[delete]] swaps leave behind
+    * ([[IvfIndex.compact]]'s sibling — at 10^11 edges, serve-scan
+    * latency degrades with file count once buckets fragment). One scan
+    * + one shuffle keyed by bucket per dataset, whole-directory swap
+    * via two renames (run without concurrent readers; see the
     * IvfIndex.compact scaladoc for the object-store manifest variant). */
-  def compact(spark: SparkSession, indexPath: String): Unit = {
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    Seq("edges", "nodes").foreach(compactDataset(spark, indexPath, _))
+
+  private def compactDataset(spark: SparkSession, indexPath: String,
+                             dataset: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val data = new Path(s"$indexPath/edges")
-    val fresh = new Path(s"$indexPath/edges_compacting")
-    val old = new Path(s"$indexPath/edges_old")
+    val data = new Path(s"$indexPath/$dataset")
+    val fresh = new Path(s"$indexPath/${dataset}_compacting")
+    val old = new Path(s"$indexPath/${dataset}_old")
     val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(data),
       s"$data missing — a previous compact crashed mid-swap; restore from $old")
@@ -344,16 +458,21 @@ object GraphIndex extends QueryModule {
     fs.delete(old, true)
   }
 
-  /** Rewrite only `touched` bucket dirs of the artifact from `gNew`,
-    * with rename-aside crash recovery (see [[IvfIndex.delete]] — same
-    * contract: a crash mid-swap is healed at the start of the next
-    * call; batch appends so the full-edge-list compute amortizes). */
-  private def swapBuckets(spark: SparkSession, indexPath: String,
-                          gNew: DataFrame, touched: Seq[Long]): Unit = {
+  /** Rewrite only `touched` bucket dirs of one artifact dataset from
+    * `frame` (bucket derived as `keyCol mod NumBuckets`), with
+    * rename-aside crash recovery (see [[IvfIndex.delete]] — same
+    * contract). Recovery restores parked buckets where the live dir is
+    * missing; a crash mid-swap therefore heals into a MIXED
+    * old/new-generation dir set, and correctness depends on the caller
+    * REPLAYING the interrupted batch (the [[append]] crash-retry
+    * contract) — recovery is resume-forward, not rollback. */
+  private def swapDataset(spark: SparkSession, indexPath: String,
+                          dataset: String, keyCol: String,
+                          frame: DataFrame, touched: Seq[Long]): Unit = {
     import org.apache.hadoop.fs.Path
-    val data = new Path(s"$indexPath/edges")
-    val scratch = new Path(s"$indexPath/edges_appending")
-    val trash = new Path(s"$indexPath/edges_app_old")
+    val data = new Path(s"$indexPath/$dataset")
+    val scratch = new Path(s"$indexPath/${dataset}_appending")
+    val trash = new Path(s"$indexPath/${dataset}_app_old")
     val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(data), s"$data missing — not a built graph index")
     if (fs.exists(trash)) {
@@ -367,7 +486,7 @@ object GraphIndex extends QueryModule {
       fs.delete(trash, true)
     }
     fs.delete(scratch, true)
-    gNew.withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
+    frame.withColumn("bucket", pmod(col(keyCol), lit(NumBuckets.toLong)))
       .filter(col("bucket").isin(touched.map(Long.box): _*))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(scratch.toString)
@@ -418,23 +537,29 @@ object GraphIndex extends QueryModule {
       val fp = corpusFingerprint(emb)
       if (!validArtifact(spark, idx, n, fp)) {
         val g = KnnGraph.nnDescentRounds(emb, dir, Degree, KnnGraph.Rounds).last
-        build(spark, idx, g, n, fp)
+        build(spark, idx, g, emb)
       }
       edges(spark, idx).localCheckpoint(true)
     }
 
+  /** The AUDIT path: compares the corpus's recomputed fingerprint with
+    * the artifact's folded accumulator — the one place the full
+    * O(corpus) scan is correct. A corrupt, partial, or unreadable meta
+    * sidecar (crash mid-[[writeMeta]] overwrite) reads as INVALID and
+    * falls through to the rebuild path instead of throwing forever. */
   private[search] def validArtifact(spark: SparkSession, idx: String, n: Long,
                                     fp: Long): Boolean = {
     import org.apache.hadoop.fs.Path
     val meta = new Path(s"$idx/meta")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(meta) && fs.exists(new Path(s"$idx/edges")) && {
-      val m = spark.read.parquet(meta.toString).head()
-      m.getAs[Long]("n") == n && m.getAs[Int]("k") == Degree &&
-        m.getAs[Int]("rounds") == KnnGraph.Rounds &&
-        m.getAs[Int]("build_version") == BuildVersion &&
-        m.getAs[Long]("corpus_fp") == fp
-    }
+    fs.exists(meta) && fs.exists(new Path(s"$idx/edges")) &&
+      scala.util.Try {
+        val m = spark.read.parquet(meta.toString).head()
+        m.getAs[Long]("n") == n && m.getAs[Int]("k") == Degree &&
+          m.getAs[Int]("rounds") == KnnGraph.Rounds &&
+          m.getAs[Int]("build_version") == BuildVersion &&
+          m.getAs[Long]("corpus_fp") == fp
+      }.getOrElse(false)
   }
 
   // ---------------------------------------------------------------- queries
@@ -452,7 +577,7 @@ object GraphIndex extends QueryModule {
       val gOld = KnnGraph.nnDescentRounds(oldEmb, s"$dir#old$AppendMod$NewResidue",
         Degree, KnnGraph.Rounds).last
       val idx = AnnQueries.scratch(s"graft_graph_append_v$BuildVersion", dir)
-      build(spark, idx, gOld, oldEmb.count())
+      build(spark, idx, gOld, oldEmb)
       append(spark, idx, oldEmb, newEmb)
       (gOld, edges(spark, idx).localCheckpoint(true))
     }

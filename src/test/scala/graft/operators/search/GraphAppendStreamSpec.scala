@@ -8,6 +8,17 @@ class GraphAppendStreamSpec extends SparkSpec {
   private lazy val out = GraphAppendStream.qGraphAppendStream(spark, SfDir).collect()
   private def phase(name: String) = out.find(_.getAs[String]("phase") == name).get
 
+  test("the micro-batch ingest commits with ZERO full-corpus fingerprint scans") {
+    // declared FIRST so the memoized ingest materializes inside this
+    // test: every foreachBatch append must fold its batch delta into
+    // the meta accumulator, never rescan the corpus (the r10 verdict's
+    // O(corpus)-per-micro-batch finding)
+    val before = GraphIndex.fingerprintScans.get()
+    GraphAppendStream.streamedGraph(spark, SfDir)
+    assert(GraphIndex.fingerprintScans.get() === before,
+      "a streamed micro-batch commit ran a full-corpus fingerprint scan")
+  }
+
   test("streamed micro-batch ingest stays in the one-shot append's recall class") {
     val streamed = phase("streamed").getAs[Double]("recall")
     val oneshot = phase("oneshot").getAs[Double]("recall")

@@ -15,7 +15,7 @@ class GraphIndexLifecycleSpec extends SparkSpec {
   private lazy val idx = {
     val p = java.nio.file.Files.createTempDirectory("graft_gidx_life").toString
     val g = GraphIndex.finalGraph(spark, SfDir)
-    GraphIndex.build(spark, p, g, emb.count())
+    GraphIndex.build(spark, p, g, emb)
     p
   }
 
@@ -57,6 +57,52 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     assert(deg.max <= GraphIndex.Degree && deg.min >= 1)
     val meta = spark.read.parquet(s"$idx/meta").head()
     assert(meta.getAs[Long]("n") === n, "meta n not restored by upsert")
+  }
+
+  /** Sidecar-meta coherence: the nodes sidecar must always SUM to the
+    * meta accumulator — the law that makes the incremental fold exact. */
+  private def assertAuditExact(label: String): Unit = {
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    val r = spark.read.parquet(s"$idx/nodes")
+      .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
+    val acc = if (r.isNullAt(1)) java.math.BigInteger.ZERO
+              else r.getDecimal(1).toBigInteger
+    assert(r.getLong(0) === meta.getAs[Long]("n"), s"$label: sidecar count != meta n")
+    assert(acc.toString === meta.getAs[String]("fp_acc"),
+      s"$label: sidecar hash sum != meta accumulator")
+  }
+
+  test("incremental meta folds stay audit-exact after delete + upsert: folded accumulator equals a full recompute") {
+    // the corpus is back to the full emb after the upsert above; the
+    // meta accumulator got there purely by folding batch deltas
+    // (−Σhash(deleted), +Σhash(appended)) — never a corpus rescan
+    assertAuditExact("post-upsert")
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Long]("corpus_fp") === GraphIndex.corpusFingerprint(emb),
+      "folded accumulator diverged from the full-recompute audit")
+  }
+
+  test("a replayed append batch converges: meta untouched, artifact still fully indexed") {
+    val batch = emb.filter(col("vec_id") % DelMod === 0)
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    val metaBefore = spark.read.parquet(s"$idx/meta").head()
+    val scans0 = GraphIndex.fingerprintScans.get()
+    // the crash-retry contract: re-delivering the LAST batch (same
+    // content) must skip the meta fold (fingerprint match) and leave a
+    // valid, fully indexed artifact — and commit without any
+    // full-corpus fingerprint scan
+    GraphIndex.append(spark, idx, surv, batch)
+    assert(GraphIndex.fingerprintScans.get() === scans0,
+      "append ran a full-corpus fingerprint scan")
+    val metaAfter = spark.read.parquet(s"$idx/meta").head()
+    assert(metaAfter.getAs[Long]("n") === metaBefore.getAs[Long]("n"),
+      "replayed batch double-counted meta n")
+    assert(metaAfter.getAs[String]("fp_acc") === metaBefore.getAs[String]("fp_acc"),
+      "replayed batch double-folded the accumulator")
+    assertAuditExact("post-replay")
+    val after = edgeSet(idx)
+    assert(after.groupBy(_._1).keySet.size.toLong === emb.count())
+    assert(after.forall { case (i, j) => i != j })
   }
 
   test("compact collapses each bucket to one file without changing a single edge") {

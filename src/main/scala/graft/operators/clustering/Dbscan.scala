@@ -284,11 +284,21 @@ object DbscanQueries extends QueryModule {
     * self-join) — labels reach along 2^r-length paths, so 12 rounds
     * cover any component diameter < 4096, far beyond any ε-graph here;
     * work per round is linear in edges, never Σ|comp|². Labels at the
-    * fixed point equal min-reachable-id — identical to the closure's. */
+    * fixed point equal min-reachable-id — identical to the closure's.
+    *
+    * The unroll is GUARDED: the final CTE compares the last two rounds
+    * and folds `error(...)` into the select when they differ. The step
+    * is a deterministic function of the previous labels, so equal
+    * consecutive iterates ⟺ a true fixpoint; a pathological component
+    * with diameter ≥ 2^CcRounds therefore fails the oracle LOUDLY
+    * instead of silently grading against non-minimal labels (the Spark
+    * engine's [[ConnectedComponents]] throws on non-convergence — this
+    * gives the oracle the same contract). Cost: one extra |nodes| join. */
   private[operators] val CcRounds = 12
 
-  /** lbl0 → (propagate ∪ self, min) → jump, unrolled; yields
-    * `$out AS (node i, component label cl)` from `$nodes`/`$edges`. */
+  /** lbl0 → (propagate ∪ self, min) → jump, unrolled with a convergence
+    * guard; yields `$out AS (node i, component label cl)` from
+    * `$nodes`/`$edges`. */
   private[operators] def ccByLabelProp(nodes: String, edges: String,
                                         p: String, out: String): String = {
     val rounds = (1 to CcRounds).map { r =>
@@ -300,7 +310,14 @@ object DbscanQueries extends QueryModule {
     }
     s"""${p}lp0 AS MATERIALIZED (SELECT i, i AS cl FROM $nodes),
        |${rounds.mkString(",\n")},
-       |$out AS MATERIALIZED (SELECT i, cl FROM ${p}lp$CcRounds)""".stripMargin
+       |${p}ccchk AS (SELECT count(*) AS n_moved
+       |  FROM ${p}lp$CcRounds a JOIN ${p}lp${CcRounds - 1} b ON a.i = b.i
+       |  WHERE a.cl <> b.cl),
+       |$out AS MATERIALIZED (SELECT i,
+       |    CASE WHEN (SELECT n_moved FROM ${p}ccchk) > 0
+       |      THEN CAST(error('cc label propagation not converged in $CcRounds rounds — component diameter exceeds the unroll') AS BIGINT)
+       |      ELSE cl END AS cl
+       |  FROM ${p}lp$CcRounds)""".stripMargin
   }
 
   private def dbscanCtes(eps: String, minPts: Int, s: String): String =

@@ -110,10 +110,13 @@ object GraphDelete extends QueryModule {
       val edges = g.agg(count(lit(1)).as("n_edges"))
       val hits = g.join(exact, Seq("i", "j"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-      edges.crossJoin(broadcast(hits)).select(
-        lit(ord).as("phase_ord"), lit(name).as("phase"),
-        col("n_edges"), lit(nEval).as("n_eval"),
-        round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"))
+      edges.crossJoin(broadcast(hits))
+        .crossJoin(broadcast(GraphIndex.recipCount(g)))
+        .select(
+          lit(ord).as("phase_ord"), lit(name).as("phase"),
+          col("n_edges"), lit(nEval).as("n_eval"),
+          round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"),
+          round(col("n_recip").cast("double") / col("n_edges"), 6).as("recip_share"))
     }.reduce(_.unionByName(_)).orderBy("phase_ord")
   }
 
@@ -147,12 +150,18 @@ object GraphDelete extends QueryModule {
          |  (SELECT count(*) FROM gd) AS n_edges,
          |  (SELECT n_eval FROM nev) AS n_eval,
          |  round(CAST((SELECT count(*) FROM gd JOIN exact USING (i, j)) AS DOUBLE)
-         |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall
+         |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall,
+         |  round(CAST((SELECT count(*) FROM gd a
+         |              WHERE EXISTS (SELECT 1 FROM gd b WHERE b.i = a.j AND b.j = a.i)) AS DOUBLE)
+         |        / (SELECT count(*) FROM gd), 6) AS recip_share
          |UNION ALL
          |SELECT 1 AS phase_ord, 'repaired' AS phase,
          |  (SELECT count(*) FROM rep) AS n_edges,
          |  (SELECT n_eval FROM nev) AS n_eval,
          |  round(CAST((SELECT count(*) FROM rep JOIN exact USING (i, j)) AS DOUBLE)
-         |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall
+         |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall,
+         |  round(CAST((SELECT count(*) FROM rep a
+         |              WHERE EXISTS (SELECT 1 FROM rep b WHERE b.i = a.j AND b.j = a.i)) AS DOUBLE)
+         |        / (SELECT count(*) FROM rep), 6) AS recip_share
          |ORDER BY phase_ord""".stripMargin)
 }

@@ -592,11 +592,23 @@ object GraphIndex extends QueryModule {
         .withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), K)
       .select(col("i"), col("j"))
 
+  /** Reciprocal-edge count of one edge list as a 1-row frame — the
+    * health stat [[qGraphStats]] reports, shared into the append/delete
+    * drills so every lifecycle phase carries its own degradation signal
+    * (a half-converged or badly repaired graph shows up as a falling
+    * reciprocal share long before recall is re-graded). */
+  private[search] def recipCount(g: DataFrame): DataFrame =
+    g.select(col("i"), col("j"))
+      .join(g.select(col("j").as("i"), col("i").as("j")), Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+
   /** The append-law drill: recall@10 of (0) the half build on the OLD
     * corpus's truth, (1) the appended graph and (2) the full rebuild on
     * the FULL corpus's truth — same deterministic eval sample
     * ([[KnnGraph.SampleTarget]] modulus). Phase 1 ≈ phase 2 is the law;
-    * the gap IS the cost of incremental maintenance vs a rebuild. */
+    * the gap IS the cost of incremental maintenance vs a rebuild. Each
+    * phase also reports its reciprocal-edge share ([[recipCount]]) —
+    * the health regression the lifecycle spec pins. */
   def qGraphAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
@@ -622,10 +634,12 @@ object GraphIndex extends QueryModule {
         val edgesN = g.agg(count(lit(1)).as("n_edges"))
         val hits = g.join(exact, Seq("i", "j"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
-        edgesN.crossJoin(broadcast(hits)).select(
-          lit(ord).as("phase_ord"), lit(name).as("phase"),
-          col("n_edges"), lit(nEval).as("n_eval"),
-          round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"))
+        edgesN.crossJoin(broadcast(hits)).crossJoin(broadcast(recipCount(g)))
+          .select(
+            lit(ord).as("phase_ord"), lit(name).as("phase"),
+            col("n_edges"), lit(nEval).as("n_eval"),
+            round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"),
+            round(col("n_recip").cast("double") / col("n_edges"), 6).as("recip_share"))
     }.reduce(_.unionByName(_)).orderBy("phase_ord")
   }
 
@@ -713,7 +727,10 @@ object GraphIndex extends QueryModule {
        |  (SELECT count(*) FROM $g) AS n_edges,
        |  (SELECT n_eval FROM $nev) AS n_eval,
        |  round(CAST((SELECT count(*) FROM $g JOIN $exact USING (i, j)) AS DOUBLE)
-       |        / ((SELECT n_eval FROM $nev) * $K), 6) AS recall""".stripMargin
+       |        / ((SELECT n_eval FROM $nev) * $K), 6) AS recall,
+       |  round(CAST((SELECT count(*) FROM $g a
+       |              WHERE EXISTS (SELECT 1 FROM $g b WHERE b.i = a.j AND b.j = a.i)) AS DOUBLE)
+       |        / (SELECT count(*) FROM $g), 6) AS recip_share""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q_graph_append" ->

@@ -39,4 +39,11 @@ class GraphDeleteSpec extends SparkSpec {
     val Seq(eD, eR) = out.map(_.getAs[Long]("n_edges")).toSeq
     assert(eR >= eD, "repair lost edges")
   }
+
+  test("delete health: repair does not degrade the reciprocal-edge share") {
+    val Seq(sD, sR) = out.map(_.getAs[Double]("recip_share")).toSeq
+    assert(sD > 0.0 && sD <= 1.0 && sR > 0.0 && sR <= 1.0)
+    assert(sR >= sD - 0.05,
+      s"repair degraded reciprocal share: $sD -> $sR — repaired lists are leaking asymmetric edges")
+  }
 }

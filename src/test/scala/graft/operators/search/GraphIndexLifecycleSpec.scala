@@ -23,7 +23,19 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     GraphIndex.edges(spark, path).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Reciprocal-edge share of the live artifact — the q_graph_stats
+    * health signal the lifecycle laws below regress. */
+  private def recipShareOf(path: String): Double = {
+    val es = edgeSet(path)
+    es.count { case (i, j) => es((j, i)) }.toDouble / es.size
+  }
+
+  /** Share of the freshly built artifact, captured BEFORE any mutation
+    * (the first test forces it before deleting). */
+  private lazy val shareFresh = recipShareOf(idx)
+
   test("delete removes every edge touching the batch, repairs only degraded survivors, and keeps the rest byte-identical") {
+    shareFresh // force the pre-mutation health baseline
     val before = edgeSet(idx)
     val delIds = emb.filter(col("vec_id") % DelMod === 0).select(col("vec_id"))
     val deleted = delIds.collect().map(_.getLong(0)).toSet
@@ -103,6 +115,18 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     val after = edgeSet(idx)
     assert(after.groupBy(_._1).keySet.size.toLong === emb.count())
     assert(after.forall { case (i, j) => i != j })
+  }
+
+  test("reciprocal-edge share does not degrade across the delete -> upsert -> replay cycle") {
+    // The corpus is back to the full emb after the upsert + replayed
+    // append above, so the artifact's reciprocal share is comparable to
+    // the fresh build's. Descent symmetrizes neighborhoods; a lifecycle
+    // whose repairs leak asymmetric edges would show up here as a
+    // falling share long before serve recall is re-graded (the
+    // half-converged-build signal q_graph_stats exists to catch).
+    val cycled = recipShareOf(idx)
+    assert(cycled >= shareFresh - 0.05,
+      s"reciprocal share degraded across the lifecycle: fresh $shareFresh -> cycled $cycled")
   }
 
   test("compact collapses each bucket to one file without changing a single edge") {

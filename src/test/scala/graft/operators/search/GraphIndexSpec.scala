@@ -56,6 +56,14 @@ class GraphIndexSpec extends SparkSpec {
     assert(app >= 0.9, s"appended recall $app — insertion beam is not finding neighborhoods")
   }
 
+  test("append health: the appended graph's reciprocal share stays in the rebuild's class") {
+    val app = phase("appended").getAs[Double]("recip_share")
+    val full = phase("full_rebuild").getAs[Double]("recip_share")
+    assert(app > 0.0 && app <= 1.0)
+    assert(app >= full - 0.1,
+      s"appended reciprocal share $app degraded vs rebuild $full — the insert/repair is leaking asymmetric edges")
+  }
+
   test("append rewrites ONLY the touched buckets on disk") {
     GraphIndex.halfAndAppended(spark, SfDir) // builds + appends the scratch artifact
     val idx = graft.operators.search.AnnQueries.scratch(

@@ -9,36 +9,48 @@ import org.apache.spark.sql.functions._
   * persistent [[GraphIndex]] — the graph-index sibling of
   * [[FilteredAnn]]'s IVF drill (the `filter` parameter of the Azure AI
   * Search vector queries the thesis studies, served from the HNSW-class
-  * index instead of the IVF cells). Two strategies, same adaptive
+  * index instead of the IVF cells). Three strategies, same adaptive
   * machinery:
   *
   *  - '''pre-filter''': the predicate restricts the SEARCH — candidates
-  *    failing it die in the embedding-fetch join before the heap
-  *    ([[GraphIndex.beamSearch]] with a filtered node frame), and entry
-  *    points are the first [[GraphServe.Entries]] matching ids. Beams
-  *    hold only matching nodes, so the walk never wastes width on
-  *    non-matches — but on a NARROW predicate the matching subgraph is
-  *    sparse and the walk can strand (the classic filtered-HNSW
-  *    connectivity failure the recall rows surface).
+  *    failing it die in the embedding-fetch join before the heap, and
+  *    entry points are the first [[GraphServe.Entries]] matching ids.
+  *    Beams hold only matching nodes, so the walk never wastes width on
+  *    non-matches — but on a sparse matching subgraph the walk can
+  *    strand (the classic filtered-HNSW connectivity failure the recall
+  *    rows surface).
   *  - '''post-filter''': serve unfiltered at an ADAPTIVE width
   *    ([[FilteredAnn.adaptiveOverfetch]]: beam = k·⌈n/n_match⌉ capped at
   *    n), then filter the final beam and re-rank to k. Connectivity is
   *    never broken, but a narrow predicate inflates the width toward a
   *    full scan — the crossover [[FilteredAnn.chooseStrategy]] flags at
   *    5% selectivity, identically to the IVF drill.
+  *  - '''acorn''' (connectivity-preserving pre-filter, after ACORN,
+  *    Patel et al., SIGMOD'24): the beam holds ONLY matching nodes, but
+  *    candidate generation expands THROUGH non-matching neighbors — a
+  *    1-hop candidate that fails the predicate is not scored, it is
+  *    expanded one more hop, so the walk keeps the FULL graph's
+  *    connectivity while scoring (and admitting) only matches. Cost is
+  *    bounded by beam·deg² candidate pairs per query per round; scored
+  *    work stays proportional to the matching population, so at narrow
+  *    predicates it dominates post-filter (same recall class, a
+  *    fraction of the scorings — the n_scored column is the evidence).
   *
-  * Recall is graded per strategy against the exact corpus-wide FILTERED
-  * top-k (q ≠ node), denominated by the exact result count so a
-  * predicate with < k matches per query still grades on [0, 1].
-  * Deterministic throughout → both arms replay hash-exact in DuckDB from
-  * the shared [[KnnGraph.graphCtePrefix]] chain.
+  * Every arm reports `n_scored` — the exact number of (query, node)
+  * similarity evaluations it performed (entry scoring + each round's
+  * candidate scoring) — so the recall/cost trade-off is measured, not
+  * asserted. Recall is graded per strategy against the exact
+  * corpus-wide FILTERED top-k (q ≠ node), denominated by the exact
+  * result count so a predicate with < k matches per query still grades
+  * on [0, 1]. Deterministic throughout → all arms replay hash-exact in
+  * DuckDB from the shared [[KnnGraph.graphCtePrefix]] chain.
   */
 object FilteredGraphServe extends QueryModule {
 
   /** Graded depth. */
   val K = GraphServe.K
 
-  /** Pre-arm beam width (the default serve width). */
+  /** Pre/acorn arm beam width (the default serve width). */
   val Beam = GraphServe.Beam
 
   /** The two drilled predicates. `wide` is one label stratum (~10% at
@@ -50,11 +62,47 @@ object FilteredGraphServe extends QueryModule {
     ("narrow", (id, label) => label === 3 && id < 100, "label = 3 AND id < 100"),
     ("wide", (_, label) => label === 3, "label = 3"))
 
+  /** Beam kernel with scored-work accounting — [[GraphIndex.beamSearch]]
+    * semantics (same entry scoring, same per-round pool/top-`beam`
+    * geometry, query side joined never broadcast), generalized over the
+    * candidate generator so the three arms differ ONLY in how a beam
+    * produces its next candidates, and instrumented to return each
+    * round's scored frame (its row count IS the arm's scoring cost —
+    * a similarity evaluation happens exactly once per scored row). */
+  private def beamTrace(qs: DataFrame, nodeEmb: DataFrame, entries: DataFrame,
+                        beam: Int, rounds: Int,
+                        candGen: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val qv = qs.select(col("q"), col("qv"))
+    def scoreQ(pairs: DataFrame): DataFrame =
+      pairs.filter(col("j") =!= col("q"))
+        .join(nodeEmb.select(col("vec_id").as("j"), col("embedding").as("nv")), Seq("j"))
+        .join(qv, Seq("q"))
+        .select(col("q"), col("j"),
+          round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
+    def topQ(df: DataFrame): DataFrame =
+      graft.plans.TopKPerGroup(
+        df.withColumn("neg_sim", -col("sim")), Seq("q"), Seq("neg_sim", "j"), beam)
+        .select(col("q"), col("rk"), col("j"), col("sim"))
+    val entryPairs = qv.select(col("q")).withColumn("one", lit(1))
+      .join(broadcast(entries.select(col("j")).withColumn("one", lit(1))), Seq("one"))
+      .select(col("q"), col("j"))
+    val s0 = scoreQ(entryPairs).localCheckpoint(true)
+    val scoredFrames = scala.collection.mutable.ArrayBuffer(s0)
+    var b = topQ(s0).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sr = scoreQ(candGen(b.select(col("q"), col("j")))).localCheckpoint(true)
+      scoredFrames += sr
+      b = topQ(sr.unionByName(b.select(col("q"), col("j"), col("sim")))
+        .dropDuplicates("q", "j")).localCheckpoint(true)
+    }
+    (b, scoredFrames.toSeq)
+  }
+
   /** Heavy per-corpus frames (beam searches + exact truths + driver
     * counts), memoized; the grading aggregation is REBUILT per call so
-    * bench reps measure real work, not a 4-row cached scan. */
+    * bench reps measure real work, not a 6-row cached scan. */
   private case class Arm(tag: String, strat: String, nMatch: Long, w: Int,
-                         chosen: String, nExact: Long,
+                         chosen: String, nExact: Long, nScored: Long,
                          top: DataFrame, exact: DataFrame)
 
   private val armsMemo =
@@ -71,6 +119,10 @@ object FilteredGraphServe extends QueryModule {
       val se = GraphServe.upperModulus(n)
       val entriesAll = el.filter(GraphServe.entryPick(col("vec_id"), se))
         .select(col("vec_id").as("j"))
+      // the shared 1-hop candidate generator (pre + post arms)
+      val hop1: DataFrame => DataFrame = b =>
+        b.join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
+          .select(col("q"), col("c").as("j")).distinct()
       val arms = Preds.flatMap { case (tag, predFn, _) =>
         val pred = predFn(col("vec_id"), col("label"))
         val nMatch = el.filter(pred).count()
@@ -78,22 +130,37 @@ object FilteredGraphServe extends QueryModule {
           FilteredAnn.adaptiveOverfetch(K, n, nMatch))
         val chosen = FilteredAnn.chooseStrategy(n, nMatch)
         val elM = el.filter(pred).select(col("vec_id"), col("embedding"))
+        val matchIds = elM.select(col("vec_id").as("j"))
         val entriesPre = el.filter(pred).orderBy("vec_id")
           .limit(GraphServe.Entries).select(col("vec_id").as("j"))
-        val preTop = GraphIndex.beamSearch(qs, undAdj, elM, entriesPre,
-            Beam, GraphServe.Rounds)
-          .filter(col("rk") <= K).select(col("q"), col("j"))
+        // acorn candidate generator: 1-hop; non-matching candidates are
+        // expanded one further hop instead of being scored, so the walk
+        // traverses non-matching conduits while only matches reach scoreQ
+        val acornGen: DataFrame => DataFrame = b => {
+          val h1 = hop1(b)
+          val h1n = h1.join(matchIds, Seq("j"), "left_anti")
+          val h2 = h1n.join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
+            .select(col("q"), col("c").as("j"))
+          h1.join(matchIds, Seq("j"), "left_semi").unionByName(h2).distinct()
+        }
+        val (preB, preS) = beamTrace(qs, elM, entriesPre, Beam,
+          GraphServe.Rounds, hop1)
+        val preTop = preB.filter(col("rk") <= K).select(col("q"), col("j"))
           .localCheckpoint(true)
-        val postBeam = GraphIndex.beamSearch(qs, undAdj,
-          el.select(col("vec_id"), col("embedding")), entriesAll,
-          w, GraphServe.Rounds)
+        val (postB, postS) = beamTrace(qs,
+          el.select(col("vec_id"), col("embedding")), entriesAll, w,
+          GraphServe.Rounds, hop1)
         val postTop = graft.plans.TopKPerGroup(
-            postBeam.select(col("q"), col("j"), col("sim"))
+            postB.select(col("q"), col("j"), col("sim"))
               .join(el.select(col("vec_id").as("j"), col("label")), Seq("j"))
               .filter(predFn(col("j"), col("label")))
               .withColumn("neg_sim", -col("sim")),
             Seq("q"), Seq("neg_sim", "j"), K)
           .select(col("q"), col("j")).localCheckpoint(true)
+        val (acB, acS) = beamTrace(qs, elM, entriesPre, Beam,
+          GraphServe.Rounds, acornGen)
+        val acTop = acB.filter(col("rk") <= K).select(col("q"), col("j"))
+          .localCheckpoint(true)
         // exact filtered truth: qs is sample-bounded → broadcast side
         val exact = graft.plans.TopKPerGroup(
             el.filter(pred)
@@ -105,13 +172,17 @@ object FilteredGraphServe extends QueryModule {
               .withColumn("neg_sim", -col("sim")), Seq("q"), Seq("neg_sim", "j"), K)
           .select(col("q"), col("j")).localCheckpoint(true)
         val nExact = exact.count()
-        Seq(Arm(tag, "pre", nMatch, w, chosen, nExact, preTop, exact),
-            Arm(tag, "post", nMatch, w, chosen, nExact, postTop, exact))
+        def scoredOf(fs: Seq[DataFrame]): Long = fs.map(_.count()).sum
+        // beam_w reports each arm's ACTUAL width: pre/acorn run at the
+        // fixed serve width, only post runs at the adaptive over-fetch
+        Seq(Arm(tag, "pre", nMatch, Beam, chosen, nExact, scoredOf(preS), preTop, exact),
+            Arm(tag, "post", nMatch, w, chosen, nExact, scoredOf(postS), postTop, exact),
+            Arm(tag, "acorn", nMatch, Beam, chosen, nExact, scoredOf(acS), acTop, exact))
       }
       (n, arms)
     }
 
-  /** Both arms × both predicates. */
+  /** All three arms × both predicates. */
   def qGraphFiltered(spark: SparkSession, dir: String): DataFrame = {
     val (n, arms) = armsFor(spark, dir)
     arms.map { a =>
@@ -122,7 +193,7 @@ object FilteredGraphServe extends QueryModule {
         lit(a.nMatch).as("n_match"),
         round(lit(a.nMatch).cast("double") / lit(n), 6).as("sel"),
         lit(a.w.toLong).as("beam_w"), lit(a.chosen).as("chosen"),
-        lit(a.nExact).as("n_exact"),
+        lit(a.nExact).as("n_exact"), lit(a.nScored).as("n_scored"),
         round(when(lit(a.nExact) === 0L, lit(1.0))
           .otherwise(col("n_hits").cast("double") / lit(a.nExact)), 6).as("recall"))
     }.reduce(_.unionByName(_)).orderBy("pred", "strategy")
@@ -132,14 +203,15 @@ object FilteredGraphServe extends QueryModule {
     "q_graph_filtered" -> (qGraphFiltered _))
 
   /** Beam CTEs for one (tag, strategy): b{sfx}0..b{sfx}R with per-arm
-    * width, candidate predicate, and entry set. */
+    * width, candidate predicate, and entry set. Returns the CTE text;
+    * the scored frames are es$sfx and bs$sfx{1..R} (see [[scoredSql]]). */
   private def armCtes(sfx: String, widthSql: String, entrySql: String,
                       candPred: String): String = {
     val rounds = (1 to GraphServe.Rounds).map { r =>
       val prev = s"b$sfx${r - 1}"
       s"""bc$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
          |  JOIN undx u ON u.i = p.node),
-         |bs$sfx$r AS (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
+         |bs$sfx$r AS MATERIALIZED (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
          |  FROM bc$sfx$r p JOIN el ON el.id = p.node JOIN qs ON qs.q = p.q
          |  WHERE p.node <> p.q AND ($candPred)),
          |bp$sfx$r AS (SELECT q, node, sim FROM bs$sfx$r UNION SELECT q, node, sim FROM $prev),
@@ -147,7 +219,7 @@ object FilteredGraphServe extends QueryModule {
          |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
          |    FROM bp$sfx$r) WHERE rn <= ($widthSql))""".stripMargin
     }
-    s"""es$sfx AS (SELECT qs.q, en.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
+    s"""es$sfx AS MATERIALIZED (SELECT qs.q, en.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
        |  FROM qs CROSS JOIN ($entrySql) en JOIN el ON el.id = en.node
        |  WHERE en.node <> qs.q),
        |b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
@@ -155,6 +227,46 @@ object FilteredGraphServe extends QueryModule {
        |    FROM es$sfx) WHERE rn <= ($widthSql)),
        |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** Acorn beam CTEs: matching 1-hop candidates are scored; NON-matching
+    * 1-hop candidates are expanded one further hop (the conduit step) —
+    * the exact dual of the Scala `acornGen`. Scored frames again
+    * es$sfx + bs$sfx{1..R}. */
+  private def acornCtes(sfx: String, entrySql: String, pe: String): String = {
+    val rounds = (1 to GraphServe.Rounds).map { r =>
+      val prev = s"b$sfx${r - 1}"
+      s"""h1$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
+         |  JOIN undx u ON u.i = p.node),
+         |h2$sfx$r AS (SELECT p.q, u.j AS node
+         |  FROM (SELECT h.q, h.node FROM h1$sfx$r h JOIN el ON el.id = h.node
+         |        WHERE NOT ($pe)) p
+         |  JOIN undx u ON u.i = p.node),
+         |bc$sfx$r AS (SELECT DISTINCT q, node FROM (
+         |    SELECT h.q, h.node FROM h1$sfx$r h JOIN el ON el.id = h.node WHERE $pe
+         |    UNION ALL SELECT q, node FROM h2$sfx$r)),
+         |bs$sfx$r AS MATERIALIZED (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
+         |  FROM bc$sfx$r p JOIN el ON el.id = p.node JOIN qs ON qs.q = p.q
+         |  WHERE p.node <> p.q AND ($pe)),
+         |bp$sfx$r AS (SELECT q, node, sim FROM bs$sfx$r UNION SELECT q, node, sim FROM $prev),
+         |b$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
+         |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+         |    FROM bp$sfx$r) WHERE rn <= $Beam)""".stripMargin
+    }
+    s"""es$sfx AS MATERIALIZED (SELECT qs.q, en.node, round(list_cosine_similarity(qs.qv, el.v), 6) AS sim
+       |  FROM qs CROSS JOIN ($entrySql) en JOIN el ON el.id = en.node
+       |  WHERE en.node <> qs.q),
+       |b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
+       |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+       |    FROM es$sfx) WHERE rn <= $Beam),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Total scored (query, node) pairs of one arm: the entry frame plus
+    * every round's scored frame — row-for-row the Scala side's count. */
+  private def scoredSql(sfx: String): String =
+    (s"(SELECT count(*) FROM es$sfx)" +:
+      (1 to GraphServe.Rounds).map(r => s"(SELECT count(*) FROM bs$sfx$r)"))
+      .mkString(" + ")
 
   private def predBlock(tag: String, p: String): String = {
     // word-boundary qualification: a blind substring replace would
@@ -174,6 +286,10 @@ object FilteredGraphServe extends QueryModule {
        |    SELECT b.q, b.node, row_number() OVER (PARTITION BY b.q ORDER BY b.sim DESC, b.node) AS rn
        |    FROM bpo${tag}_${GraphServe.Rounds} b JOIN el ON el.id = b.node WHERE $pe)
        |  WHERE rn <= $K),
+       |${acornCtes(s"ac${tag}_", s"SELECT node FROM pent_$tag", pe)},
+       |acorn_$tag AS (SELECT q, node FROM (
+       |    SELECT q, node, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+       |    FROM bac${tag}_${GraphServe.Rounds}) WHERE rn <= $K),
        |ex_$tag AS MATERIALIZED (SELECT q, node FROM (
        |    SELECT qs.q, el.id AS node,
        |      row_number() OVER (PARTITION BY qs.q
@@ -182,17 +298,24 @@ object FilteredGraphServe extends QueryModule {
        |nex_$tag AS (SELECT count(*) AS n_exact FROM ex_$tag)""".stripMargin
   }
 
-  private def armRow(tag: String, strat: String): String =
+  private def armRow(tag: String, strat: String): String = {
+    val (sfx, wSql) = strat match {
+      case "pre"   => (s"pr${tag}_", s"CAST($Beam AS BIGINT)")
+      case "post"  => (s"po${tag}_", "CAST(w.w AS BIGINT)")
+      case "acorn" => (s"ac${tag}_", s"CAST($Beam AS BIGINT)")
+    }
     s"""SELECT '$tag' AS pred, '$strat' AS strategy,
        |  CAST(s.n_match AS BIGINT) AS n_match,
        |  round(CAST(s.n_match AS DOUBLE) / (SELECT n FROM prm), 6) AS sel,
-       |  CAST(w.w AS BIGINT) AS beam_w,
+       |  $wSql AS beam_w,
        |  CASE WHEN s.n_match * 20 < (SELECT n FROM prm) THEN 'pre' ELSE 'post' END AS chosen,
        |  CAST(x.n_exact AS BIGINT) AS n_exact,
+       |  CAST(${scoredSql(sfx)} AS BIGINT) AS n_scored,
        |  round(CASE WHEN x.n_exact = 0 THEN 1.0
        |    ELSE CAST((SELECT count(*) FROM ${strat}_$tag t
        |               JOIN ex_$tag USING (q, node)) AS DOUBLE) / x.n_exact END, 6) AS recall
        |FROM st_$tag s, wf_$tag w, nex_$tag x""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_graph_filtered" ->
@@ -207,7 +330,7 @@ object FilteredGraphServe extends QueryModule {
          |entx AS (SELECT id AS node FROM el WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM qprm")}),
          |${Preds.map { case (tag, _, sql) => predBlock(tag, sql) }.mkString(",\n")}
          |${Preds.flatMap { case (tag, _, _) =>
-              Seq(armRow(tag, "pre"), armRow(tag, "post")) }
+              Seq(armRow(tag, "pre"), armRow(tag, "post"), armRow(tag, "acorn")) }
             .mkString("\nUNION ALL\n")}
          |ORDER BY pred, strategy""".stripMargin)
 }

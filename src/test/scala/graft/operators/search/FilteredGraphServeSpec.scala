@@ -9,13 +9,14 @@ class FilteredGraphServeSpec extends SparkSpec {
     out.find(r => r.getAs[String]("pred") == pred &&
       r.getAs[String]("strategy") == strat).get
 
-  test("four arms, ranked recall in [0,1], widths within bounds") {
-    assert(out.length === 4)
+  test("six arms, ranked recall in [0,1], widths within bounds, scored work positive") {
+    assert(out.length === 6)
     out.foreach { r =>
       val rec = r.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0)
       assert(r.getAs[Long]("beam_w") >= FilteredGraphServe.K)
       assert(r.getAs[Long]("n_match") > 0)
+      assert(r.getAs[Long]("n_scored") > 0L)
     }
   }
 
@@ -43,5 +44,23 @@ class FilteredGraphServeSpec extends SparkSpec {
     // heuristic exists for.
     assert(arm("wide", "pre").getAs[Double]("recall") <
       arm("wide", "post").getAs[Double]("recall"))
+  }
+
+  test("acorn dominates at the narrow predicate: >= post recall at strictly less scored work") {
+    // the verdict-item-3 law: connectivity-preserving pre-filter keeps
+    // the full graph's reach (unlike pre) without post's adaptive
+    // over-fetch scan, so at narrow selectivity it matches post's recall
+    // class while scoring a fraction of the pairs
+    val ac = arm("narrow", "acorn")
+    val po = arm("narrow", "post")
+    assert(ac.getAs[Double]("recall") >= po.getAs[Double]("recall"),
+      s"acorn recall ${ac.getAs[Double]("recall")} < post ${po.getAs[Double]("recall")}")
+    assert(ac.getAs[Long]("n_scored") <= po.getAs[Long]("n_scored"),
+      s"acorn scored ${ac.getAs[Long]("n_scored")} > post ${po.getAs[Long]("n_scored")}")
+  }
+
+  test("acorn repairs the pre arm's stranding: wide-predicate recall strictly above pre's") {
+    assert(arm("wide", "acorn").getAs[Double]("recall") >
+      arm("wide", "pre").getAs[Double]("recall"))
   }
 }

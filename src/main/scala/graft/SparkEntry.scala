@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.clustering.DbscanQueries,
     graft.operators.clustering.ClusterLabels,
     graft.operators.search.AnnQueries,
+    graft.operators.search.IvfRebalance,
     graft.operators.search.FilteredAnn,
     graft.operators.search.KnnGraph,
     graft.operators.search.GraphServe,

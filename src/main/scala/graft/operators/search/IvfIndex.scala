@@ -183,6 +183,99 @@ object IvfIndex {
     fs.delete(scratch, true)
   }
 
+  /** One deterministic Lloyd step of the coarse quantizer over the
+    * index's CURRENT assignment — the retrain [[rebalance]] installs.
+    * Micro-unit-exact (the q_kmeans_1step discipline: per (cell, dim)
+    * the members' NORMALIZED coordinates as round-to-micro longs, mean
+    * re-quantized to a micro long), so the whole retrain replays
+    * token-for-token in DuckDB; empty cells fall back to the persisted
+    * centroid's micro-quantized coordinate. The aggregation is one
+    * scan + one k×d-group shuffle; only k×d rows reach the driver. */
+  private[search] def retrainedCentroids(data: DataFrame,
+      cs: Seq[Seq[Double]]): IndexedSeq[IndexedSeq[Double]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val k = cs.length
+    val d = cs.head.length
+    val means = data
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(vec_normalize(col("embedding"))).as(Seq("i0", "v")))
+      .groupBy(col("cell"), (col("i0") + 1).cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * lit(1000000.0)).cast("long")).as("sm"))
+    val grid = (for { c <- 0 until k; dim <- 1 to d } yield (c, dim, cs(c)(dim - 1)))
+      .toDF("cell", "dim", "seed")
+    val rows = grid.join(means, Seq("cell", "dim"), "left")
+      .select(col("cell"), col("dim"),
+        coalesce(
+          round(col("sm").cast("double") / col("n")).cast("long"),
+          round(col("seed") * lit(1000000.0)).cast("long")).as("mic"))
+      .collect()
+    val arr = Array.fill(k, d)(0.0)
+    rows.foreach(r => arr(r.getInt(0))(r.getInt(1) - 1) = r.getLong(2).toDouble / 1000000.0)
+    arr.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Index-lifecycle REBALANCE — the reindex-on-drift loop the thesis's
+    * optimization chapter closes: appends run frozen-quantizer
+    * ([[append]]), so corpus drift skews cell populations (q_ivf_stats'
+    * imbalance column; q_embedding_drift's PSI monitor is the trigger
+    * signal). When the max load factor exceeds `skewBar`, re-train the
+    * quantizer on the CURRENT corpus ([[retrainedCentroids]] — one
+    * deterministic Lloyd step from the persisted centroids) and rewrite
+    * the data layout under the new assignment: ONE scan + ONE shuffle
+    * keyed by the new cell, swapped in via [[compact]]'s two-rename
+    * discipline, then the centroid sidecar is overwritten. `skewBar <= 0`
+    * rebalances unconditionally.
+    *
+    * Returns the centroids the index serves after the call (retrained,
+    * or the persisted ones when the skew is under the bar). Run without
+    * concurrent probes — compact()'s rename-window and object-store
+    * manifest notes apply verbatim. Crash recovery: re-run the same
+    * rebalance; it retrains from the current data (whichever generation
+    * its cell column is — the Lloyd step is defined on ANY assignment)
+    * and rewrites BOTH sides, so (data, centroids) converge to a
+    * consistent pair under retry. */
+  def rebalance(spark: SparkSession, indexPath: String,
+                skewBar: Double = 0.0): IndexedSeq[IndexedSeq[Double]] = {
+    import org.apache.hadoop.fs.Path
+    val cs = readCentroids(spark, indexPath)
+    val data = spark.read.parquet(s"$indexPath/data")
+    if (skewBar > 0.0) {
+      val counts = data.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      val total = counts.map(_.getLong(1)).sum.toDouble
+      val maxImb = counts.map(_.getLong(1) * cs.length / total).max
+      if (maxImb <= skewBar) return cs
+    }
+    val ncs = retrainedCentroids(data, cs)
+    val dataP = new Path(s"$indexPath/data")
+    val fresh = new Path(s"$indexPath/data_rebalancing")
+    val old = new Path(s"$indexPath/data_rebal_old")
+    val fs = dataP.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dataP), s"$dataP missing — not a built index")
+    fs.delete(old, true)
+    fs.delete(fresh, true)
+    data.drop("cell")
+      .withColumn("cell",
+        NearestCentroid(vec_normalize(col("embedding")), ncs).getField("centroid_id"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(fresh.toString)
+    if (!fs.rename(dataP, old))
+      throw new java.io.IOException(s"rebalance: rename $dataP -> $old failed")
+    if (!fs.rename(fresh, dataP)) {
+      val rolledBack = fs.rename(old, dataP)
+      throw new java.io.IOException(
+        s"rebalance: rename $fresh -> $dataP failed" +
+          (if (rolledBack) " (previous layout restored)"
+           else s"; ROLLBACK $old -> $dataP ALSO FAILED — restore manually from $old"))
+    }
+    fs.delete(old, true)
+    import spark.implicits._
+    ncs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    ncs
+  }
+
   /** Upsert = delete-the-ids + append-the-rows (the reference's
     * merge-back pattern, update-etiquetas.ipynb): replaced vectors are
     * reassigned with the persisted quantizer like any append.

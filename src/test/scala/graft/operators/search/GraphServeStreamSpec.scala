@@ -40,4 +40,18 @@ class GraphServeStreamSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("q") != r.getAs[Long]("node")))
     out.foreach(r => assert(r.getAs[Double]("sim") <= 1.000001))
   }
+
+  test("batch-boundary independence: the 1-file-per-trigger staging serves rows identical to the single-batch query path") {
+    // the semantics law the multi-trigger arm exists for — the QUERY
+    // path runs one micro-batch (the r11 profile isolated the extra
+    // trigger's cost as pure stream machinery), this arm proves the
+    // boundary placement is invisible in the sink
+    val split = GraphServeStream.serveStream(spark, SfDir, onePerTrigger = true)
+      .collect().map(r => (r.getAs[Long]("q"), r.getAs[Int]("rk"),
+        r.getAs[Long]("node"), r.getAs[Double]("sim"))).toSet
+    val single = out.map(r => (r.getAs[Long]("q"), r.getAs[Int]("rk"),
+      r.getAs[Long]("node"), r.getAs[Double]("sim"))).toSet
+    assert(split === single,
+      "batch-boundary placement changed served rows — per-query independence broken")
+  }
 }

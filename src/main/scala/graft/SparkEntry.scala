@@ -23,6 +23,7 @@ object SparkEntry {
     graft.operators.search.GraphServe,
     graft.operators.search.GraphDelete,
     graft.operators.search.GraphIndex,
+    graft.operators.search.GraphOptimize,
     graft.operators.search.GraphAppendStream,
     graft.operators.search.GraphServeStream,
     graft.operators.search.FilteredGraphServe,

@@ -421,6 +421,39 @@ object GraphIndex extends QueryModule {
     append(spark, indexPath, survivorEmb, batch)
   }
 
+  /** OPTIMIZE the artifact: run `rounds` full NN-descent rounds over the
+    * LIVE adjacency — from its current state, not from seeds — and
+    * rewrite only the buckets whose lists changed. The graph sibling of
+    * [[IvfIndex.rebalance]]'s reindex-on-drift loop: incremental
+    * [[append]]s insert each batch well but never revisit OLD nodes far
+    * from the batch, so quality drifts down as appends accumulate; a
+    * periodic optimize heals the whole graph at build-round cost
+    * (O(n·(2·deg)²) scorings per round — deliberately full-graph, this
+    * IS the maintenance pass), with q_graph_stats' reciprocal share as
+    * the trigger signal. An exact top-K member already in a list can
+    * never be evicted (at most K−1 vectors are strictly closer), so
+    * recall against any fixed truth is monotone non-decreasing in
+    * rounds — the spec law. Meta is untouched: the corpus did not
+    * change, only edge quality. A list can only change by ADMITTING a
+    * new edge (each round keeps top-Degree of old ∪ candidates), so
+    * changed nodes are exactly the new-edge sources — the bucket-rewrite
+    * set. */
+  def optimize(spark: SparkSession, indexPath: String, emb: DataFrame,
+               rounds: Int = 1): Unit = {
+    val g0 = edges(spark, indexPath).localCheckpoint(true)
+    var g = g0
+    for (_ <- 1 to rounds)
+      g = KnnGraph.step(g, emb, Degree).localCheckpoint(true)
+    val changed = g.join(g0, Seq("i", "j"), "left_anti")
+      .select(col("i")).distinct()
+    val touched = changed
+      .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (touched.nonEmpty)
+      swapDataset(spark, indexPath, "edges", "i",
+        g.select(col("i"), col("j"), col("sim")), touched)
+  }
+
   /** COMPACT the artifact: rewrite every bucket of both datasets
     * (edges + nodes sidecar) into one file each, healing the small-file
     * accumulation repeated [[append]]/[[delete]] swaps leave behind

@@ -129,8 +129,10 @@ object KnnGraph extends QueryModule {
       .select(col("i"), col("j"), col("sim"))
 
   /** One NN-descent round: undirected adjacency → neighbors-of-neighbors
-    * candidates → rescore → keep each node's top-k of old ∪ new. */
-  private def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    * candidates → rescore → keep each node's top-k of old ∪ new.
+    * `private[search]`: also the kernel of [[GraphIndex.optimize]]'s
+    * re-descent over a live artifact. */
+  private[search] def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val und = g.select(col("i"), col("j"))
       .union(g.select(col("j").as("i"), col("i").as("j")))
       .distinct()

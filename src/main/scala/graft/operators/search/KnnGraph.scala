@@ -123,6 +123,81 @@ object KnnGraph extends QueryModule {
         round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
   }
 
+  /** Candidate pairs whose payload-carrying score shuffle may be in
+    * flight at once. [[score]] attaches `emb_i` before the join on `j`,
+    * so every scored pair crosses ONE shuffle carrying one embedding
+    * (~0.3-0.6 KB at d=64) — fine per pair, but a descent round
+    * generates ~n·(2·Degree)² candidates, and at the sf10 probe's
+    * 200k-node corpus that one exchange materialized >70 GB of scratch
+    * from a 1.6 GB corpus and exhausted the disk (the r11 100× probe's
+    * finding). Scoring in hash-slices of ≤ this many pairs caps the
+    * in-flight exchange at slice size while leaving the OUTPUT
+    * bit-identical — the slices partition the pair set, and no consumer
+    * sees the union order (set-dedup + per-group heaps ordered by
+    * (sim, id)). On a cluster this is the shuffle-budget knob: slices
+    * run as consecutive stages, each inside the executors' aggregate
+    * spill budget, exactly like block processing in a grid solver. */
+  val ScoreSlicePairs = 48L * 1000 * 1000
+
+  /** Embedding-frame size (bytes, estimated as n·(4·dim + 48)) below
+    * which the pair scoring fetches vectors via BROADCAST hash joins
+    * instead of shuffle joins. Below the bar the candidate frame never
+    * leaves its partitions and the payload never touches a shuffle
+    * file AT ALL — the n·(2·Degree)² scorings stream map-side — which
+    * is both the fastest and the only disk-safe shape on one machine
+    * (the sliced shuffle path still writes each slice's exchange to
+    * disk, and those files are reclaimed asynchronously). On a cluster
+    * this is the per-executor build-side budget; a 100 TB corpus is
+    * built as shards each of which fits it, or falls through to the
+    * sliced shuffle tier below. */
+  val BroadcastEmbBytes = 256L * 1024 * 1024
+
+  /** [[score]] with bounded scratch. `nPairs` is the caller's (upper
+    * bound on the) pair count — exact where the caller knows it (seed
+    * grid n·k), Σ deg² for a descent round — so choosing the strategy
+    * costs no extra scan of `pairs`. Three tiers: payload-free
+    * broadcast fetch while `emb` fits [[BroadcastEmbBytes]]; one
+    * shuffle plan below [[ScoreSlicePairs]]; else hash-slices pinned
+    * one at a time, with a driver GC after each so the ContextCleaner
+    * reclaims the finished slice's shuffle files before the next one
+    * writes (they are dead the moment the slice is checkpointed, but
+    * nothing else triggers a driver GC on a quiet driver — the r11
+    * sf10 probe measured the un-reclaimed slices exhausting the disk
+    * exactly like the unsliced plan). */
+  private[search] def scoreSliced(pairs: DataFrame, emb: DataFrame,
+                                  nPairs: Long,
+                                  slicePairs: Long = ScoreSlicePairs,
+                                  embBudget: Long = BroadcastEmbBytes): DataFrame = {
+    val hdr = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
+    val nEmb = hdr.getLong(0)
+    val dim = if (hdr.isNullAt(1)) 0L else hdr.getInt(1).toLong
+    if (nEmb * (4L * dim + 48L) <= embBudget) scoreBroadcast(pairs, emb)
+    else {
+      val slices = math.max(1L, (nPairs + slicePairs - 1) / slicePairs).toInt
+      if (slices == 1) score(pairs, emb)
+      else {
+        val pinned = pairs.localCheckpoint(true)
+        (0 until slices).map { s =>
+          val sl = score(pinned.filter(
+            pmod(xxhash64(col("i"), col("j")), lit(slices.toLong)) === lit(s.toLong)), emb)
+            .localCheckpoint(true)
+          System.gc() // free the finished slice's shuffle files (see above)
+          sl
+        }.reduce(_.unionByName(_))
+      }
+    }
+  }
+
+  /** [[score]] with both embedding fetches as broadcast hash joins —
+    * row-identical output (same inner equi-joins, same expression). */
+  private[search] def scoreBroadcast(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    val ea = emb.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val eb = emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
+    pairs.join(broadcast(ea), Seq("i")).join(broadcast(eb), Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
       scored.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), k)
@@ -135,13 +210,20 @@ object KnnGraph extends QueryModule {
   private[search] def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val und = g.select(col("i"), col("j"))
       .union(g.select(col("j").as("i"), col("i").as("j")))
-      .distinct()
+      .distinct().localCheckpoint(true)
+    // Σ_j deg(j)² ≥ |cand| — the exact pre-dedup candidate count, from
+    // one aggregation over the naked edge list; sizes the score slicing
+    // without materializing the candidate join itself.
+    val degRow = und.groupBy("j").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d"))).head()
+    val candUpper = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
     val cand = und
       .join(und.select(col("i").as("j"), col("j").as("c")), Seq("j"))
       .select(col("i"), col("c").as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
-    val pool = score(cand, emb).unionByName(g).dropDuplicates("i", "j")
+    val pool = scoreSliced(cand, emb, candUpper).unionByName(g)
+      .dropDuplicates("i", "j")
     topK(pool, k)
   }
 
@@ -170,7 +252,7 @@ object KnnGraph extends QueryModule {
     // lose executors, swap for reliable checkpoint() to a checkpoint
     // dir — the memoized build is the natural unit to re-run.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val g0 = pin(topK(score(seeds, emb), k))
+    val g0 = pin(topK(scoreSliced(seeds, emb, n * k), k))
     // early stop at the exact fixpoint: no new edge ⟹ the round kept
     // each node's list identical (pool ⊇ prev and |top-k| can only grow
     // by admitting a NEW edge), and a fixpoint of the deterministic step

@@ -73,4 +73,23 @@ class KnnGraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
   }
+
+  test("all three scoring tiers are bit-identical (shuffle / broadcast / sliced)") {
+    // The bounded-scratch tiers must produce the same scored set as the
+    // plain one-shuffle plan — broadcast only changes the join strategy,
+    // and slicing only partitions the pair frame (no consumer sees union
+    // order). Drives the exact code paths the sf10 probe's disk-exhaust
+    // finding made load-bearing.
+    val pairs = emb.select(col("vec_id").as("i"))
+      .crossJoin(emb.select(col("vec_id").as("j")))
+      .filter(col("i") =!= col("j") && (col("i") + col("j")) % 7 === 0)
+    val nPairs = pairs.count()
+    def s(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shuffle = s(KnnGraph.scoreSliced(pairs, emb, nPairs = 1L, embBudget = 0L))
+    val bcast = s(KnnGraph.scoreSliced(pairs, emb, nPairs = 1L))
+    val sliced = s(KnnGraph.scoreSliced(pairs, emb, nPairs,
+      slicePairs = 1000L, embBudget = 0L))
+    assert(shuffle === bcast && shuffle === sliced && shuffle.nonEmpty)
+  }
 }

@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // Dead shuffle files and unreferenced localCheckpoint blocks are
+      // reclaimed by the ContextCleaner only after a DRIVER GC; the 30min
+      // default interval lets a multi-stage query (the graph build at the
+      // 100x probe corpus ran 60+ stages) accumulate >70GB of dead scratch
+      // and exhaust the disk even though no single stage needs more than a
+      // few GB. A 2min sweep costs one minor driver GC and keeps disk
+      // proportional to LIVE state. On a cluster the same knob guards
+      // executor local disks.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
       // tried and reverted: AQE coalesces small cached frames (embeddings,
       // ε-pairs) to 1 partition, serializing every downstream pair join —

@@ -290,11 +290,7 @@ object FilteredGraphServe extends QueryModule {
        |acorn_$tag AS (SELECT q, node FROM (
        |    SELECT q, node, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
        |    FROM bac${tag}_${GraphServe.Rounds}) WHERE rn <= $K),
-       |ex_$tag AS MATERIALIZED (SELECT q, node FROM (
-       |    SELECT qs.q, el.id AS node,
-       |      row_number() OVER (PARTITION BY qs.q
-       |        ORDER BY round(list_cosine_similarity(qs.qv, el.v), 6) DESC, el.id) AS rn
-       |    FROM qs JOIN el ON el.id <> qs.q AND ($pe)) WHERE rn <= $K),
+       |ex_$tag AS MATERIALIZED ${KnnGraph.exactTopKSql("qs", "q", "qv", "el", "q", "node", K, pe)},
        |nex_$tag AS (SELECT count(*) AS n_exact FROM ex_$tag)""".stripMargin
   }
 

@@ -162,10 +162,11 @@ object GraphAppendStream extends QueryModule {
        |  UNION ALL SELECT i, j, sim FROM newe$t),
        |nb$t AS (SELECT i AS mid FROM newe$t UNION SELECT j AS mid FROM newe$t),
        |mund$t AS MATERIALIZED (SELECT i, j FROM mrg$t UNION SELECT j AS i, i AS j FROM mrg$t),
-       |mcand$t AS (SELECT DISTINCT a.i, b.j AS j FROM mund$t a
-       |  JOIN nb$t ON nb$t.mid = a.j
-       |  JOIN mund$t b ON b.i = a.j
-       |  WHERE a.i <> b.j),
+       |mgm$t AS MATERIALIZED ${KnnGraph.gammaSql(s"mund$t")},
+       |mcand$t AS (SELECT DISTINCT a.j AS i, b.j AS j FROM mgm$t a
+       |  JOIN nb$t ON nb$t.mid = a.i
+       |  JOIN mgm$t b ON b.i = a.i
+       |  WHERE a.j <> b.j),
        |fe2$t AS MATERIALIZED (SELECT id, v FROM fe
        |  WHERE ${BatchResidues.drop(t + 1).map(r => s"id % 10 <> $r").mkString(" AND ") match {
            case "" => "TRUE"; case s => s }}),
@@ -193,11 +194,7 @@ object GraphAppendStream extends QueryModule {
          |evm AS (SELECT CASE WHEN m % ${GraphIndex.AppendMod} = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
-         |exactf AS MATERIALIZED (SELECT i, j FROM (
-         |    SELECT ev.id AS i, e.id AS j,
-         |      row_number() OVER (PARTITION BY ev.id
-         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
-         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K)
+         |exactf AS MATERIALIZED ${KnnGraph.exactTopKSql("ev", "id", "v", "e", "i", "j", K)}
          |${phaseRow(0, "oneshot", "gapp")}
          |UNION ALL
          |${phaseRow(1, "streamed", "gs1")}

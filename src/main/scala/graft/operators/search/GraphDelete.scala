@@ -59,23 +59,12 @@ object GraphDelete extends QueryModule {
       val dropped = g
         .filter(col("i") % DeleteMod =!= 0 && col("j") % DeleteMod =!= 0)
         .localCheckpoint(true)
-      // one repair round among survivors: undirected adjacency of the
-      // dropped graph → 2-hop candidates → rescore → top-K of old ∪ new
-      val und = dropped.select(col("i"), col("j"))
-        .union(dropped.select(col("j").as("i"), col("i").as("j")))
-        .distinct()
-      val cand = und
-        .join(und.select(col("i").as("j"), col("j").as("c")), Seq("j"))
-        .select(col("i"), col("c").as("j"))
-        .filter(col("i") =!= col("j"))
-        .distinct()
-      val ea = emb.select(col("vec_id").as("i"), col("embedding").as("emb_i"))
-      val eb = emb.select(col("vec_id").as("j"), col("embedding").as("emb_j"))
-      val scored = cand.join(ea, Seq("i")).join(eb, Seq("j"))
-        .select(col("i"), col("j"),
-          round(cosine_sim(col("emb_i"), col("emb_j")), 6).as("sim"))
-      val repaired = topK(scored.unionByName(dropped).dropDuplicates("i", "j"), Degree)
-        .localCheckpoint(true)
+      // one repair round among survivors — EXACTLY one [[KnnGraph.step]]
+      // from the dropped graph (pool-capped candidates, bounded-scratch
+      // scoring; candidate pairs only touch survivor ids, so scoring
+      // against the full embedding frame fetches the same vectors the
+      // survivor frame would)
+      val repaired = KnnGraph.step(dropped, emb, Degree).localCheckpoint(true)
       (dropped, repaired)
     }
 
@@ -128,24 +117,12 @@ object GraphDelete extends QueryModule {
       s"""WITH ${KnnGraph.graphCtePrefix},
          |gd AS MATERIALIZED (SELECT i, j, sim FROM g${KnnGraph.Rounds}
          |  WHERE i % $DeleteMod <> 0 AND j % $DeleteMod <> 0),
-         |du AS MATERIALIZED (SELECT i, j FROM gd UNION SELECT j AS i, i AS j FROM gd),
-         |dc AS (SELECT DISTINCT a.i, b.c AS j FROM du a
-         |  JOIN (SELECT i AS mid, j AS c FROM du) b ON a.j = b.mid WHERE a.i <> b.c),
-         |ds AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-         |  FROM dc p JOIN e a ON a.id = p.i JOIN e b ON b.id = p.j),
-         |dp AS (SELECT i, j, sim FROM ds UNION SELECT i, j, sim FROM gd),
-         |rep AS MATERIALIZED (SELECT i, j, sim FROM (
-         |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-         |    FROM dp) WHERE rn <= $Degree),
+         |${KnnGraph.stepCtes("gd", "rep", "d", "e")},
          |surv AS MATERIALIZED (SELECT id, v FROM e WHERE id % $DeleteMod <> 0),
          |evm AS (SELECT CASE WHEN m % $DeleteMod = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS (SELECT id, v FROM surv WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
-         |exact AS MATERIALIZED (SELECT i, j FROM (
-         |    SELECT ev.id AS i, s.id AS j,
-         |      row_number() OVER (PARTITION BY ev.id
-         |        ORDER BY round(list_cosine_similarity(ev.v, s.v), 6) DESC, s.id) AS rn
-         |    FROM ev JOIN surv s ON s.id <> ev.id) WHERE rn <= $K)
+         |exact AS MATERIALIZED ${KnnGraph.exactTopKSql("ev", "id", "v", "surv", "i", "j", K)}
          |SELECT 0 AS phase_ord, 'dropped' AS phase,
          |  (SELECT count(*) FROM gd) AS n_edges,
          |  (SELECT n_eval FROM nev) AS n_eval,

@@ -79,8 +79,10 @@ object GraphIndex extends QueryModule {
     * converged descent + √n upper-layer entries. v4: meta carries the
     * RAW fingerprint accumulator + last-batch fingerprint and the
     * artifact carries a `nodes` (id, hash) sidecar, so append/delete
-    * fold the batch delta instead of re-scanning the corpus. */
-  val BuildVersion = 4
+    * fold the batch delta instead of re-scanning the corpus. v5: the
+    * descent/repair candidate pools are [[KnnGraph.PoolCap]]-capped
+    * (hub-safe NN-descent), changing edge content. */
+  val BuildVersion = 5
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -312,16 +314,27 @@ object GraphIndex extends QueryModule {
     val merged0 = gOld.unionByName(newEdges).localCheckpoint(true)
     val nb = newEdges.select(col("i").as("mid"))
       .union(newEdges.select(col("j").as("mid"))).distinct()
-    val mUnd = und(merged0)
-    val cand = mUnd.select(col("i"), col("j").as("mid"))
+    // pool-capped candidate generation restricted to the batch's 2-hop
+    // neighborhood Γ(new): ∪_{m∈nb} Γ'(m)×Γ'(m) with Γ' the
+    // KnnGraph.capPool cap — hub middles can't quadratically explode a
+    // batch's repair (the r11 100× probe finding, same cap as the build)
+    val gamma = KnnGraph.capPool(und(merged0))
+    val gm = gamma.select(col("i").as("mid"), col("j"))
+    val cand = gm.select(col("mid"), col("j").as("x"))
       .join(nb, Seq("mid"))
-      .join(mUnd.select(col("i").as("mid"), col("j").as("c")), Seq("mid"))
-      .select(col("i"), col("c").as("j"))
+      .join(gm.select(col("mid"), col("j").as("y")), Seq("mid"))
+      .select(col("x").as("i"), col("y").as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
     val changedI = cand.select(col("i")).distinct()
       .union(newEdges.select(col("i")).distinct()).distinct()
-    val pool = score(cand, fullEmb)
+    // exact pre-dedup candidate bound Σ_{m∈nb} |Γ'(m)|² for the scoring
+    // tier choice (KnnGraph.scoreSliced — broadcast / one-shuffle / sliced)
+    val degRow = gm.join(nb, Seq("mid"))
+      .groupBy("mid").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d"))).head()
+    val candUpper = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+    val pool = KnnGraph.scoreSliced(cand, fullEmb, candUpper)
       .unionByName(merged0.join(changedI, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
     val repaired = topKPer(pool, "i", Degree)
@@ -361,14 +374,17 @@ object GraphIndex extends QueryModule {
       .select(col("i")).distinct()
       .join(ids.select(col("vec_id").as("i")), Seq("i"), "left_anti")
       .localCheckpoint(true)
-    val dUnd = und(dropped)
-    val cand = dUnd.join(degraded, Seq("i"), "left_semi")
-      .select(col("i"), col("j").as("mid"))
-      .join(dUnd.select(col("i").as("mid"), col("j").as("c")), Seq("mid"))
+    // pool-capped 2-hop repair candidates (KnnGraph.capPool on both
+    // hops): a hub middle can't quadratically explode the blast radius
+    val gammaD = KnnGraph.capPool(und(dropped)).localCheckpoint(true)
+    val hop1 = gammaD.join(degraded, Seq("i"), "left_semi")
+    val cand = hop1.select(col("i"), col("j").as("mid"))
+      .join(gammaD.select(col("i").as("mid"), col("j").as("c")), Seq("mid"))
       .select(col("i"), col("c").as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
-    val pool = score(cand, emb)
+    val candUpper = hop1.count() * KnnGraph.PoolCap
+    val pool = KnnGraph.scoreSliced(cand, emb, candUpper)
       .unionByName(dropped.join(degraded, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
     val repaired = topKPer(pool, "i", Degree)
@@ -442,8 +458,10 @@ object GraphIndex extends QueryModule {
                rounds: Int = 1): Unit = {
     val g0 = edges(spark, indexPath).localCheckpoint(true)
     var g = g0
-    for (_ <- 1 to rounds)
+    for (_ <- 1 to rounds) {
       g = KnnGraph.step(g, emb, Degree).localCheckpoint(true)
+      System.gc() // reclaim the round's dead shuffle files (KnnGraph note)
+    }
     val changed = g.join(g0, Seq("i", "j"), "left_anti")
       .select(col("i")).distinct()
     val touched = changed
@@ -743,10 +761,11 @@ object GraphIndex extends QueryModule {
        |mrg AS MATERIALIZED (SELECT i, j, sim FROM og${KnnGraph.Rounds} UNION ALL SELECT i, j, sim FROM newe),
        |nb AS (SELECT i AS mid FROM newe UNION SELECT j AS mid FROM newe),
        |mund AS MATERIALIZED (SELECT i, j FROM mrg UNION SELECT j AS i, i AS j FROM mrg),
-       |mcand AS (SELECT DISTINCT a.i, b.j AS j FROM mund a
-       |  JOIN nb ON nb.mid = a.j
-       |  JOIN mund b ON b.i = a.j
-       |  WHERE a.i <> b.j),
+       |mgm AS MATERIALIZED ${KnnGraph.gammaSql("mund")},
+       |mcand AS (SELECT DISTINCT a.j AS i, b.j AS j FROM mgm a
+       |  JOIN nb ON nb.mid = a.i
+       |  JOIN mgm b ON b.i = a.i
+       |  WHERE a.j <> b.j),
        |msc AS (SELECT p.i, p.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
        |  FROM mcand p JOIN fe a ON a.id = p.i JOIN fe b ON b.id = p.j),
        |mpool AS (SELECT i, j, sim FROM msc UNION SELECT i, j, sim FROM mrg),
@@ -774,16 +793,8 @@ object GraphIndex extends QueryModule {
          |nev AS (SELECT count(*) AS n_eval FROM ev),
          |oev AS (SELECT id, v FROM ev WHERE id % $AppendMod <> $NewResidue),
          |noev AS (SELECT count(*) AS n_eval FROM oev),
-         |exactf AS MATERIALIZED (SELECT i, j FROM (
-         |    SELECT ev.id AS i, e.id AS j,
-         |      row_number() OVER (PARTITION BY ev.id
-         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
-         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K),
-         |exacto AS MATERIALIZED (SELECT i, j FROM (
-         |    SELECT oev.id AS i, oe.id AS j,
-         |      row_number() OVER (PARTITION BY oev.id
-         |        ORDER BY round(list_cosine_similarity(oev.v, oe.v), 6) DESC, oe.id) AS rn
-         |    FROM oev JOIN oe ON oe.id <> oev.id) WHERE rn <= $K)
+         |exactf AS MATERIALIZED ${KnnGraph.exactTopKSql("ev", "id", "v", "e", "i", "j", K)},
+         |exacto AS MATERIALIZED ${KnnGraph.exactTopKSql("oev", "id", "v", "oe", "i", "j", K)}
          |${phaseRow(0, "half_build", s"og${KnnGraph.Rounds}", "exacto", "noev")}
          |UNION ALL
          |${phaseRow(1, "appended", "gapp", "exactf", "nev")}

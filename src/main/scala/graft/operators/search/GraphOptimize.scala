@@ -78,18 +78,11 @@ object GraphOptimize extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_optimize" -> (qGraphOptimize _))
 
-  /** One descent step from `inG` over the full-corpus `fe` embeddings
-    * (the [[KnnGraph.step]] shape as CTEs) → `outG`. */
+  /** One descent step from `inG` over the full-corpus `fe` embeddings —
+    * [[KnnGraph.stepCtes]], the ONE SQL replay of the step kernel
+    * (pool-capped; see [[KnnGraph.PoolCap]]). */
   private def stepCtes(inG: String, outG: String, p: String): String =
-    s"""${p}u AS MATERIALIZED (SELECT i, j FROM $inG UNION SELECT j AS i, i AS j FROM $inG),
-       |${p}c AS (SELECT DISTINCT a.i, b.c AS j FROM ${p}u a
-       |  JOIN (SELECT i AS mid, j AS c FROM ${p}u) b ON a.j = b.mid WHERE a.i <> b.c),
-       |${p}s AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-       |  FROM ${p}c pp JOIN fe a ON a.id = pp.i JOIN fe b ON b.id = pp.j),
-       |${p}p AS (SELECT i, j, sim FROM ${p}s UNION SELECT i, j, sim FROM $inG),
-       |$outG AS MATERIALIZED (SELECT i, j, sim FROM (
-       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM ${p}p) WHERE rn <= ${GraphIndex.Degree})""".stripMargin
+    KnnGraph.stepCtes(inG, outG, p, "fe")
 
   private def phaseRow(ord: Int, name: String, g: String): String =
     s"""SELECT $ord AS phase_ord, '$name' AS phase,
@@ -112,11 +105,7 @@ object GraphOptimize extends QueryModule {
          |evm AS (SELECT CASE WHEN m % ${GraphIndex.AppendMod} = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
-         |exactf AS MATERIALIZED (SELECT i, j FROM (
-         |    SELECT ev.id AS i, e.id AS j,
-         |      row_number() OVER (PARTITION BY ev.id
-         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
-         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K)
+         |exactf AS MATERIALIZED ${KnnGraph.exactTopKSql("ev", "id", "v", "e", "i", "j", K)}
          |${phaseRow(0, "appended", "gapp")}
          |UNION ALL
          |${phaseRow(1, "optimized", "gopt")}

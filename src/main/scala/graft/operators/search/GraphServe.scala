@@ -264,11 +264,7 @@ object GraphServe extends QueryModule {
        |ent AS (SELECT id AS node FROM e WHERE ${entryPickSql("id", "SELECT se FROM qprm")}),
        |es AS (SELECT qs.q, ent.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
        |  FROM qs CROSS JOIN ent JOIN e ON e.id = ent.node WHERE ent.node <> qs.q),
-       |exact AS MATERIALIZED (SELECT q, node FROM (
-       |    SELECT qs.q, e.id AS node,
-       |      row_number() OVER (PARTITION BY qs.q
-       |        ORDER BY round(list_cosine_similarity(qs.qv, e.v), 6) DESC, e.id) AS rn
-       |    FROM qs JOIN e ON e.id <> qs.q) WHERE rn <= $K)""".stripMargin
+       |exact AS MATERIALIZED ${KnnGraph.exactTopKSql("qs", "q", "qv", "e", "q", "node", K)}""".stripMargin
 
   /** b0 for one beam width: top-`beam` of the entry scores. */
   private[search] def b0Cte(beam: Int, sfx: String): String =

@@ -2,7 +2,7 @@ package graft.operators.search
 
 import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** kNN-GRAPH construction via NN-descent (Dong et al., WWW'11) — the
@@ -62,6 +62,60 @@ object KnnGraph extends QueryModule {
     * in [[buildRounds]] skips genuinely dead rounds); per-round cost
     * stays O(n·(2k)²) so the build is still linear in the corpus. */
   val Rounds = 4
+
+  /** Max neighbors per node admitted to the candidate-generation pool
+    * (NN-descent's reverse-neighbor sampling, Dong et al. §2.3, made
+    * deterministic). The undirected adjacency's OUT side is ≤ Degree by
+    * construction, but IN-degree is unbounded — on a duplicate-heavy
+    * corpus every copy of a popular vector points at the same few
+    * low-id copies, and the r11 100× probe (100-copy groups, 200k
+    * nodes) measured the uncapped neighbors-of-neighbors join at
+    * Σdeg² ≈ 3G candidate pairs — a 46GB map output for ONE round's
+    * dedup exchange, from a 1.6GB corpus. Capping Γ(m) at PoolCap by
+    * the engine-exact pair hash bounds every round at n·PoolCap²
+    * candidates — linear in the corpus forever — while non-hub nodes
+    * (deg ≤ out + typical in ≈ 2·Degree) keep their full pool. The cap
+    * is a deterministic function of the edge list, so the unrolled
+    * oracles replay it exactly (row_number over the same hash). */
+  val PoolCap = 2 * Degree
+
+  /** Engine-exact per-edge priority for the pool cap: the
+    * [[graft.operators.sampling.SamplingQueries.prio]] multiplicative
+    * hash of (prio(i) + j mod M) — both terms < 2^31, their sum < 2^32,
+    * and prio keeps all products < 2^63, so the arithmetic is exact
+    * BIGINT in Spark AND DuckDB. Pair-dependent (not a global ranking
+    * of j), so each node's kept-neighbor sample is independent. */
+  private[search] def pairPrio(i: Column, j: Column): Column = {
+    import graft.operators.sampling.SamplingQueries.{prio, SplitMod}
+    prio(prio(i) + pmod(j, lit(SplitMod)))
+  }
+
+  /** [[pairPrio]] in DuckDB SQL (sign-normalized like pmod). */
+  private[search] def pairPrioSql(i: String, j: String): String = {
+    val m = graft.operators.sampling.SamplingQueries.SplitMod
+    val c = graft.operators.sampling.SamplingQueries.Mult
+    val pi = s"((((($i % $m) + $m) % $m) * $c) % $m)"
+    val pj = s"((($j % $m) + $m) % $m)"
+    s"((($pi + $pj) % $m) * $c) % $m"
+  }
+
+  /** [[capPool]] as a CTE body over a symmetric edge relation `src` —
+    * the SQL twin (row_number over the same hash, same tie-break). */
+  private[search] def gammaSql(src: String): String =
+    s"""(SELECT i, j FROM (
+       |    SELECT i, j, row_number() OVER (PARTITION BY i
+       |      ORDER BY ${pairPrioSql("i", "j")}, j) AS rn
+       |    FROM $src) WHERE rn <= $PoolCap)""".stripMargin
+
+  /** Γ'(m): the undirected adjacency capped at [[PoolCap]] neighbors
+    * per source node, keeping the PoolCap smallest (pairPrio, j). Input
+    * must be the SYMMETRIC edge list (i, j); output is its per-i capped
+    * subset. Identity wherever deg(i) ≤ PoolCap — only hubs are
+    * trimmed. */
+  private[search] def capPool(und: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup(
+      und.withColumn("h", pairPrio(col("i"), col("j"))), Seq("i"), Seq("h", "j"), PoolCap)
+      .select(col("i"), col("j"))
 
   /** Eval-sample size target; the modulus is derived from it. */
   val SampleTarget = 2000L
@@ -203,23 +257,27 @@ object KnnGraph extends QueryModule {
       scored.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"), k)
       .select(col("i"), col("j"), col("sim"))
 
-  /** One NN-descent round: undirected adjacency → neighbors-of-neighbors
-    * candidates → rescore → keep each node's top-k of old ∪ new.
+  /** One NN-descent round: undirected adjacency → per-node pool cap →
+    * neighbors-of-neighbors candidates → rescore → keep each node's
+    * top-k of old ∪ new. The candidate set is ∪_m Γ'(m)×Γ'(m) with
+    * Γ'(m) the [[capPool]]-capped neighbor set — ≤ n·PoolCap² pairs per
+    * round regardless of hub in-degrees (see [[PoolCap]]).
     * `private[search]`: also the kernel of [[GraphIndex.optimize]]'s
     * re-descent over a live artifact. */
   private[search] def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val und = g.select(col("i"), col("j"))
       .union(g.select(col("j").as("i"), col("i").as("j")))
-      .distinct().localCheckpoint(true)
-    // Σ_j deg(j)² ≥ |cand| — the exact pre-dedup candidate count, from
-    // one aggregation over the naked edge list; sizes the score slicing
+      .distinct()
+    val gamma = capPool(und).localCheckpoint(true)
+    // Σ_m |Γ'(m)|² ≥ |cand| — the exact pre-dedup candidate count, from
+    // one aggregation over the capped edge list; sizes the score slicing
     // without materializing the candidate join itself.
-    val degRow = und.groupBy("j").agg(count(lit(1)).as("d"))
+    val degRow = gamma.groupBy("i").agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * col("d"))).head()
     val candUpper = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
-    val cand = und
-      .join(und.select(col("i").as("j"), col("j").as("c")), Seq("j"))
-      .select(col("i"), col("c").as("j"))
+    val cand = gamma.select(col("i").as("m"), col("j").as("x"))
+      .join(gamma.select(col("i").as("m"), col("j").as("y")), Seq("m"))
+      .select(col("x").as("i"), col("y").as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
     val pool = scoreSliced(cand, emb, candUpper).unionByName(g)
@@ -267,6 +325,15 @@ object KnnGraph extends QueryModule {
         val next = pin(step(out.last, emb, k))
         converged = next.join(out.last, Seq("i", "j"), "left_anti").isEmpty
         out += next
+        // the round's candidate-distinct shuffle and the intermediate
+        // pins are dead once `next` is checkpointed, but only a driver
+        // GC lets the ContextCleaner reclaim their disk files — on a
+        // quiet driver nothing else triggers one, and the r11 100×
+        // probe measured the per-round leftovers accumulating to >50 GB
+        // across 4 rounds even with payload-free (id, id) shuffles (the
+        // 100-copy corpus makes hub in-degrees, so Σdeg² candidates run
+        // ~1G rows/round). Same discipline as scoreSliced's per-slice GC.
+        System.gc()
       }
     }
     out.toSeq
@@ -307,22 +374,32 @@ object KnnGraph extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _))
 
+  /** One NN-descent step as CTE text — THE SQL replay of [[step]],
+    * shared by this oracle's unrolled rounds and [[GraphOptimize]]'s
+    * re-descent chain so the engine kernel and every replay move in
+    * lockstep. `inG` → `outG` over embeddings `embRel(id, v)`; `ns`
+    * namespaces the intermediate CTEs (must be unique per WITH). The
+    * gamma block is [[capPool]]: row_number over the engine-exact pair
+    * hash caps each node's pool at [[PoolCap]]. */
+  private[search] def stepCtes(inG: String, outG: String, ns: String,
+                               embRel: String): String =
+    s"""${ns}u AS MATERIALIZED (SELECT i, j FROM $inG UNION SELECT j AS i, i AS j FROM $inG),
+       |${ns}gm AS MATERIALIZED ${gammaSql(s"${ns}u")},
+       |${ns}c AS (SELECT DISTINCT a.j AS i, b.j AS j FROM ${ns}gm a
+       |  JOIN ${ns}gm b ON a.i = b.i WHERE a.j <> b.j),
+       |${ns}s AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM ${ns}c pp JOIN $embRel a ON a.id = pp.i JOIN $embRel b ON b.id = pp.j),
+       |${ns}p AS (SELECT i, j, sim FROM ${ns}s UNION SELECT i, j, sim FROM $inG),
+       |$outG AS MATERIALIZED (SELECT i, j, sim FROM (
+       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM ${ns}p) WHERE rn <= $Degree)""".stripMargin
+
   /** Unrolled-round replay: g0/g1/g2 as CTE chains over the same ring
     * seeds, rounded sims, and id tiebreaks. `p` namespaces every CTE so
     * two chains (e.g. [[GraphIndex]]'s half build + the full rebuild)
     * coexist in one oracle. */
-  private def roundCtes(r: Int, p: String): String = {
-    val prev = s"${p}g${r - 1}"
-    s"""${p}und$r AS MATERIALIZED (SELECT i, j FROM $prev UNION SELECT j AS i, i AS j FROM $prev),
-       |${p}cand$r AS (SELECT DISTINCT a.i, b.c AS j FROM ${p}und$r a
-       |  JOIN (SELECT i AS mid, j AS c FROM ${p}und$r) b ON a.j = b.mid WHERE a.i <> b.c),
-       |${p}sc$r AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
-       |  FROM ${p}cand$r pp JOIN ${p}e a ON a.id = pp.i JOIN ${p}e b ON b.id = pp.j),
-       |${p}pool$r AS (SELECT i, j, sim FROM ${p}sc$r UNION SELECT i, j, sim FROM $prev),
-       |${p}g$r AS MATERIALIZED (SELECT i, j, sim FROM (
-       |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
-       |    FROM ${p}pool$r) WHERE rn <= $Degree)""".stripMargin
-  }
+  private def roundCtes(r: Int, p: String): String =
+    stepCtes(s"${p}g${r - 1}", s"${p}g$r", s"${p}r$r", s"${p}e")
 
   private def recallRow(r: Int): String =
     s"""SELECT $r AS round, (SELECT count(*) FROM g$r) AS n_edges,
@@ -356,16 +433,42 @@ object KnnGraph extends QueryModule {
 
   private[search] def graphCtePrefix: String = graphCtePrefixWhere("TRUE")
 
+  /** Exact-top-k ground-truth CTE body, shared by every graph-family
+    * oracle. The similarity is projected in a derived table BELOW the
+    * window, so the window's sort input is (id, id, sim) rows — NOT the
+    * two DOUBLE[] payloads the ORDER BY expression reads. Structural,
+    * not cosmetic: with the inline expression DuckDB materializes the
+    * eval×corpus join output INCLUDING both ~0.5KB list columns into
+    * the window sort, which at the 10× corpus (2k eval × 20k nodes =
+    * 40M rows) is ~40GB of sort spill PER EVALUATION — the r11 sf1
+    * campaign measured q_knn_graph's five-reference plain CTE
+    * exhausting the disk. Payload-free, the same truth computes in
+    * ~27s under a 40GB cap. Same join, same rounding, same tie-break —
+    * row-identical output.
+    *
+    * `evRel(evId, evVec)` is the query/eval relation, `corpusRel(id, v)`
+    * the corpus; `extraPred` restricts the corpus side (the filtered
+    * serve arms). Callers keep their own `name AS [MATERIALIZED]`
+    * prefix — multi-referenced truths should stay MATERIALIZED so the
+    * one bounded evaluation is also the only one. */
+  private[search] def exactTopKSql(evRel: String, evId: String, evVec: String,
+                                   corpusRel: String, outI: String, outJ: String,
+                                   k: Int, extraPred: String = "TRUE"): String =
+    s"""(SELECT $outI, $outJ FROM (
+       |    SELECT $outI, $outJ,
+       |      row_number() OVER (PARTITION BY $outI ORDER BY sim DESC, $outJ) AS rn
+       |    FROM (SELECT $evRel.$evId AS $outI, $corpusRel.id AS $outJ,
+       |        round(list_cosine_similarity($evRel.$evVec, $corpusRel.v), 6) AS sim
+       |      FROM $evRel JOIN $corpusRel
+       |        ON $corpusRel.id <> $evRel.$evId AND ($extraPred)) s0)
+       |  WHERE rn <= $k)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_knn_graph" ->
       s"""WITH $graphCtePrefix,
          |ev AS (SELECT id, v FROM e WHERE id % (SELECT m FROM prm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
-         |exact AS (SELECT i, j FROM (
-         |    SELECT ev.id AS i, e.id AS j,
-         |      row_number() OVER (PARTITION BY ev.id
-         |        ORDER BY round(list_cosine_similarity(ev.v, e.v), 6) DESC, e.id) AS rn
-         |    FROM ev JOIN e ON e.id <> ev.id) WHERE rn <= $K)
+         |exact AS MATERIALIZED ${exactTopKSql("ev", "id", "v", "e", "i", "j", K)}
          |${(0 to Rounds).map(recallRow).mkString("\nUNION ALL\n")}
          |ORDER BY round""".stripMargin)
 }

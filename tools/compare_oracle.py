@@ -61,6 +61,14 @@ def main(sf_dir, out_dir):
     threads = os.environ.get("GRAFT_ORACLE_THREADS")
     if threads:
         con.execute(f"SET threads={int(threads)}")
+    # Large MATERIALIZED CTE chains (the graph-family replays) buffer
+    # full intermediates; insertion order is irrelevant here because
+    # canon() sorts rows before comparing, so let DuckDB stream instead
+    # of preserving order (big reduction in temp spill at sf1).
+    con.execute("SET preserve_insertion_order=false")
+    memlimit = os.environ.get("GRAFT_ORACLE_MEMLIMIT")
+    if memlimit:
+        con.execute(f"SET memory_limit='{memlimit}'")
     only = {s for s in os.environ.get("GRAFT_ORACLE_ONLY", "").split(",") if s}
     skip = {s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s}
     for t in TABLES:

@@ -129,6 +129,126 @@ object MinHashLsh extends QueryModule {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" planted near duplicate suffix")).as("text")))
 
+  /** Exact-duplicate contraction of the MinHash pipeline (the r10 SemDeDup
+    * duplicate-contraction move applied to LSH): exact text copies have
+    * identical shingle sets, hence identical signatures, bands and Jaccard
+    * values — so the pipeline runs once per DISTINCT text (the md5 "copy
+    * group" representative = its min doc_id) and the verified pair list /
+    * component labels expand back exactly. The r11 100× probe corpus
+    * (100-copy groups) makes the uncontracted pair join quadratic in copy
+    * multiplicity; contracted, pair work falls 10⁴× while the OUTPUT is
+    * row-identical (spec-asserted against [[nearDupPairs]] on duplicated
+    * corpora, and the DuckDB oracle still replays the quadratic
+    * definition).
+    *
+    * Exactness of the band guard: an uncontracted bucket's size is the SUM
+    * of copy-group multiplicities of the texts in it, so the contracted
+    * guard weighs each rep by `w` — a >cap duplication drops its within-
+    * and cross-pairs in both pipelines identically.
+    *
+    * @param members    (doc_id, rep) for every doc
+    * @param groups     (rep, w) one row per distinct text
+    * @param repPairs   (d1, d2, jaccard) verified pairs between reps
+    * @param withinReps reps of groups with w>1 and ≥1 surviving (non-
+    *                   oversized) band — exactly the groups whose member
+    *                   pairs the uncontracted pipeline would emit (identical
+    *                   docs share all bands; Jaccard of identical sets is
+    *                   exactly 1.0 ≥ any threshold)
+    */
+  private[graft] case class Contracted(members: DataFrame, groups: DataFrame,
+                                       repPairs: DataFrame, withinReps: DataFrame)
+
+  private[graft] def contractedPipeline(docs: DataFrame, minJaccard: Double,
+                                        maxBandBucket: Long = MaxBandBucket): Contracted = {
+    val keyed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val groups = keyed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("w")).persist()
+    val members = keyed.select(col("doc_id"), col("h"))
+      .join(groups.select(col("h"), col("rep")), Seq("h"))
+      .select(col("doc_id"), col("rep")).persist()
+    val repDocs = keyed.join(groups.select(col("h"), col("rep")), Seq("h"))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val perDoc = shingleHashes(repDocs).groupBy(col("doc_id"))
+      .agg(
+        graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
+          coefB.toIndexedSeq, P).as("sig"),
+        collect_set(col("x")).as("s"))
+      .join(groups.select(col("rep").as("doc_id"), col("w")), Seq("doc_id"))
+      .persist()
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1).as(s"k$r"))
+      struct(lit(b).as("band") +: rows: _*)
+    }
+    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
+    val banded = perDoc
+      .select(col("doc_id"), col("w"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id") +: col("w") +: col("bk.band").as("band") +:
+        keyCols.map(k => col(s"bk.$k").as(k)): _*)
+    // the weighted mega-bucket guard: bucket load = Σ multiplicities
+    val oversized = banded
+      .groupBy(col("band") +: keyCols.map(col): _*)
+      .agg(sum(col("w")).as("sz"))
+      .filter(col("sz") > maxBandBucket)
+      .select(col("band") +: keyCols.map(col): _*)
+    val bounded = banded.join(broadcast(oversized), "band" +: keyCols, "left_anti")
+    val cand = bounded.alias("l").join(bounded.alias("r"), "band" +: keyCols)
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    val sets = perDoc.select(col("doc_id"), col("s"))
+    val repPairs = sets.select(col("doc_id").as("d1"), col("s").as("s1"))
+      .join(broadcast(cand), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard")).persist()
+    val withinReps = bounded.select(col("doc_id").as("rep")).distinct()
+      .join(groups.filter(col("w") > 1).select(col("rep")), Seq("rep"))
+      .persist()
+    Contracted(members, groups, repPairs, withinReps)
+  }
+
+  /** The full verified pair list from a [[Contracted]] pipeline —
+    * row-identical to [[nearDupPairs]]: cross-group pairs carry their rep
+    * pair's Jaccard (copies have identical sets), within-group pairs are
+    * exactly 1.0. */
+  private[graft] def expandPairs(c: Contracted): DataFrame = {
+    val m = c.members
+    val cross = m.select(col("rep").as("d1"), col("doc_id").as("m1"))
+      .join(broadcast(c.repPairs), Seq("d1"))
+      .join(m.select(col("rep").as("d2"), col("doc_id").as("m2")), Seq("d2"))
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+    val wm = m.join(broadcast(c.withinReps), Seq("rep"))
+    val within = wm.select(col("rep"), col("doc_id").as("m1"))
+      .join(wm.select(col("rep"), col("doc_id").as("m2")), Seq("rep"))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** ("id", "component") for every doc the uncontracted CC would label —
+    * connected components run on the REP graph (edges = rep pairs; a w>1
+    * surviving group with no cross pair is its own singleton component),
+    * expanded through the membership map. Labels match exactly: the
+    * component minimum over reps IS the minimum doc id (rep = min of its
+    * copy group). */
+  private[graft] def expandComponents(c: Contracted): DataFrame = {
+    val repCC = graft.operators.clustering.ConnectedComponents
+      .run(c.repPairs, "d1", "d2")
+      .select(col("id").as("rep"), col("component"))
+    val repComp = repCC.unionByName(
+      c.withinReps.join(repCC.select(col("rep")), Seq("rep"), "left_anti")
+        .select(col("rep"), col("rep").as("component")))
+    c.members.join(repComp, Seq("rep"))
+      .select(col("doc_id").as("id"), col("component"))
+  }
+
   /** Verified pairs and their connected components over the planted
     * corpus are the shared prefix of q_dedup_minhash, q_dedup_groups AND
     * q_leak_safe_split. A 100 TB pipeline materializes the dedup groups
@@ -137,22 +257,27 @@ object MinHashLsh extends QueryModule {
     * (both frames are LSH-bounded, far smaller than the corpus), and
     * shared. Keyed on the session identity too so a recycled dir under a
     * fresh SparkSession recomputes instead of reading a dead plan. */
-  private val sharedPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private val sharedContracted =
+    new java.util.concurrent.ConcurrentHashMap[String, Contracted]
   private val sharedComps =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private def skey(spark: SparkSession, dir: String): String =
     System.identityHashCode(spark).toString + "|" + dir
 
+  private def plantedContracted(spark: SparkSession, dir: String): Contracted =
+    sharedContracted.computeIfAbsent(skey(spark, dir), _ =>
+      contractedPipeline(withPlantedDups(Tables.documents(spark, dir)),
+        minJaccard = 0.5))
+
+  /** The verified pair list (expanded on demand — its row count is
+    * inherently quadratic in copy multiplicity, so it is never persisted;
+    * the CONTRACTED state behind it is). */
   def plantedPairs(spark: SparkSession, dir: String): DataFrame =
-    sharedPairs.computeIfAbsent(skey(spark, dir), _ =>
-      nearDupPairs(withPlantedDups(Tables.documents(spark, dir)),
-        minJaccard = 0.5).persist())
+    expandPairs(plantedContracted(spark, dir))
 
   def plantedComponents(spark: SparkSession, dir: String): DataFrame =
     sharedComps.computeIfAbsent(skey(spark, dir), _ =>
-      graft.operators.clustering.ConnectedComponents
-        .run(plantedPairs(spark, dir), "d1", "d2").persist())
+      expandComponents(plantedContracted(spark, dir)).persist())
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     plantedPairs(spark, dir).orderBy("d1", "d2")

@@ -51,8 +51,12 @@ object SimHash extends QueryModule {
   }
 
   /** Near-dup pairs by banded blocking + exact Hamming verification. */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sh = simhashes(docs)
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    pairsFromSimhashes(simhashes(docs))
+
+  /** The banding + Hamming half, from a precomputed (doc_id, simhash)
+    * frame — shared by the plain and the contracted pipeline. */
+  private def pairsFromSimhashes(sh: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("simhash"), i * BandBits).bitwiseAND(lit(0xFFFFL)).as("bv"))
@@ -70,8 +74,48 @@ object SimHash extends QueryModule {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** [[nearDupPairs]] with exact-duplicate contraction (the MinHashLsh
+    * [[MinHashLsh.contractedPipeline]] move): identical texts have
+    * identical simhashes, share all [[NumBands]] bands, and pair at
+    * Hamming 0 — so the hash/band/verify pipeline runs once per DISTINCT
+    * text and the pair list expands back exactly. SimHash has no bucket
+    * cap, so contraction needs no weighted guard: a pair is a candidate
+    * iff its two TEXTS share a band value — a function of the rep
+    * simhashes alone. Row-identical to [[nearDupPairs]] (spec-asserted on
+    * duplicated corpora); quadratic cost in copy multiplicity becomes
+    * output-sized pair generation. */
+  private[graft] def contractedPairs(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("hk"))
+    val groups = keyed.groupBy(col("hk"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("w"))
+    val members = keyed.select(col("doc_id"), col("hk"))
+      .join(groups.select(col("hk"), col("rep")), Seq("hk"))
+      .select(col("doc_id"), col("rep")).persist()
+    val repDocs = keyed.join(groups.select(col("hk"), col("rep")), Seq("hk"))
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val sh = simhashes(repDocs).persist()
+    val repPairs = pairsFromSimhashes(sh)
+    val cross = members.select(col("rep").as("d1"), col("doc_id").as("m1"))
+      .join(broadcast(repPairs), Seq("d1"))
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("m2")), Seq("d2"))
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("hamming"))
+    // a w>1 group pairs all its members at Hamming 0 — iff the text
+    // produced a simhash at all (≥1 word), same condition per copy
+    val withinReps = groups.filter(col("w") > 1).select(col("rep"))
+      .join(sh.select(col("doc_id").as("rep")), Seq("rep"))
+    val wm = members.join(broadcast(withinReps), Seq("rep"))
+    val within = wm.select(col("rep"), col("doc_id").as("m1"))
+      .join(wm.select(col("rep"), col("doc_id").as("m2")), Seq("rep"))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(MinHashLsh.withPlantedDups(Tables.documents(spark, dir)))
+    contractedPairs(MinHashLsh.withPlantedDups(Tables.documents(spark, dir)))
       .orderBy("d1", "d2")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -99,4 +99,76 @@ class SketchDedupSpec extends SparkSpec {
     assert(MinHashLsh.qDedupMinhash(spark, SfDir).count() >= 20)
     assert(SimHash.qDedupSimhash(spark, SfDir).count() >= 1)
   }
+
+  // --- exact-duplicate contraction: output-identical to the uncontracted
+  // pipeline on duplicate-heavy corpora (the r11 100x probe shape) ---
+
+  private def dupCorpus = {
+    // mixed multiplicities: doc 1 x4 exact copies, doc 3 x3, the near-dup
+    // pair 1~2 crossing a copy group, and untouched singletons
+    val copies = Seq(
+      (101L, 1L), (102L, 1L), (103L, 1L), (301L, 3L), (302L, 3L)
+    ).toDF("doc_id", "src")
+    base.unionByName(
+      copies.join(base.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("doc_id"), col("text")))
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Double]("jaccard"))).toSet
+
+  test("contracted pipeline emits the exact uncontracted pair list on a duplicated corpus") {
+    val plain = pairSet(MinHashLsh.nearDupPairs(dupCorpus, minJaccard = 0.5))
+    val contracted = pairSet(MinHashLsh.expandPairs(
+      MinHashLsh.contractedPipeline(dupCorpus, minJaccard = 0.5)))
+    assert(contracted == plain,
+      s"missing=${plain -- contracted} extra=${contracted -- plain}")
+    // sanity: duplication actually creates within-group 1.0 pairs
+    assert(plain.exists(_._3 == 1.0), s"expected exact-copy pairs: $plain")
+  }
+
+  test("contracted components equal CC over the uncontracted pairs") {
+    val plain = graft.operators.clustering.ConnectedComponents
+      .run(MinHashLsh.nearDupPairs(dupCorpus, minJaccard = 0.5), "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contracted = MinHashLsh.expandComponents(
+      MinHashLsh.contractedPipeline(dupCorpus, minJaccard = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == plain)
+    // the copy group {1,101,102,103} must merge with near-dup 2 and 5-free
+    assert(plain(102L) == 1L && plain(2L) == 1L)
+  }
+
+  test("simhash contraction emits the exact uncontracted pair list") {
+    def hs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = hs(SimHash.nearDupPairs(dupCorpus))
+    val contracted = hs(SimHash.contractedPairs(dupCorpus))
+    assert(contracted == plain,
+      s"missing=${plain -- contracted} extra=${contracted -- plain}")
+    // duplication creates hamming-0 within-group pairs
+    assert(plain.exists(_._3 == 0), s"expected exact-copy pairs: $plain")
+  }
+
+  test("contracted band guard weighs buckets by copy multiplicity") {
+    // 30 identical docs = ONE rep with w=30: the weighted guard must see
+    // bucket load 30 > cap 10 and drop the flood exactly like the
+    // uncontracted pipeline (which sees 30 distinct rows per bucket)
+    val flood = (100L until 130L)
+      .map(i => (i, "identical boilerplate header shared by every crawled page in the batch"))
+      .toDF("doc_id", "text").unionByName(base)
+    val capped = pairSet(MinHashLsh.expandPairs(
+      MinHashLsh.contractedPipeline(flood, minJaccard = 0.5, maxBandBucket = 10)))
+    assert(pairSet(MinHashLsh.nearDupPairs(flood, minJaccard = 0.5,
+      maxBandBucket = 10)) == capped)
+    assert(capped.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"flood must be guard-dropped in the contracted pipeline too: $capped")
+    // above the flood size both pipelines re-admit the 435 exact pairs
+    val uncapped = pairSet(MinHashLsh.expandPairs(
+      MinHashLsh.contractedPipeline(flood, minJaccard = 0.5, maxBandBucket = 100)))
+    assert(uncapped == pairSet(MinHashLsh.nearDupPairs(flood, minJaccard = 0.5,
+      maxBandBucket = 100)))
+    assert(uncapped.size > 400)
+  }
 }

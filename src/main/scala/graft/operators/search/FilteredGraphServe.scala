@@ -62,41 +62,17 @@ object FilteredGraphServe extends QueryModule {
     ("narrow", (id, label) => label === 3 && id < 100, "label = 3 AND id < 100"),
     ("wide", (_, label) => label === 3, "label = 3"))
 
-  /** Beam kernel with scored-work accounting — [[GraphIndex.beamSearch]]
-    * semantics (same entry scoring, same per-round pool/top-`beam`
-    * geometry, query side joined never broadcast), generalized over the
-    * candidate generator so the three arms differ ONLY in how a beam
-    * produces its next candidates, and instrumented to return each
-    * round's scored frame (its row count IS the arm's scoring cost —
-    * a similarity evaluation happens exactly once per scored row). */
+  /** [[GraphIndex.beamKernel]] with scored-work accounting — the ONE
+    * beam implementation ([[GraphIndex.beamSearch]] is the same kernel
+    * untraced), generalized over the candidate generator so the three
+    * arms differ ONLY in how a beam produces its next candidates, and
+    * instrumented to return each round's scored frame (its row count IS
+    * the arm's scoring cost — a similarity evaluation happens exactly
+    * once per scored row). */
   private def beamTrace(qs: DataFrame, nodeEmb: DataFrame, entries: DataFrame,
                         beam: Int, rounds: Int,
-                        candGen: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val qv = qs.select(col("q"), col("qv"))
-    def scoreQ(pairs: DataFrame): DataFrame =
-      pairs.filter(col("j") =!= col("q"))
-        .join(nodeEmb.select(col("vec_id").as("j"), col("embedding").as("nv")), Seq("j"))
-        .join(qv, Seq("q"))
-        .select(col("q"), col("j"),
-          round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
-    def topQ(df: DataFrame): DataFrame =
-      graft.plans.TopKPerGroup(
-        df.withColumn("neg_sim", -col("sim")), Seq("q"), Seq("neg_sim", "j"), beam)
-        .select(col("q"), col("rk"), col("j"), col("sim"))
-    val entryPairs = qv.select(col("q")).withColumn("one", lit(1))
-      .join(broadcast(entries.select(col("j")).withColumn("one", lit(1))), Seq("one"))
-      .select(col("q"), col("j"))
-    val s0 = scoreQ(entryPairs).localCheckpoint(true)
-    val scoredFrames = scala.collection.mutable.ArrayBuffer(s0)
-    var b = topQ(s0).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val sr = scoreQ(candGen(b.select(col("q"), col("j")))).localCheckpoint(true)
-      scoredFrames += sr
-      b = topQ(sr.unionByName(b.select(col("q"), col("j"), col("sim")))
-        .dropDuplicates("q", "j")).localCheckpoint(true)
-    }
-    (b, scoredFrames.toSeq)
-  }
+                        candGen: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) =
+    GraphIndex.beamKernel(qs, nodeEmb, entries, beam, rounds, candGen, trace = true)
 
   /** Heavy per-corpus frames (beam searches + exact truths + driver
     * counts), memoized; the grading aggregation is REBUILT per call so
@@ -119,10 +95,9 @@ object FilteredGraphServe extends QueryModule {
       val se = GraphServe.upperModulus(n)
       val entriesAll = el.filter(GraphServe.entryPick(col("vec_id"), se))
         .select(col("vec_id").as("j"))
-      // the shared 1-hop candidate generator (pre + post arms)
-      val hop1: DataFrame => DataFrame = b =>
-        b.join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
-          .select(col("q"), col("c").as("j")).distinct()
+      // the shared 1-hop candidate generator (pre + post arms) — the
+      // serve kernel's own
+      val hop1: DataFrame => DataFrame = GraphIndex.hop1Gen(undAdj)
       val arms = Preds.flatMap { case (tag, predFn, _) =>
         val pred = predFn(col("vec_id"), col("label"))
         val nMatch = el.filter(pred).count()

@@ -64,7 +64,8 @@ object GraphDelete extends QueryModule {
       // scoring; candidate pairs only touch survivor ids, so scoring
       // against the full embedding frame fetches the same vectors the
       // survivor frame would)
-      val repaired = KnnGraph.step(dropped, emb, Degree).localCheckpoint(true)
+      val repaired = KnnGraph.step(dropped, emb, Degree,
+        emb.count(), KnnGraph.dimOf(emb)).localCheckpoint(true)
       (dropped, repaired)
     }
 

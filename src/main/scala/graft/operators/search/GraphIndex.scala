@@ -81,8 +81,13 @@ object GraphIndex extends QueryModule {
     * artifact carries a `nodes` (id, hash) sidecar, so append/delete
     * fold the batch delta instead of re-scanning the corpus. v5: the
     * descent/repair candidate pools are [[KnnGraph.PoolCap]]-capped
-    * (hub-safe NN-descent), changing edge content. */
-  val BuildVersion = 5
+    * (hub-safe NN-descent), changing edge content. v6: meta carries
+    * PER-OPERATION replay guards (last_append_fp + last_delete_fp — a
+    * single slot let [[upsert]]'s interleaved delete clobber the append
+    * guard and double-fold a replayed batch), is committed under a
+    * rename-aside swap (a crash mid-overwrite destroyed the meta the
+    * replay needs), and the ring seeds exclude self-loops. */
+  val BuildVersion = 6
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -126,7 +131,7 @@ object GraphIndex extends QueryModule {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/nodes")
     val (n, acc) = countAndAcc(emb)
-    writeMeta(spark, indexPath, n, acc, 0L)
+    writeMeta(spark, indexPath, n, acc, 0L, 0L)
   }
 
   /** One (id, content hash) row per corpus vector — the rows the
@@ -156,25 +161,36 @@ object GraphIndex extends QueryModule {
     * recompute survives only as [[validArtifact]]'s audit.
     *
     * '''Crash-retry contract''': meta commits FIRST carrying the
-    * batch's content fingerprint; the bucket swaps follow. A crash
+    * batch's content fingerprint in its OWN guard slot
+    * (`last_append_fp` — per-operation slots, so [[upsert]]'s
+    * interleaved delete can never clobber the append guard and
+    * double-fold a replayed batch); the bucket swaps follow. A crash
     * anywhere in between is healed by REPLAYING THE SAME BATCH (the
     * foreachBatch/checkpoint contract): a replay whose fingerprint
-    * matches meta's `last_batch_fp` skips the fold (meta already
-    * reflects the batch), and the graph/nodes swaps are convergent
-    * under replay. Out-of-order replays are NOT supported — the
-    * streaming ingest's residue guard enforces ordering. */
+    * matches the guard skips the fold (meta already reflects the
+    * batch) AND derives the pre-batch corpus size by subtracting the
+    * batch back out of meta's n — so the replayed graph computation
+    * sees the same `nOld` (hence the same entry layer) as the crashed
+    * attempt, and the graph/nodes swaps converge. After a MID-swap
+    * crash the replay recomputes from the partially-swapped edge list,
+    * so the healed artifact is a valid top-[[Degree]] graph with exact
+    * meta, though not necessarily edge-identical to the uninterrupted
+    * run. Out-of-order replays are NOT supported — the streaming
+    * ingest's residue guard enforces ordering. */
   def append(spark: SparkSession, indexPath: String,
              oldEmb: DataFrame, newEmb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
-    val (nOld, accOld, lastFp) = readMeta(spark, indexPath)
+    val (nMeta, accOld, lastA, lastD) = readMeta(spark, indexPath)
     val (cntB, accB) = countAndAcc(newEmb) // one O(batch) scan
     val fpB = batchFp(OpAppend, cntB, accB)
-    val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld)
+    val replay = lastA == fpB
+    val nOld = if (replay) nMeta - cntB else nMeta // pre-batch size either way
+    val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld, cntB)
     val touched = changed
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
-    if (lastFp != fpB)
-      writeMeta(spark, indexPath, nOld + cntB, accOld.add(accB), fpB)
+    if (!replay)
+      writeMeta(spark, indexPath, nMeta + cntB, accOld.add(accB), fpB, lastD)
     val batchNodes = nodesOf(newEmb).localCheckpoint(true)
     val touchedN = batchNodes
       .select(pmod(col("id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
@@ -212,21 +228,61 @@ object GraphIndex extends QueryModule {
   private def fold(acc: java.math.BigInteger): Long =
     acc.mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
 
+  /** Commit the meta sidecar under a rename-aside swap: a bare
+    * overwrite is delete-dir-then-write, so a crash mid-write would
+    * destroy the very meta the crash-retry replay needs to heal from
+    * (the r11 review finding). Windows: a crash before the first
+    * rename leaves the old meta live; between the renames, meta is
+    * missing and [[recoverMeta]] restores the parked PRE-fold copy —
+    * the fold was never committed, so the replay re-folds; after the
+    * second rename the new meta is live and the stale park is garbage
+    * collected here or by the next write. */
   private def writeMeta(spark: SparkSession, indexPath: String, n: Long,
-                        acc: java.math.BigInteger, lastBatchFp: Long): Unit = {
+                        acc: java.math.BigInteger, lastAppendFp: Long,
+                        lastDeleteFp: Long): Unit = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(s"$indexPath/meta")
+    val fresh = new Path(s"$indexPath/meta_fresh")
+    val old = new Path(s"$indexPath/meta_old")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     // the RAW accumulator travels as a string: exact, unbounded, and
     // immune to decimal-precision truncation at any corpus size
-    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fold(acc), acc.toString, lastBatchFp))
-      .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc", "last_batch_fp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fold(acc), acc.toString,
+        lastAppendFp, lastDeleteFp))
+      .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc",
+        "last_append_fp", "last_delete_fp")
+      .coalesce(1).write.mode("overwrite").parquet(fresh.toString)
+    fs.delete(old, true)
+    if (fs.exists(meta) && !fs.rename(meta, old))
+      throw new java.io.IOException(s"meta commit: rename $meta aside failed")
+    if (!fs.rename(fresh, meta))
+      throw new java.io.IOException(
+        s"meta commit: rename $fresh -> $meta failed — pre-commit meta is " +
+          s"parked in $old and restored by the next read")
+    fs.delete(old, true)
+  }
+
+  /** Heal a crash inside [[writeMeta]]'s rename window: meta missing
+    * but the parked pre-commit copy present → restore it (resume-
+    * forward: the interrupted fold never committed, the replay redoes
+    * it). No-op in every other state. */
+  private def recoverMeta(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val meta = new Path(s"$indexPath/meta")
+    val old = new Path(s"$indexPath/meta_old")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(meta) && fs.exists(old) && !fs.rename(old, meta))
+      throw new java.io.IOException(
+        s"meta recovery: rename $old -> $meta failed — restore manually")
   }
 
   private def readMeta(spark: SparkSession,
-                       indexPath: String): (Long, java.math.BigInteger, Long) = {
+                       indexPath: String): (Long, java.math.BigInteger, Long, Long) = {
+    recoverMeta(spark, indexPath)
     val m = spark.read.parquet(s"$indexPath/meta").head()
     (m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
-      m.getAs[Long]("last_batch_fp"))
+      m.getAs[Long]("last_append_fp"), m.getAs[Long]("last_delete_fp"))
   }
 
   /** The live `nodes` sidecar (id, h, bucket). */
@@ -268,7 +324,29 @@ object GraphIndex extends QueryModule {
     * exactly the filtered serve's pre-filter arm. */
   private[search] def beamSearch(queries: DataFrame, undAdj: DataFrame,
                                  nodeEmb: DataFrame, entries: DataFrame,
-                                 beam: Int, rounds: Int): DataFrame = {
+                                 beam: Int, rounds: Int): DataFrame =
+    beamKernel(queries, nodeEmb, entries, beam, rounds,
+      hop1Gen(undAdj), trace = false)._1
+
+  /** The standard 1-hop candidate generator: each beam member expands
+    * to its undirected neighbors. */
+  private[search] def hop1Gen(undAdj: DataFrame): DataFrame => DataFrame = b =>
+    b.join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
+      .select(col("q"), col("c").as("j")).distinct()
+
+  /** THE beam kernel — the one implementation behind [[beamSearch]] and
+    * [[FilteredGraphServe]]'s instrumented arms (the r11 review: two
+    * verbatim copies had to stay row-identical with nothing enforcing
+    * it). Generalized over the candidate generator (the three filtered
+    * arms differ only there) and over `trace`: when true, each round's
+    * scored frame is checkpointed and returned (its row count IS the
+    * arm's scoring cost); when false (the serve/insert hot path) the
+    * scored frames stream straight into the heap without an extra
+    * materialization, exactly the old beamSearch plan. */
+  private[search] def beamKernel(queries: DataFrame, nodeEmb: DataFrame,
+                                 entries: DataFrame, beam: Int, rounds: Int,
+                                 candGen: DataFrame => DataFrame,
+                                 trace: Boolean): (DataFrame, Seq[DataFrame]) = {
     val qs = queries.select(col("q"), col("qv"))
     def scoreQ(pairs: DataFrame): DataFrame =
       pairs.filter(col("j") =!= col("q"))
@@ -279,23 +357,30 @@ object GraphIndex extends QueryModule {
     val entryPairs = qs.select(col("q")).withColumn("one", lit(1))
       .join(broadcast(entries.select(col("j")).withColumn("one", lit(1))), Seq("one"))
       .select(col("q"), col("j"))
-    val b0 = topQ(scoreQ(entryPairs), beam).localCheckpoint(true)
-    (1 to rounds).foldLeft(b0) { (b, _) =>
-      val cand = b.select(col("q"), col("j"))
-        .join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
-        .select(col("q"), col("c").as("j")).distinct()
-      topQ(scoreQ(cand).unionByName(b.select("q", "j", "sim")).dropDuplicates("q", "j"), beam)
+    val s0raw = scoreQ(entryPairs)
+    val s0 = if (trace) s0raw.localCheckpoint(true) else s0raw
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (trace) frames += s0
+    var b = topQ(s0, beam).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val srRaw = scoreQ(candGen(b.select(col("q"), col("j"))))
+      val sr = if (trace) srRaw.localCheckpoint(true) else srRaw
+      if (trace) frames += sr
+      b = topQ(sr.unionByName(b.select("q", "j", "sim")).dropDuplicates("q", "j"), beam)
         .localCheckpoint(true)
     }
+    (b, frames.toSeq)
   }
 
   /** The append COMPUTE (shared by [[append]] and the replay spec):
     * returns (full new edge list, changed-node frame). `nOld` comes
-    * from the artifact's meta (not a count over `oldEmb` — the commit
-    * path stays O(batch) in driver-forced actions). */
+    * from the artifact's meta and `cntB` from the caller's one batch
+    * scan (not counts over the corpus frames — the commit path stays
+    * O(batch) in driver-forced actions, including the scoring-tier
+    * inputs below). */
   private[search] def appendedGraph(spark: SparkSession, gOld: DataFrame,
                                     oldEmb: DataFrame, newEmb: DataFrame,
-                                    nOld: Long): (DataFrame, DataFrame) = {
+                                    nOld: Long, cntB: Long): (DataFrame, DataFrame) = {
     val se = GraphServe.upperModulus(nOld)
     val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
     // phase 1: insertion beam over the old graph, entering through the
@@ -334,7 +419,8 @@ object GraphIndex extends QueryModule {
       .groupBy("mid").agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * col("d"))).head()
     val candUpper = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
-    val pool = KnnGraph.scoreSliced(cand, fullEmb, candUpper)
+    val pool = KnnGraph.scoreSliced(cand, fullEmb, candUpper,
+        nOld + cntB, KnnGraph.dimOf(newEmb))
       .unionByName(merged0.join(changedI, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
     val repaired = topKPer(pool, "i", Degree)
@@ -362,6 +448,7 @@ object GraphIndex extends QueryModule {
   def delete(spark: SparkSession, indexPath: String,
              delIds: DataFrame, emb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
+    val (nMeta, accOld, lastA, lastD) = readMeta(spark, indexPath)
     val ids = delIds.select(col("vec_id")).distinct().localCheckpoint(true)
     val dropped = gOld
       .join(ids.select(col("vec_id").as("i")), Seq("i"), "left_anti")
@@ -384,7 +471,9 @@ object GraphIndex extends QueryModule {
       .filter(col("i") =!= col("j"))
       .distinct()
     val candUpper = hop1.count() * KnnGraph.PoolCap
-    val pool = KnnGraph.scoreSliced(cand, emb, candUpper)
+    // tier inputs: meta n bounds the survivor frame from above (exact
+    // pre-fold corpus size), dim from one limit-1 probe — no corpus scan
+    val pool = KnnGraph.scoreSliced(cand, emb, candUpper, nMeta, KnnGraph.dimOf(emb))
       .unionByName(dropped.join(degraded, Seq("i"), "left_semi"))
       .dropDuplicates("i", "j")
     val repaired = topKPer(pool, "i", Degree)
@@ -408,13 +497,17 @@ object GraphIndex extends QueryModule {
     val sidecar = nodes(spark, indexPath)
       .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
       .localCheckpoint(true) // pin PRE-swap state for the fold
-    val (nOld, accOld, lastFp) = readMeta(spark, indexPath)
-    if (lastFp != fpD) {
+    if (lastD != fpD) {
       val rD = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
         .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
       val accD = if (rD.isNullAt(1)) java.math.BigInteger.ZERO
                  else rD.getDecimal(1).toBigInteger
-      writeMeta(spark, indexPath, nOld - rD.getLong(0), accOld.subtract(accD), fpD)
+      // per-operation guard slot: lastA is PRESERVED, so an upsert's
+      // delete can never clobber the append guard (whose clobbering
+      // made a replayed upsert double-fold the append batch — the r11
+      // review's top finding)
+      writeMeta(spark, indexPath, nMeta - rD.getLong(0), accOld.subtract(accD),
+        lastA, fpD)
     }
     val nodesNew = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_anti")
     swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
@@ -456,10 +549,26 @@ object GraphIndex extends QueryModule {
     * set. */
   def optimize(spark: SparkSession, indexPath: String, emb: DataFrame,
                rounds: Int = 1): Unit = {
+    // `emb` MUST be the exact corpus the artifact indexes — verified
+    // against meta's (n, accumulator) with one full scan (this is a
+    // full-graph maintenance pass; one audit-grade scan is
+    // proportionally free, and without it a regenerated corpus with
+    // the same ids would mix new candidate sims with stored old sims
+    // while the (i, j)-only changed-detection missed sim-only drift —
+    // the r11 review finding; every other artifact entry point already
+    // fingerprint-checks)
+    val (nMeta, accMeta, _, _) = readMeta(spark, indexPath)
+    val (nE, accE) = countAndAcc(emb)
+    fingerprintScans.incrementAndGet() // honesty: this IS a corpus scan
+    require(nE == nMeta && accE == accMeta,
+      s"optimize: corpus (n=$nE) does not match the artifact's meta " +
+        s"(n=$nMeta) — optimize must run with the exact corpus that " +
+        "built/appended the index")
+    val dim = KnnGraph.dimOf(emb)
     val g0 = edges(spark, indexPath).localCheckpoint(true)
     var g = g0
     for (_ <- 1 to rounds) {
-      g = KnnGraph.step(g, emb, Degree).localCheckpoint(true)
+      g = KnnGraph.step(g, emb, Degree, nMeta, dim).localCheckpoint(true)
       System.gc() // reclaim the round's dead shuffle files (KnnGraph note)
     }
     val changed = g.join(g0, Seq("i", "j"), "left_anti")
@@ -490,8 +599,12 @@ object GraphIndex extends QueryModule {
     val fresh = new Path(s"$indexPath/${dataset}_compacting")
     val old = new Path(s"$indexPath/${dataset}_old")
     val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(data),
-      s"$data missing — a previous compact crashed mid-swap; restore from $old")
+    // a previous compact crashed between its two renames (data parked
+    // in `old`, fresh never landed) — restore and proceed
+    if (!fs.exists(data) && fs.exists(old) && !fs.rename(old, data))
+      throw new java.io.IOException(
+        s"compact recovery: rename $old -> $data failed — restore manually")
+    require(fs.exists(data), s"$data missing — not a built index")
     fs.delete(old, true)
     fs.delete(fresh, true)
     spark.read.parquet(data.toString)
@@ -601,6 +714,7 @@ object GraphIndex extends QueryModule {
   private[search] def validArtifact(spark: SparkSession, idx: String, n: Long,
                                     fp: Long): Boolean = {
     import org.apache.hadoop.fs.Path
+    recoverMeta(spark, idx) // heal a writeMeta rename-window crash first
     val meta = new Path(s"$idx/meta")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(meta) && fs.exists(new Path(s"$idx/edges")) &&

@@ -96,9 +96,12 @@ object IvfIndex {
     val fresh = new Path(s"$indexPath/data_compacting")
     val old = new Path(s"$indexPath/data_old")
     val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(data),
-      s"$data missing — a previous compact crashed mid-swap; restore it " +
-        s"from $old before compacting again")
+    // a previous compact crashed between its two renames (data parked
+    // in `old`, fresh never landed) — restore and proceed
+    if (!fs.exists(data) && fs.exists(old) && !fs.rename(old, data))
+      throw new java.io.IOException(
+        s"compact recovery: rename $old -> $data failed — restore manually")
+    require(fs.exists(data), s"$data missing — not a built index")
     // leftovers from a crashed run would wedge the renames below
     fs.delete(old, true)
     fs.delete(fresh, true)
@@ -232,13 +235,27 @@ object IvfIndex {
     * or the persisted ones when the skew is under the bar). Run without
     * concurrent probes — compact()'s rename-window and object-store
     * manifest notes apply verbatim. Crash recovery: re-run the same
-    * rebalance; it retrains from the current data (whichever generation
-    * its cell column is — the Lloyd step is defined on ANY assignment)
-    * and rewrites BOTH sides, so (data, centroids) converge to a
-    * consistent pair under retry. */
+    * rebalance; a crash in the rename window (data parked aside, fresh
+    * layout not yet landed) is auto-healed here by restoring the parked
+    * dir, and it then retrains from the current data (whichever
+    * generation its cell column is — the Lloyd step is defined on ANY
+    * assignment) and rewrites BOTH sides, so (data, centroids) converge
+    * to a consistent pair under retry. */
   def rebalance(spark: SparkSession, indexPath: String,
                 skewBar: Double = 0.0): IndexedSeq[IndexedSeq[Double]] = {
     import org.apache.hadoop.fs.Path
+    val dataP = new Path(s"$indexPath/data")
+    val fresh = new Path(s"$indexPath/data_rebalancing")
+    val old = new Path(s"$indexPath/data_rebal_old")
+    val fs = dataP.getFileSystem(spark.sessionState.newHadoopConf())
+    // a previous rebalance crashed between its two renames: data is
+    // parked in `old`, the fresh layout never landed — restore and
+    // proceed (the r11 review finding: the bare require below
+    // misdiagnosed this recoverable state as "not a built index")
+    if (!fs.exists(dataP) && fs.exists(old) && !fs.rename(old, dataP))
+      throw new java.io.IOException(
+        s"rebalance recovery: rename $old -> $dataP failed — restore manually")
+    require(fs.exists(dataP), s"$dataP missing — not a built index")
     val cs = readCentroids(spark, indexPath)
     val data = spark.read.parquet(s"$indexPath/data")
     if (skewBar > 0.0) {
@@ -248,11 +265,6 @@ object IvfIndex {
       if (maxImb <= skewBar) return cs
     }
     val ncs = retrainedCentroids(data, cs)
-    val dataP = new Path(s"$indexPath/data")
-    val fresh = new Path(s"$indexPath/data_rebalancing")
-    val old = new Path(s"$indexPath/data_rebal_old")
-    val fs = dataP.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(dataP), s"$dataP missing — not a built index")
     fs.delete(old, true)
     fs.delete(fresh, true)
     data.drop("cell")

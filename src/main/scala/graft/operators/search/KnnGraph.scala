@@ -206,10 +206,23 @@ object KnnGraph extends QueryModule {
     * sliced shuffle tier below. */
   val BroadcastEmbBytes = 256L * 1024 * 1024
 
+  /** Embedding dimensionality from the FIRST row (one limit-1 scan —
+    * the corpus is fixed-dim, the cosine kernel already assumes it);
+    * 0 for an empty frame. Feeds [[scoreSliced]]'s tier choice without
+    * an O(corpus) aggregation. */
+  private[search] def dimOf(emb: DataFrame): Long =
+    emb.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+
   /** [[score]] with bounded scratch. `nPairs` is the caller's (upper
     * bound on the) pair count — exact where the caller knows it (seed
-    * grid n·k), Σ deg² for a descent round — so choosing the strategy
-    * costs no extra scan of `pairs`. Three tiers: payload-free
+    * grid n·k), Σ deg² for a descent round; `nEmb`/`dim` size the
+    * embedding frame the same way (meta n / a counted batch / one
+    * [[dimOf]] probe) — ALL tier inputs come from the caller, so
+    * choosing the strategy costs no extra scan of `pairs` OR `emb`
+    * (the r11 review finding: the previous per-call count+max(size)
+    * aggregation was an O(corpus) driver-forced action inside the
+    * per-batch append/delete commit path). Three tiers: payload-free
     * broadcast fetch while `emb` fits [[BroadcastEmbBytes]]; one
     * shuffle plan below [[ScoreSlicePairs]]; else hash-slices pinned
     * one at a time, with a driver GC after each so the ContextCleaner
@@ -219,12 +232,9 @@ object KnnGraph extends QueryModule {
     * sf10 probe measured the un-reclaimed slices exhausting the disk
     * exactly like the unsliced plan). */
   private[search] def scoreSliced(pairs: DataFrame, emb: DataFrame,
-                                  nPairs: Long,
+                                  nPairs: Long, nEmb: Long, dim: Long,
                                   slicePairs: Long = ScoreSlicePairs,
                                   embBudget: Long = BroadcastEmbBytes): DataFrame = {
-    val hdr = emb.agg(count(lit(1)), max(size(col("embedding")))).head()
-    val nEmb = hdr.getLong(0)
-    val dim = if (hdr.isNullAt(1)) 0L else hdr.getInt(1).toLong
     if (nEmb * (4L * dim + 48L) <= embBudget) scoreBroadcast(pairs, emb)
     else {
       val slices = math.max(1L, (nPairs + slicePairs - 1) / slicePairs).toInt
@@ -263,8 +273,10 @@ object KnnGraph extends QueryModule {
     * Γ'(m) the [[capPool]]-capped neighbor set — ≤ n·PoolCap² pairs per
     * round regardless of hub in-degrees (see [[PoolCap]]).
     * `private[search]`: also the kernel of [[GraphIndex.optimize]]'s
-    * re-descent over a live artifact. */
-  private[search] def step(g: DataFrame, emb: DataFrame, k: Int): DataFrame = {
+    * re-descent over a live artifact. `nEmb`/`dim` size the scoring
+    * tier ([[scoreSliced]]) — callers know both without a scan. */
+  private[search] def step(g: DataFrame, emb: DataFrame, k: Int,
+                           nEmb: Long, dim: Long): DataFrame = {
     val und = g.select(col("i"), col("j"))
       .union(g.select(col("j").as("i"), col("i").as("j")))
       .distinct()
@@ -280,7 +292,7 @@ object KnnGraph extends QueryModule {
       .select(col("x").as("i"), col("y").as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
-    val pool = scoreSliced(cand, emb, candUpper).unionByName(g)
+    val pool = scoreSliced(cand, emb, candUpper, nEmb, dim).unionByName(g)
       .dropDuplicates("i", "j")
     topK(pool, k)
   }
@@ -297,9 +309,14 @@ object KnnGraph extends QueryModule {
   /** The un-memoized build — the determinism spec's fresh-replay bypass. */
   private[search] def buildRounds(emb: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
     val n = emb.count()
+    val dim = dimOf(emb)
+    // i ≠ j: on a corpus with n ≤ k the ring stride s = n would seed a
+    // self-loop (scored at sim 1.0 and never evicted) — filtered in
+    // LOCKSTEP with the oracle's seed CTE; identity wherever n > k
     val seeds = emb.select(col("vec_id").as("i"))
       .withColumn("s", explode(array((1 to k).map(lit): _*)))
       .select(col("i"), ((col("i") + col("s")) % n).as("j"))
+      .filter(col("i") =!= col("j"))
     // localCheckpoint, not persist: each round references its
     // predecessor 2-3× (und twice in cand, once in pool), so the LOGICAL
     // plan grows ~3^r copies of the seed tree even when every round's
@@ -310,7 +327,7 @@ object KnnGraph extends QueryModule {
     // lose executors, swap for reliable checkpoint() to a checkpoint
     // dir — the memoized build is the natural unit to re-run.
     def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    val g0 = pin(topK(scoreSliced(seeds, emb, n * k), k))
+    val g0 = pin(topK(scoreSliced(seeds, emb, n * k, n, dim), k))
     // early stop at the exact fixpoint: no new edge ⟹ the round kept
     // each node's list identical (pool ⊇ prev and |top-k| can only grow
     // by admitting a NEW edge), and a fixpoint of the deterministic step
@@ -322,7 +339,7 @@ object KnnGraph extends QueryModule {
     for (_ <- 1 to rounds) {
       if (converged) out += out.last
       else {
-        val next = pin(step(out.last, emb, k))
+        val next = pin(step(out.last, emb, k, n, dim))
         converged = next.join(out.last, Seq("i", "j"), "left_anti").isEmpty
         out += next
         // the round's candidate-distinct shuffle and the intermediate
@@ -422,8 +439,10 @@ object KnnGraph extends QueryModule {
        |  WHERE $where),
        |${p}prm AS MATERIALIZED (SELECT count(*) AS n,
        |    greatest(1, CAST(ceil(count(*) / $SampleTarget.0) AS BIGINT)) AS m FROM ${p}e),
-       |${p}seed AS (SELECT id AS i, (id + s) % (SELECT n FROM ${p}prm) AS j
-       |  FROM ${p}e, (SELECT unnest(generate_series(1, $Degree)) AS s)),
+       |${p}seed AS (SELECT i, j FROM (
+       |    SELECT id AS i, (id + s) % (SELECT n FROM ${p}prm) AS j
+       |    FROM ${p}e, (SELECT unnest(generate_series(1, $Degree)) AS s))
+       |  WHERE i <> j),
        |${p}sc0 AS (SELECT pp.i, pp.j, round(list_cosine_similarity(a.v, b.v), 6) AS sim
        |  FROM ${p}seed pp JOIN ${p}e a ON a.id = pp.i JOIN ${p}e b ON b.id = pp.j),
        |${p}g0 AS MATERIALIZED (SELECT i, j, sim FROM (

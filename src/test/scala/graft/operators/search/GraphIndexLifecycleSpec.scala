@@ -117,6 +117,46 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     assert(after.forall { case (i, j) => i != j })
   }
 
+  test("per-operation guard slots: a no-op delete between two deliveries of the same append batch cannot cause a double-fold") {
+    // The r11 review's top finding, compressed: an upsert's interleaved
+    // delete used to overwrite the SINGLE last_batch_fp slot — so a
+    // replayed upsert whose delete subtracted nothing (batch ids not
+    // yet in the sidecar) cleared the append guard, and the replayed
+    // append folded its batch into meta a second time. With
+    // per-operation slots the delete records last_delete_fp and
+    // PRESERVES last_append_fp.
+    val batch = emb.filter(col("vec_id") % DelMod === 0)
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    val absentIds = emb.select((col("vec_id") + 1000000000L).as("vec_id"))
+    val metaBefore = spark.read.parquet(s"$idx/meta").head()
+    GraphIndex.delete(spark, idx, absentIds, emb) // rD = 0: folds nothing
+    GraphIndex.append(spark, idx, surv, batch)    // replay of the last append
+    val metaAfter = spark.read.parquet(s"$idx/meta").head()
+    assert(metaAfter.getAs[Long]("n") === metaBefore.getAs[Long]("n"),
+      "no-op delete cleared the append guard: replay double-counted n")
+    assert(metaAfter.getAs[String]("fp_acc") === metaBefore.getAs[String]("fp_acc"),
+      "no-op delete cleared the append guard: replay double-folded the accumulator")
+    assertAuditExact("post-noop-delete-replay")
+  }
+
+  test("a crash inside the meta commit's rename window heals on the next read") {
+    // writeMeta parks the pre-commit meta as meta_old before renaming
+    // the fresh one in; a crash between the renames leaves meta missing.
+    // recoverMeta (called by readMeta and validArtifact) must restore
+    // the parked copy instead of throwing forever.
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = new org.apache.hadoop.fs.Path(s"$idx/meta")
+    val old = new org.apache.hadoop.fs.Path(s"$idx/meta_old")
+    val n = spark.read.parquet(s"$idx/meta").head().getAs[Long]("n")
+    val fp = spark.read.parquet(s"$idx/meta").head().getAs[Long]("corpus_fp")
+    assert(fs.rename(meta, old), "test setup: parking meta failed")
+    assert(!fs.exists(meta))
+    assert(GraphIndex.validArtifact(spark, idx, n, fp),
+      "validArtifact did not heal the parked meta")
+    assert(fs.exists(meta) && !fs.exists(old), "meta not restored from the park")
+  }
+
   test("reciprocal-edge share does not degrade across the delete -> upsert -> replay cycle") {
     // The corpus is back to the full emb after the upsert + replayed
     // append above, so the artifact's reciprocal share is comparable to

@@ -74,6 +74,24 @@ class KnnGraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("a corpus with n <= Degree seeds no self-loops") {
+    // ring stride s = n maps i to itself; the seed filter must drop it
+    // (lockstep with the oracle's seed CTE) — before the fix a tiny
+    // corpus shipped sim-1.0 self-edges that no round could evict
+    import org.apache.spark.sql.expressions.Window
+    val tiny = emb.limit(12)
+      .withColumn("vec_id",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1L)
+      .select(col("vec_id"), col("embedding"))
+    val gs = KnnGraph.buildRounds(tiny, KnnGraph.Degree, 1)
+    gs.foreach { g =>
+      val rows = g.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)),
+        "tiny-corpus build shipped a self-loop")
+    }
+  }
+
   test("all three scoring tiers are bit-identical (shuffle / broadcast / sliced)") {
     // The bounded-scratch tiers must produce the same scored set as the
     // plain one-shuffle plan — broadcast only changes the join strategy,
@@ -84,11 +102,13 @@ class KnnGraphSpec extends SparkSpec {
       .crossJoin(emb.select(col("vec_id").as("j")))
       .filter(col("i") =!= col("j") && (col("i") + col("j")) % 7 === 0)
     val nPairs = pairs.count()
+    val nEmb = emb.count()
+    val dim = KnnGraph.dimOf(emb)
     def s(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val shuffle = s(KnnGraph.scoreSliced(pairs, emb, nPairs = 1L, embBudget = 0L))
-    val bcast = s(KnnGraph.scoreSliced(pairs, emb, nPairs = 1L))
-    val sliced = s(KnnGraph.scoreSliced(pairs, emb, nPairs,
+    val shuffle = s(KnnGraph.scoreSliced(pairs, emb, 1L, nEmb, dim, embBudget = 0L))
+    val bcast = s(KnnGraph.scoreSliced(pairs, emb, 1L, nEmb, dim))
+    val sliced = s(KnnGraph.scoreSliced(pairs, emb, nPairs, nEmb, dim,
       slicePairs = 1000L, embBudget = 0L))
     assert(shuffle === bcast && shuffle === sliced && shuffle.nonEmpty)
   }

@@ -73,6 +73,53 @@ object MinHashLsh extends QueryModule {
       .agg(graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
         coefB.toIndexedSeq, P).as("sig"))
 
+  /** The banded-verify half shared by [[nearDupPairs]] and
+    * [[contractedPipeline]] — ONE implementation, so the contraction's
+    * "row-identical" law can't drift (the r11 review finding; the
+    * SimHash sibling is `pairsFromSimhashes`). From a per-doc frame
+    * (doc_id, sig, s, w): banding → WEIGHTED mega-bucket guard (bucket
+    * load = Σw; with w = 1 per doc that IS the plain count, with w =
+    * copy multiplicity it is exactly the uncontracted bucket size, so
+    * both pipelines drop the same buckets) → candidate equi-join →
+    * exact Jaccard verification. The oversized-bucket list is tiny by
+    * construction → broadcast anti-join; candidate pairs are
+    * LSH-bounded → broadcast through the two set-fetch joins. Returns
+    * (verified pairs, the bounded banded frame — the contraction's
+    * surviving-band signal). */
+  private def bandedVerify(perDoc: DataFrame, minJaccard: Double,
+                           maxBandBucket: Long): (DataFrame, DataFrame) = {
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1).as(s"k$r"))
+      struct(lit(b).as("band") +: rows: _*)
+    }
+    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
+    val banded = perDoc
+      .select(col("doc_id"), col("w"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id") +: col("w") +: col("bk.band").as("band") +:
+        keyCols.map(k => col(s"bk.$k").as(k)): _*)
+    val oversized = banded
+      .groupBy(col("band") +: keyCols.map(col): _*)
+      .agg(sum(col("w")).as("sz"))
+      .filter(col("sz") > maxBandBucket)
+      .select(col("band") +: keyCols.map(col): _*)
+    val bounded = banded.join(broadcast(oversized), "band" +: keyCols, "left_anti")
+    val cand = bounded.alias("l").join(bounded.alias("r"), "band" +: keyCols)
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .distinct()
+    val sets = perDoc.select(col("doc_id"), col("s"))
+    val pairs = sets.select(col("doc_id").as("d1"), col("s").as("s1"))
+      .join(broadcast(cand), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    (pairs, bounded)
+  }
+
   /** Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard.
     *
     * Shuffle budget: the wide exploded (doc, shingle-hash) frame is
@@ -86,40 +133,9 @@ object MinHashLsh extends QueryModule {
         graft.functions.MinHashSketch(col("x"), coefA.toIndexedSeq,
           coefB.toIndexedSeq, P).as("sig"),
         collect_set(col("x")).as("s"))
+      .withColumn("w", lit(1L))
       .persist()
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1).as(s"k$r"))
-      struct(lit(b).as("band") +: rows: _*)
-    }
-    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
-    val banded = perDoc.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id") +: col("bk.band").as("band") +:
-        keyCols.map(k => col(s"bk.$k").as(k)): _*)
-    // mega-bucket skew guard: the oversized-bucket list is tiny by
-    // construction → broadcast anti-join, no extra shuffle of the big side
-    val oversized = banded
-      .groupBy(col("band") +: keyCols.map(col): _*)
-      .agg(count(lit(1)).as("sz"))
-      .filter(col("sz") > maxBandBucket)
-      .select(col("band") +: keyCols.map(col): _*)
-    val bounded = banded.join(broadcast(oversized), "band" +: keyCols, "left_anti")
-    val cand = bounded.alias("l").join(bounded.alias("r"), "band" +: keyCols)
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
-      .distinct()
-    // Candidate pairs are LSH-bounded (orders of magnitude smaller than the
-    // corpus): broadcast them so the doc→set frame streams through two
-    // broadcast joins instead of shuffling on d1 then d2.
-    val sets = perDoc.select(col("doc_id"), col("s"))
-    sets.select(col("doc_id").as("d1"), col("s").as("s1"))
-      .join(broadcast(cand), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
-      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("d1"), col("d2"), col("jaccard"))
+    bandedVerify(perDoc, minJaccard, maxBandBucket)._1
   }
 
   /** Documents plus perturbed near-copies of doc_id < 20. */
@@ -176,36 +192,10 @@ object MinHashLsh extends QueryModule {
         collect_set(col("x")).as("s"))
       .join(groups.select(col("rep").as("doc_id"), col("w")), Seq("doc_id"))
       .persist()
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1).as(s"k$r"))
-      struct(lit(b).as("band") +: rows: _*)
-    }
-    val keyCols = (0 until RowsPerBand).map(r => s"k$r")
-    val banded = perDoc
-      .select(col("doc_id"), col("w"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id") +: col("w") +: col("bk.band").as("band") +:
-        keyCols.map(k => col(s"bk.$k").as(k)): _*)
-    // the weighted mega-bucket guard: bucket load = Σ multiplicities
-    val oversized = banded
-      .groupBy(col("band") +: keyCols.map(col): _*)
-      .agg(sum(col("w")).as("sz"))
-      .filter(col("sz") > maxBandBucket)
-      .select(col("band") +: keyCols.map(col): _*)
-    val bounded = banded.join(broadcast(oversized), "band" +: keyCols, "left_anti")
-    val cand = bounded.alias("l").join(bounded.alias("r"), "band" +: keyCols)
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
-      .distinct()
-    val sets = perDoc.select(col("doc_id"), col("s"))
-    val repPairs = sets.select(col("doc_id").as("d1"), col("s").as("s1"))
-      .join(broadcast(cand), Seq("d1"))
-      .join(sets.select(col("doc_id").as("d2"), col("s").as("s2")), Seq("d2"))
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
-      .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("double") - col("inter"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("d1"), col("d2"), col("jaccard")).persist()
+    // the shared banded-verify half, with w = copy multiplicity (the
+    // weighted guard sees exactly the uncontracted bucket loads)
+    val (pairs, bounded) = bandedVerify(perDoc, minJaccard, maxBandBucket)
+    val repPairs = pairs.persist()
     val withinReps = bounded.select(col("doc_id").as("rep")).distinct()
       .join(groups.filter(col("w") > 1).select(col("rep")), Seq("rep"))
       .persist()

@@ -30,10 +30,21 @@ object GraftSession {
       // default interval lets a multi-stage query (the graph build at the
       // 100x probe corpus ran 60+ stages) accumulate >70GB of dead scratch
       // and exhaust the disk even though no single stage needs more than a
-      // few GB. A 2min sweep costs one minor driver GC and keeps disk
-      // proportional to LIVE state. On a cluster the same knob guards
-      // executor local disks.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // few GB. A short sweep keeps disk proportional to LIVE state — but
+      // it forces a FULL driver GC each interval, and in local mode the
+      // driver JVM is also every executor, so at gate scale (sf≤0.1,
+      // seconds-long queries) the stop-the-world pauses tax every query
+      // for a disk problem that doesn't exist there (the r11 driver sweep
+      // inflated untouched queries 1.1-1.4x after this was added
+      // unconditionally — the r11 verdict's top finding; the r12 isolated
+      // A/B measured the 2min sweep at +7.1% overall on a 25-query sf0.1
+      // subset, reps=5, and up to +41% on sub-second queries).
+      // So: Spark's 30min default at gate scale, opt in for big corpora
+      // (the sf10 probe, ScaleCorpus) via GRAFT_PERIODIC_GC=2min. On a
+      // real cluster executor local disks are guarded the same way, and
+      // the GC lands on executors, not the query-planning driver.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("GRAFT_PERIODIC_GC", "30min"))
       // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
       // tried and reverted: AQE coalesces small cached frames (embeddings,
       // ε-pairs) to 1 partition, serializing every downstream pair join —

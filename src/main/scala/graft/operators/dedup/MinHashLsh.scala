@@ -135,7 +135,13 @@ object MinHashLsh extends QueryModule {
         collect_set(col("x")).as("s"))
       .withColumn("w", lit(1L))
       .persist()
-    bandedVerify(perDoc, minJaccard, maxBandBucket)._1
+    // materialize the (LSH-bounded) pair list eagerly, then release the
+    // per-doc scratch — repeated calls must not accumulate pinned caches
+    // (the SimHash.contractedPairs discipline; checkpointed, so nothing
+    // lazy still reads the released frame)
+    val out = bandedVerify(perDoc, minJaccard, maxBandBucket)._1.localCheckpoint(true)
+    perDoc.unpersist(blocking = false)
+    out
   }
 
   /** Documents plus perturbed near-copies of doc_id < 20. */
@@ -181,7 +187,7 @@ object MinHashLsh extends QueryModule {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("w")).persist()
     val members = keyed.select(col("doc_id"), col("h"))
       .join(groups.select(col("h"), col("rep")), Seq("h"))
-      .select(col("doc_id"), col("rep")).persist()
+      .select(col("doc_id"), col("rep")).localCheckpoint(true)
     val repDocs = keyed.join(groups.select(col("h"), col("rep")), Seq("h"))
       .filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"))
@@ -195,11 +201,19 @@ object MinHashLsh extends QueryModule {
     // the shared banded-verify half, with w = copy multiplicity (the
     // weighted guard sees exactly the uncontracted bucket loads)
     val (pairs, bounded) = bandedVerify(perDoc, minJaccard, maxBandBucket)
-    val repPairs = pairs.persist()
+    // materialize the four COMPACT outputs eagerly (members: 2 longs/doc;
+    // the rest are group-/LSH-bounded), then release the scratch frames —
+    // non-memoized callers invoke this repeatedly and must not accumulate
+    // pinned caches (the SimHash.contractedPairs discipline, r12 review)
+    val repPairs = pairs.localCheckpoint(true)
     val withinReps = bounded.select(col("doc_id").as("rep")).distinct()
       .join(groups.filter(col("w") > 1).select(col("rep")), Seq("rep"))
-      .persist()
-    Contracted(members, groups, repPairs, withinReps)
+      .localCheckpoint(true)
+    val groupsOut = groups.select(col("h"), col("rep"), col("w"))
+      .localCheckpoint(true)
+    perDoc.unpersist(blocking = false)
+    groups.unpersist(blocking = false)
+    Contracted(members, groupsOut, repPairs, withinReps)
   }
 
   /** The full verified pair list from a [[Contracted]] pipeline —
@@ -239,35 +253,62 @@ object MinHashLsh extends QueryModule {
       .select(col("doc_id").as("id"), col("component"))
   }
 
+  /** Contraction gate: contract only when the corpus actually carries
+    * exact copies. The contracted pipeline pays an extra full-text
+    * shuffle (the md5 copy-group join that routes each text to its
+    * representative) plus the expansion joins — a 21x win on the sf10
+    * probe corpus (100-copy groups) but pure overhead on a dup-light
+    * corpus (the r12 isolated A/B measured q_dedup_minhash at ~2x r10's
+    * uncontracted time at sf0.1, whose only copies are the 20 planted
+    * NEAR-dups — distinct texts, w=1 everywhere). The probe is one
+    * map-side scan (count + HyperLogLog distinct over md5 — no shuffle
+    * of the text column); contraction wins once copies shave >~25% of
+    * the shingling work, far coarser than the sketch's ~2% error. */
+  val ContractionBar = 0.75
+
+  /** distinct-text share of a corpus in one cheap scan. */
+  private[graft] def distinctShare(docs: DataFrame): Double = {
+    val r = docs.agg(count(lit(1)),
+      approx_count_distinct(md5(col("text")))).head()
+    if (r.getLong(0) == 0L) 1.0 else r.getLong(1).toDouble / r.getLong(0)
+  }
+
   /** Verified pairs and their connected components over the planted
     * corpus are the shared prefix of q_dedup_minhash, q_dedup_groups AND
     * q_leak_safe_split. A 100 TB pipeline materializes the dedup groups
     * ONCE and every downstream consumer reads that table — so the query
-    * graph says the same: computed once per (session, dir), persisted
+    * graph says the same: computed once per (session, dir), materialized
     * (both frames are LSH-bounded, far smaller than the corpus), and
     * shared. Keyed on the session identity too so a recycled dir under a
     * fresh SparkSession recomputes instead of reading a dead plan. */
-  private val sharedContracted =
-    new java.util.concurrent.ConcurrentHashMap[String, Contracted]
-  private val sharedComps =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private case class PlantedDedup(pairs: DataFrame, components: DataFrame)
+  private val sharedPlanted =
+    new java.util.concurrent.ConcurrentHashMap[String, PlantedDedup]
   private def skey(spark: SparkSession, dir: String): String =
     System.identityHashCode(spark).toString + "|" + dir
 
-  private def plantedContracted(spark: SparkSession, dir: String): Contracted =
-    sharedContracted.computeIfAbsent(skey(spark, dir), _ =>
-      contractedPipeline(withPlantedDups(Tables.documents(spark, dir)),
-        minJaccard = 0.5))
+  private def plantedState(spark: SparkSession, dir: String): PlantedDedup =
+    sharedPlanted.computeIfAbsent(skey(spark, dir), _ => {
+      val docs = withPlantedDups(Tables.documents(spark, dir))
+      if (distinctShare(docs) < ContractionBar) {
+        val c = contractedPipeline(docs, minJaccard = 0.5)
+        // the expanded pair list stays LAZY — its row count is inherently
+        // quadratic in copy multiplicity; the contracted state behind it
+        // is checkpointed
+        PlantedDedup(expandPairs(c), expandComponents(c).localCheckpoint(true))
+      } else {
+        val pairs = nearDupPairs(docs, minJaccard = 0.5) // checkpointed inside
+        PlantedDedup(pairs,
+          graft.operators.clustering.ConnectedComponents
+            .run(pairs, "d1", "d2").localCheckpoint(true))
+      }
+    })
 
-  /** The verified pair list (expanded on demand — its row count is
-    * inherently quadratic in copy multiplicity, so it is never persisted;
-    * the CONTRACTED state behind it is). */
   def plantedPairs(spark: SparkSession, dir: String): DataFrame =
-    expandPairs(plantedContracted(spark, dir))
+    plantedState(spark, dir).pairs
 
   def plantedComponents(spark: SparkSession, dir: String): DataFrame =
-    sharedComps.computeIfAbsent(skey(spark, dir), _ =>
-      expandComponents(plantedContracted(spark, dir)).persist())
+    plantedState(spark, dir).components
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     plantedPairs(spark, dir).orderBy("d1", "d2")

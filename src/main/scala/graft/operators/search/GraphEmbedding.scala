@@ -1,0 +1,248 @@
+package graft.operators.search
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SPECTRAL EMBEDDING of the kNN graph — the UMAP role (take 2, after
+  * [[graft.operators.projection.LandmarkMds]]): normalized-Laplacian
+  * eigenmaps over the SAME neighborhood graph the ANN artifact serves
+  * (reference: the ~71 UMAP 2D/3D projections in nuevo-kmeans-pre.ipynb
+  * and silhouettes.ipynb; UMAP itself initializes from exactly this
+  * spectral embedding of its kNN graph, so this is the deterministic,
+  * distributable core of what the notebooks do).
+  *
+  * Method: undirected, unweighted kNN graph (the NN-descent artifact's
+  * edge set symmetrized) → LAZY random-walk operator (I + D⁻¹A)/2
+  * (laziness de-periodicizes bipartite-ish graphs without moving the
+  * eigenvectors) → the two leading NON-TRIVIAL eigenvectors by
+  * fixed-round power iteration with D-weighted Gram–Schmidt deflation
+  * (against the trivial all-ones vector, then against e1).
+  * Eigenvectors of D⁻¹A are exactly the generalized eigenvectors of
+  * the Laplacian eigenmaps problem L v = λ D v, and (I + D⁻¹A)/2
+  * shares them with spectrum (1+λ)/2. Output vectors are RMS-normalized (√(Σx²/n) = 1), so
+  * per-node coordinates stay O(1) at any corpus size — an L2-unit
+  * convention would shrink entries like 1/√n and starve the micro-unit
+  * quantization below of resolution at 10⁹ nodes.
+  *
+  * Cross-engine determinism (the reason this is oracle-checkable where
+  * UMAP/SGD is not): per-node state lives in INTEGER micro-units
+  * (longs), every quantization is a scale-0 round of a double computed
+  * by the same expression in both engines (the q_kmeans_1step /
+  * IvfIndex.retrainedCentroids discipline — fractional round(x, 6)
+  * chains drift because Spark rounds the shortest-decimal
+  * representation while other engines round value×10⁶), and every SUM
+  * runs through an exact decimal accumulator (order-independent). The
+  * oracle unrolls the same rounds as CTEs on top of
+  * [[KnnGraph.graphCtePrefix]]'s descent replay.
+  *
+  * Scale shape: one iteration = one shuffle join (x keyed by node id
+  * into the edge list) + one groupBy(i) — the textbook distributed
+  * SpMV; the x frame is (id, long) ~16 B/node, localCheckpointed per
+  * iteration to truncate lineage (the descent-round discipline — the
+  * plan otherwise grows 3^r). 2 eigenvectors × [[PowerRounds]]
+  * iterations of bounded stages, independent of degree beyond the edge
+  * list itself. No driver-side state beyond 1-row aggregates.
+  */
+object GraphEmbedding extends QueryModule {
+
+  /** Fixed power-iteration rounds per eigenvector. The kNN graph's
+    * random-walk spectral gap at these corpus sizes makes 20 rounds
+    * plenty for the planted-structure laws; correctness does not
+    * depend on convergence (both engines replay the same rounds). */
+  val PowerRounds = 20
+
+  private val Mic = 1000000.0
+
+  /** One deflated power step in micro-units. `und` is (i, j)
+    * symmetrized, `deg` is (id, d), `x` is (id, xm: long), `against`
+    * are previously fixed eigenvectors (id, xm). Every per-element term
+    * is straight-line double arithmetic (deterministic across engines),
+    * every sum an exact decimal, every stored value a scale-0 round. */
+  private def step(und: DataFrame, deg: DataFrame, x: DataFrame,
+                   against: Seq[DataFrame]): DataFrame = {
+    // y = (x + P x)/2 — the LAZY random walk. The laziness is load-
+    // bearing, not cosmetic: on a bipartite graph (an even ring; near-
+    // bipartite pockets of a kNN graph) plain P has a −λ twin for every
+    // +λ eigenvalue and power iteration oscillates forever between
+    // them; (I+P)/2 maps the spectrum into [0,1] and kills the parity
+    // mode instantly (its eigenvalue lands at ~0). Exact integer row
+    // sums (bounded by degree × max|xm|), one double expression per
+    // node.
+    val sums = und.join(x.select(col("id").as("j"), col("xm")), Seq("j"))
+      .groupBy(col("i").as("id"))
+      .agg(sum(col("xm")).as("sx"))
+    val y = x.join(sums, Seq("id")).join(deg, Seq("id"))
+      .select(col("id"),
+        round((col("xm").cast("double")
+          + col("sx").cast("double") / col("d").cast("double")) / lit(2.0))
+          .cast("long").as("xm"))
+    // deflate the trivial (all-ones) direction in the D-inner product
+    val afterOnes = {
+      val st = y.join(deg, Seq("id")).agg(
+        sum((col("d").cast("double") * col("xm")).cast("decimal(38,0)")).as("num"),
+        sum(col("d").cast("decimal(38,0)")).as("den"))
+        .select((col("num").cast("double") / col("den").cast("double")).as("m"))
+      y.crossJoin(broadcast(st))
+        .select(col("id"), round(col("xm") - col("m")).cast("long").as("xm"))
+    }
+    // Gram–Schmidt against each fixed eigenvector (micro scales cancel
+    // in c = Σ d·z·e / Σ d·e·e, so c is dimensionless)
+    val deflated = against.foldLeft(afterOnes) { (cur, e) =>
+      val j = cur.join(e.select(col("id"), col("xm").as("em")), Seq("id"))
+        .join(deg, Seq("id"))
+      val st = j.agg(
+        sum((col("d").cast("double") * col("xm") * col("em"))
+          .cast("decimal(38,0)")).as("num"),
+        sum((col("d").cast("double") * col("em") * col("em"))
+          .cast("decimal(38,0)")).as("den"))
+        .select((col("num").cast("double") / col("den").cast("double")).as("c"))
+      j.crossJoin(broadcast(st))
+        .select(col("id"),
+          round(col("xm") - col("c") * col("em")).cast("long").as("xm"))
+    }
+    // RMS normalization: rms_mic = √(Σ xm² / n) is in micro-units, so
+    // x' = (xm / rms_mic) in O(1) units → store round(x'·10⁶)
+    val nrm = deflated.agg(
+      sum((col("xm").cast("double") * col("xm")).cast("decimal(38,0)")).as("ss"),
+      count(lit(1)).as("n"))
+      .select(sqrt(col("ss").cast("double") / col("n").cast("double")).as("rms"))
+    deflated.crossJoin(broadcast(nrm))
+      .select(col("id"),
+        round(col("xm") / col("rms") * lit(Mic)).cast("long").as("xm"))
+      .localCheckpoint(true) // truncate the 3^r lineage (descent discipline)
+  }
+
+  /** Deterministic MINSTD-style init in micro-units, exact in int64 for
+    * node ids up to ~4.4e13. */
+  private def initX(deg: DataFrame): DataFrame =
+    deg.select(col("id"),
+      round(((col("id") * lit(48271L)) % lit(2147483647L)
+        / lit(2147483647.0) - lit(0.5)) * lit(Mic)).cast("long").as("xm"))
+
+  /** Sign canonicalization: the first nonzero coordinate in node-id
+    * order is made positive (an eigenvector's sign is arbitrary — the
+    * [[graft.operators.projection.PcaProjection]] convention, adapted
+    * to n-sized vectors). Pure integer arithmetic. */
+  private def canonical(x: DataFrame): DataFrame = {
+    // min_by over the nonzero rows = sign at the first nonzero id; an
+    // all-zero vector yields one NULL row (not an empty frame, which
+    // would annihilate the crossJoin) → coalesce to +1
+    val head = x.filter(col("xm") =!= 0L)
+      .agg(min_by(when(col("xm") < 0L, -1L).otherwise(1L), col("id")).as("sgn"))
+    x.crossJoin(broadcast(head))
+      .select(col("id"), (col("xm") * coalesce(col("sgn"), lit(1L))).as("xm"))
+  }
+
+  /** The two leading non-trivial random-walk eigenvectors of an
+    * undirected edge frame (i, j) — the kernel behind the query, shared
+    * with the planted-structure specs. Returns (id, xm) micro-unit
+    * frames. */
+  private[search] def spectralPair(und: DataFrame): (DataFrame, DataFrame) = {
+    val u = und.localCheckpoint(true)
+    val deg = u.groupBy(col("i").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val x0 = initX(deg)
+    val e1 = canonical(
+      (1 to PowerRounds).foldLeft(x0)((x, _) => step(u, deg, x, Nil)))
+      .localCheckpoint(true)
+    val e2 = canonical(
+      (1 to PowerRounds).foldLeft(x0)((x, _) => step(u, deg, x, Seq(e1))))
+      .localCheckpoint(true)
+    (e1, e2)
+  }
+
+  /** Per-dir memo: the 2×[[PowerRounds]] iteration chain runs once; the
+    * output projection is re-assembled per call. */
+  private val memo =
+    new graft.BoundedMemo[String, (DataFrame, DataFrame)](KnnGraph.MemoCap)
+
+  private[search] def corpusPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    memo.getOrElseUpdate(dir) {
+      spectralPair(GraphIndex.und(GraphIndex.finalGraph(spark, dir)))
+    }
+
+  /** (vec_id, e1, e2) for every corpus vector — the 2D spectral layout
+    * the notebooks draw their UMAP scatter plots from (RMS-normalized
+    * micro-unit coordinates emitted as doubles). */
+  def qGraphEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val (e1, e2) = corpusPair(spark, dir)
+    e1.select(col("id").as("vec_id"), (col("xm") / lit(Mic)).as("e1"))
+      .join(e2.select(col("id").as("vec_id"), (col("xm") / lit(Mic)).as("e2")),
+        Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_embedding" -> (qGraphEmbedding _))
+
+  // ---------------------------------------------------------------- oracle
+
+  private def stepSql(und: String, deg: String, inX: String, outX: String,
+                      ns: String, against: Option[String]): String = {
+    val y0 =
+      s"""${ns}y AS (SELECT x.id,
+         |    CAST(round((CAST(x.xm AS DOUBLE)
+         |      + CAST(s.sx AS DOUBLE) / CAST(dg.d AS DOUBLE)) / 2.0) AS BIGINT) AS xm
+         |  FROM $inX x
+         |  JOIN (SELECT u.i AS id, sum(xx.xm) AS sx
+         |        FROM $und u JOIN $inX xx ON xx.id = u.j GROUP BY u.i) s USING (id)
+         |  JOIN $deg dg USING (id))""".stripMargin
+    val ones =
+      s"""${ns}m AS (SELECT
+         |    CAST(sum(CAST(CAST(dg.d AS DOUBLE) * y.xm AS DECIMAL(38,0))) AS DOUBLE)
+         |    / CAST(sum(CAST(dg.d AS DECIMAL(38,0))) AS DOUBLE) AS m
+         |  FROM ${ns}y y JOIN $deg dg USING (id)),
+         |${ns}z AS (SELECT id,
+         |  CAST(round(xm - (SELECT m FROM ${ns}m)) AS BIGINT) AS xm FROM ${ns}y)""".stripMargin
+    val defl = against.map { e =>
+      s""",${ns}c AS (SELECT
+         |    CAST(sum(CAST(CAST(dg.d AS DOUBLE) * z.xm * e.xm AS DECIMAL(38,0))) AS DOUBLE)
+         |    / CAST(sum(CAST(CAST(dg.d AS DOUBLE) * e.xm * e.xm AS DECIMAL(38,0))) AS DOUBLE) AS c
+         |  FROM ${ns}z z JOIN $e e USING (id) JOIN $deg dg USING (id)),
+         |${ns}w AS (SELECT z.id,
+         |    CAST(round(z.xm - (SELECT c FROM ${ns}c) * e.xm) AS BIGINT) AS xm
+         |  FROM ${ns}z z JOIN $e e USING (id))""".stripMargin
+    }.getOrElse("")
+    val fin = if (against.isDefined) s"${ns}w" else s"${ns}z"
+    s"""$y0,
+       |$ones$defl,
+       |${ns}s AS (SELECT sqrt(
+       |    CAST(sum(CAST(CAST(xm AS DOUBLE) * xm AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE)) AS rms FROM $fin),
+       |$outX AS MATERIALIZED (SELECT id,
+       |  CAST(round(xm / (SELECT rms FROM ${ns}s) * 1000000.0) AS BIGINT) AS xm
+       |  FROM $fin)""".stripMargin
+  }
+
+  private def canonicalSql(inX: String, outX: String): String =
+    s"""$outX AS MATERIALIZED (SELECT id,
+       |  xm * coalesce((SELECT CASE WHEN xm < 0 THEN -1 ELSE 1 END
+       |                 FROM $inX WHERE xm <> 0 ORDER BY id LIMIT 1), 1) AS xm
+       |  FROM $inX)""".stripMargin
+
+  private def chainSql(prefix: String, against: Option[String]): String =
+    (1 to PowerRounds).map { r =>
+      stepSql("und", "deg", s"$prefix${r - 1}", s"$prefix$r", s"$prefix${r}n", against)
+    }.mkString(",\n")
+
+  /** The full replay: descent graph (the [[KnnGraph.graphCtePrefix]]
+    * rounds), symmetrize + degrees, the deterministic init, the two
+    * unrolled power chains, sign canonicalization, join. */
+  override def oracles: Map[String, String] = Map(
+    "q_graph_embedding" ->
+      s"""WITH ${KnnGraph.graphCtePrefix},
+         |und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
+         |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
+         |deg AS MATERIALIZED (SELECT i AS id, count(*) AS d FROM und GROUP BY i),
+         |a0 AS (SELECT id, CAST(round(((id * 48271) % 2147483647
+         |  / 2147483647.0 - 0.5) * 1000000.0) AS BIGINT) AS xm FROM deg),
+         |b0 AS (SELECT id, xm FROM a0),
+         |${chainSql("a", None)},
+         |${canonicalSql(s"a$PowerRounds", "ec1")},
+         |${chainSql("b", Some("ec1"))},
+         |${canonicalSql(s"b$PowerRounds", "ec2")}
+         |SELECT e1.id AS vec_id, e1.xm / 1000000.0 AS e1, e2.xm / 1000000.0 AS e2
+         |FROM ec1 e1 JOIN ec2 e2 USING (id)
+         |ORDER BY vec_id""".stripMargin)
+}

@@ -43,6 +43,7 @@ object SparkEntry {
     graft.operators.projection.PcaProjection,
     graft.operators.sampling.SamplingQueries,
     graft.operators.text.BpeQueries,
+    graft.operators.text.PretrainedBpe,
     graft.operators.text.TfIdfQueries,
     graft.operators.text.PiiRedact,
     graft.operators.text.QualityClassifier,

@@ -30,11 +30,18 @@ object Bpe {
 
   val EndMark = "</w>"
 
-  /** Ordered merge rules from a word-frequency table. */
-  def learn(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+  /** Ordered merge rules from a word-frequency table. `endMark = false`
+    * trains in the GPT-2/tiktoken convention (no `</w>` terminator —
+    * published merges.txt vocabularies mark word starts with Ġ instead;
+    * see [[graft.operators.text.PretrainedBpe]]). */
+  def learn(wordFreqs: Seq[(String, Long)], numMerges: Int,
+            endMark: Boolean = true): Seq[(String, String)] = {
     var seqs: Array[(Array[String], Long)] = wordFreqs
       .filter(_._1.nonEmpty)
-      .map { case (w, c) => (w.map(_.toString).toArray :+ EndMark, c) }
+      .map { case (w, c) =>
+        val chars = w.map(_.toString).toArray
+        (if (endMark) chars :+ EndMark else chars, c)
+      }
       .toArray
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -82,7 +89,21 @@ object Bpe {
     * present (the standard bpe() loop). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndMark
+    encodeSyms(word.map(_.toString).toArray :+ EndMark, ranks)
+  }
+
+  /** The GPT-2-convention variant: the caller supplies the initial
+    * symbol sequence (characters of the Ġ-marked word, no `</w>`). */
+  def encodeMarked(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    encodeSyms(word.map(_.toString).toArray, ranks)
+  }
+
+  /** The greedy lowest-rank merge loop over an initial symbol array —
+    * the one kernel behind both encoders. */
+  private def encodeSyms(syms0: Array[String],
+                         ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = syms0
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -160,4 +181,67 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
 object BpeTokens {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     Shim.column(BpeTokens(Shim.expression(text), merges))
+}
+
+/** Document → subword tokens under the GPT-2/tiktoken vocabulary
+  * convention: whitespace words are CASE-SENSITIVE, every word except
+  * the document's first is marked with a leading Ġ (the published
+  * merges.txt space marker — "hello world" tokenizes as "hello",
+  * "Ġworld"), and the greedy lowest-rank loop runs with NO `</w>`
+  * terminator. The merge table is a fixed pretrained artifact riding
+  * the plan as a constant ([[graft.operators.text.PretrainedBpe]]
+  * loads it from the published merges.txt format), so swapping in a
+  * real released vocabulary changes counts, not code. Same
+  * codegen-by-reference and per-partition Zipf cache as [[BpeTokens]]
+  * (the cache key is the marked word, so first-word and mid-sentence
+  * occurrences encode independently, as GPT-2 does). */
+case class MarkedBpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def prettyName: String = "marked_bpe_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+  @transient private lazy val cache =
+    new java.util.LinkedHashMap[String, Array[String]](4096, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String].toString.trim
+      .split(graft.operators.text.TextQueries.WsRe)
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var first = true
+    words.foreach { w =>
+      if (w.nonEmpty) {
+        val mw = if (first) w else "Ġ" + w
+        first = false
+        var toks = cache.get(mw)
+        if (toks == null) {
+          toks = Bpe.encodeMarked(mw, ranks)
+          cache.put(mw, toks)
+        }
+        toks.foreach(t => out += UTF8String.fromString(t))
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("mbpeExpr", this, classOf[MarkedBpeTokens].getName)
+      s"${ev.value} = (ArrayData) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MarkedBpeTokens {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(MarkedBpeTokens(Shim.expression(text), merges))
 }

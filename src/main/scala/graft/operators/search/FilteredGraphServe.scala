@@ -53,6 +53,19 @@ object FilteredGraphServe extends QueryModule {
   /** Pre/acorn arm beam width (the default serve width). */
   val Beam = GraphServe.Beam
 
+  /** Hard ceiling on the post-filter arm's adaptive over-fetch width.
+    * The adaptive rule k·⌈n/n_match⌉ is the honest recall-preserving
+    * width, but far below the crossover it grows toward n — at the
+    * sf10 probe (200k vectors, 0.05% selectivity) the unclamped post
+    * arm brute-forced ~n-wide beams for 2049 s, grading a regime the
+    * crossover router never picks (the r11 verdict's probe-cost
+    * finding). The cap never binds at the correctness gates (n ≤ 2000
+    * < cap, adaptive width ≤ n), so gate-scale grading is unchanged;
+    * beyond it the post arm runs, and is GRADED, at the clamped width
+    * the output row reports (`beam_w`) — recall honestly degrades
+    * instead of the probe stalling. */
+  val PostWidthCap = 4000
+
   /** The two drilled predicates. `wide` is one label stratum (~10% at
     * every scale); `narrow` conjoins a FIXED id prefix (`id < 100`), so
     * its selectivity shrinks with the corpus (~2% at sf0.001, ~0.2% at
@@ -101,8 +114,8 @@ object FilteredGraphServe extends QueryModule {
       val arms = Preds.flatMap { case (tag, predFn, _) =>
         val pred = predFn(col("vec_id"), col("label"))
         val nMatch = el.filter(pred).count()
-        val w = FilteredAnn.overfetchLimit(
-          FilteredAnn.adaptiveOverfetch(K, n, nMatch))
+        val w = math.min(PostWidthCap, FilteredAnn.overfetchLimit(
+          FilteredAnn.adaptiveOverfetch(K, n, nMatch)))
         val chosen = FilteredAnn.chooseStrategy(n, nMatch)
         val elM = el.filter(pred).select(col("vec_id"), col("embedding"))
         val matchIds = elM.select(col("vec_id").as("j"))
@@ -250,7 +263,7 @@ object FilteredGraphServe extends QueryModule {
     s"""st_$tag AS (SELECT count(*) AS n_match FROM el WHERE $p),
        |wf_$tag AS (SELECT CASE WHEN n_match = 0 THEN $K
        |    ELSE least($K * (((SELECT n FROM prm) + n_match - 1) // n_match),
-       |               (SELECT n FROM prm)) END AS w FROM st_$tag),
+       |               (SELECT n FROM prm), $PostWidthCap) END AS w FROM st_$tag),
        |pent_$tag AS (SELECT id AS node FROM el WHERE $p ORDER BY id LIMIT ${GraphServe.Entries}),
        |${armCtes(s"pr${tag}_", Beam.toString, s"SELECT node FROM pent_$tag", pe)},
        |pre_$tag AS (SELECT q, node FROM (

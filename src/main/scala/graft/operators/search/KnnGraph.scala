@@ -210,7 +210,7 @@ object KnnGraph extends QueryModule {
     * the corpus is fixed-dim, the cosine kernel already assumes it);
     * 0 for an empty frame. Feeds [[scoreSliced]]'s tier choice without
     * an O(corpus) aggregation. */
-  private[search] def dimOf(emb: DataFrame): Long =
+  private[graft] def dimOf(emb: DataFrame): Long =
     emb.select(size(col("embedding")).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0).toLong).getOrElse(0L)
 
@@ -307,7 +307,7 @@ object KnnGraph extends QueryModule {
     built.getOrElseUpdate((corpusKey, k, rounds))(buildRounds(emb, k, rounds))
 
   /** The un-memoized build — the determinism spec's fresh-replay bypass. */
-  private[search] def buildRounds(emb: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
+  private[graft] def buildRounds(emb: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
     val n = emb.count()
     val dim = dimOf(emb)
     // i ≠ j: on a corpus with n ≤ k the ring stride s = n would seed a

@@ -59,12 +59,15 @@ object FilteredGraphServe extends QueryModule {
     * sf10 probe (200k vectors, 0.05% selectivity) the unclamped post
     * arm brute-forced ~n-wide beams for 2049 s, grading a regime the
     * crossover router never picks (the r11 verdict's probe-cost
-    * finding). The cap never binds at the correctness gates (n ≤ 2000
-    * < cap, adaptive width ≤ n), so gate-scale grading is unchanged;
-    * beyond it the post arm runs, and is GRADED, at the clamped width
-    * the output row reports (`beam_w`) — recall honestly degrades
-    * instead of the probe stalling. */
-  val PostWidthCap = 4000
+    * finding). The cap never binds at the correctness gates (the
+    * adaptive width is already ≤ n ≤ 2000 there), so gate-scale
+    * grading is unchanged; beyond it the post arm runs, and is GRADED,
+    * at the clamped width the output row reports (`beam_w`) — recall
+    * honestly degrades instead of the probe stalling. Measured at
+    * sf10 (200k nodes, ~1000 queries, cold artifact build included):
+    * uncapped 2049 s (r11) → cap 4000: 849 s → cap 2048: see SURVEY
+    * r12 wave 2. */
+  val PostWidthCap = 2048
 
   /** The two drilled predicates. `wide` is one label stratum (~10% at
     * every scale); `narrow` conjoins a FIXED id prefix (`id < 100`), so

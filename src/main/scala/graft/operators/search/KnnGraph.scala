@@ -33,6 +33,24 @@ import org.apache.spark.sql.functions._
   * shape. An exact top-k member, once discovered, can never be evicted
   * (at most k−1 vectors are strictly closer), so recall is monotone
   * non-decreasing over rounds — spec-asserted.
+  *
+  * Memory budget, MEASURED at 200k nodes / dim 64 / 32 shuffle
+  * partitions (tools/ProfileBuildMemory, r12): the isolated cold build
+  * runs CLEAN in a 24 GiB local[32] JVM — zero spill, peak single-stage
+  * execution 9.8-12.9 GiB (the candidate-distinct shuffle's
+  * aggregation buffers ≈ 300-400 MiB per task thread), checkpointed
+  * round frames 1.7-2.1 GiB memory-only (≈ 9-11 KB/node across the 5
+  * pinned frames, MEMORY_AND_DISK so they degrade to disk, not OOM),
+  * total shuffle write 5.8 GiB/build. The r11 probe's "needs 64-96g"
+  * was NOT this build: it was the 22-query probe harness's accumulated
+  * cross-query pinned state (since reduced by the r12
+  * checkpoint-and-release fixes). Executor sizing rule: give each core
+  * ≈ (candidate rows per round ÷ shuffle partitions) × 16 B × 2 of
+  * execution headroom — at 1G candidates/round and 32 partitions
+  * that's the measured ~400 MiB/core — and size
+  * spark.sql.shuffle.partitions so that quotient stays ≲ half the
+  * per-core execution share. Storage scales at ~2 KB/node/frame and
+  * can always spill.
   */
 object KnnGraph extends QueryModule {
 

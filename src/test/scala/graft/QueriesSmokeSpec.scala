@@ -48,7 +48,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_leak_safe_split", "q_ann_filtered_recall", "q_knn_graph",
     "q_graph_serve", "q_beam_sweep", "q_graph_delete",
     "q_graph_append", "q_graph_stats", "q_graph_filtered",
-    "q_graph_append_stream", "q_graph_sq_serve", "q_graph_optimize")
+    "q_graph_append_stream", "q_graph_sq_serve", "q_graph_optimize",
+    // 1-row broadcast report scalars (max-imbalance aggregates + the
+    // moved-rows count) crossed into the single summary row
+    "q_drift_rebalance")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   *    partition is well within executor memory at this partition sizing.
   */
 object GraftSession {
-  def build(cpus: String): SparkSession =
+  /** `periodicGC`: the default cleaner interval when the
+    * GRAFT_PERIODIC_GC env var is unset. Gate-scale entrypoints
+    * (Bench/Verify/specs) keep Spark's 30min; the BIG-corpus tools
+    * (ScaleCorpus, the sf10 probes) pass "2min" themselves so the
+    * disk-exhaustion guard cannot be forgotten (the r12 review: an
+    * env-var-only knob silently reverts the exact workloads that
+    * needed it). */
+  def build(cpus: String, periodicGC: String = "30min"): SparkSession =
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,7 +51,7 @@ object GraftSession {
       // real cluster executor local disks are guarded the same way, and
       // the GC lands on executors, not the query-planning driver.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("GRAFT_PERIODIC_GC", "30min"))
+        sys.env.getOrElse("GRAFT_PERIODIC_GC", periodicGC))
       // NOTE: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
       // tried and reverted: AQE coalesces small cached frames (embeddings,
       // ε-pairs) to 1 partition, serializing every downstream pair join —

@@ -128,21 +128,24 @@ object Bpe {
   }
 }
 
-/** Document → BPE subword tokens (array<string>): whitespace words each
-  * greedy-encoded against the merge ranks, with a per-partition cache.
+/** Shared scaffolding of the BPE encoder expressions: merge-rank map,
+  * per-partition Zipf LRU cache, output type, and the
+  * codegen-by-reference shape — subclasses supply only the
+  * per-document word loop ([[nullSafeEval]]). ONE copy (r12 review:
+  * the cache sizing and codegen shape were hand-mirrored between the
+  * two encoders).
   *
-  * Codegen calls [[nullSafeEval]] through a reference object rather than
-  * CodegenFallback: the cached greedy-merge kernel stays one JIT'd JVM
-  * method (identical both paths), but the generated call operates on the
-  * child's in-register UTF8String — no InternalRow materialization — and
-  * the surrounding stage stays fused. */
-case class BpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
+  * Codegen calls [[nullSafeEval]] through a reference object rather
+  * than CodegenFallback: the cached greedy-merge kernel stays one
+  * JIT'd JVM method (identical both paths), but the generated call
+  * operates on the child's in-register UTF8String — no InternalRow
+  * materialization — and the surrounding stage stays fused. */
+abstract class BpeTokensBase extends UnaryExpression {
+  def merges: Seq[(String, String)]
 
-  override def prettyName: String = "bpe_tokens"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ranks: Map[(String, String), Int] =
+  @transient protected lazy val ranks: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
   @transient private lazy val cache =
     new java.util.LinkedHashMap[String, Array[String]](4096, 0.75f, true) {
@@ -150,20 +153,15 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
           e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[UTF8String].toString.trim.split(graft.operators.text.TextQueries.WsRe)
-    val out = mutable.ArrayBuffer.empty[UTF8String]
-    words.foreach { w =>
-      if (w.nonEmpty) {
-        var toks = cache.get(w)
-        if (toks == null) {
-          toks = Bpe.encodeWord(w, ranks)
-          cache.put(w, toks)
-        }
-        toks.foreach(t => out += UTF8String.fromString(t))
-      }
+  /** Encode-with-memo: the per-partition LRU keyed by the (possibly
+    * marked) word. */
+  protected def cachedEncode(w: String, enc: String => Array[String]): Array[String] = {
+    var toks = cache.get(w)
+    if (toks == null) {
+      toks = enc(w)
+      cache.put(w, toks)
     }
-    new GenericArrayData(out.toArray[Any])
+    toks
   }
 
   override protected def doGenCode(
@@ -171,9 +169,29 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val expr = ctx.addReferenceObj("bpeExpr", this, classOf[BpeTokens].getName)
+      val expr = ctx.addReferenceObj("bpeExpr", this, getClass.getName)
       s"${ev.value} = (ArrayData) $expr.nullSafeEval($c);"
     })
+}
+
+/** Document → BPE subword tokens (array<string>): whitespace words each
+  * greedy-encoded against the merge ranks (`</w>`-terminated — the
+  * corpus-trained [[Bpe.learn]] convention). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends BpeTokensBase {
+
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[UTF8String].toString.trim.split(graft.operators.text.TextQueries.WsRe)
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    words.foreach { w =>
+      if (w.nonEmpty)
+        cachedEncode(w, Bpe.encodeWord(_, ranks))
+          .foreach(t => out += UTF8String.fromString(t))
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -193,21 +211,13 @@ object BpeTokens {
   * loads it from the published merges.txt format), so swapping in a
   * real released vocabulary changes counts, not code. Same
   * codegen-by-reference and per-partition Zipf cache as [[BpeTokens]]
-  * (the cache key is the marked word, so first-word and mid-sentence
-  * occurrences encode independently, as GPT-2 does). */
+  * (via [[BpeTokensBase]]; the cache key is the marked word, so
+  * first-word and mid-sentence occurrences encode independently, as
+  * GPT-2 does). */
 case class MarkedBpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression {
+    extends BpeTokensBase {
 
   override def prettyName: String = "marked_bpe_tokens"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  @transient private lazy val ranks: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap
-  @transient private lazy val cache =
-    new java.util.LinkedHashMap[String, Array[String]](4096, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
-    }
 
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[UTF8String].toString.trim
@@ -218,25 +228,12 @@ case class MarkedBpeTokens(child: Expression, merges: Seq[(String, String)])
       if (w.nonEmpty) {
         val mw = if (first) w else "Ġ" + w
         first = false
-        var toks = cache.get(mw)
-        if (toks == null) {
-          toks = Bpe.encodeMarked(mw, ranks)
-          cache.put(mw, toks)
-        }
-        toks.foreach(t => out += UTF8String.fromString(t))
+        cachedEncode(mw, Bpe.encodeMarked(_, ranks))
+          .foreach(t => out += UTF8String.fromString(t))
       }
     }
     new GenericArrayData(out.toArray[Any])
   }
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val expr = ctx.addReferenceObj("mbpeExpr", this, classOf[MarkedBpeTokens].getName)
-      s"${ev.value} = (ArrayData) $expr.nullSafeEval($c);"
-    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

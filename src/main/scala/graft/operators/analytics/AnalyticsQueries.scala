@@ -330,8 +330,18 @@ object AnalyticsQueries extends QueryModule {
     * Scale shape: one scan computes norms map-side; the reference
     * quantile pass is one order-statistic aggregate; binning is a 9-way
     * literal comparison (no join); counts collapse to 10 rows. */
-  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
-    val base = driftCache.persist(driftBase(spark, dir))
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    driftPsiFrame(driftCache.persist(driftBase(spark, dir)))
+
+  /** The whole PSI assembly over any (x, is_ref) frame — reference-era
+    * decile edges, per-bin counts, smoothed terms, decimal-summed psi.
+    * ONE implementation shared by [[qEmbeddingDrift]] and the
+    * drift→rebalance loop's monitor
+    * ([[graft.operators.search.DriftRebalance]]) so the two drift
+    * monitors can never diverge (r12 review). The caller owns `base`'s
+    * caching — this runs three passes over it (edges, totals, counts). */
+  private[graft] def driftPsiFrame(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     val edges = driftEdges(base)
     val totRow = base.agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)),

@@ -77,9 +77,10 @@ object DriftRebalance extends QueryModule {
           slice(d, lit(2), size(d) - 1)).as("embedding"))
   }
 
-  /** PSI of coordinate 1 between the eras — the q_embedding_drift
-    * kernel over this drill's corpus (`driftEdges` deciles on the
-    * reference era, smoothed terms, decimal-summed psi). */
+  /** PSI of coordinate 1 between the eras — THE q_embedding_drift
+    * assembly ([[AnalyticsQueries.driftPsiFrame]], one shared
+    * implementation so the two drift monitors cannot diverge) over
+    * this drill's corpus. */
   private[search] def psiOf(ref: DataFrame, cur: DataFrame): Double = {
     val base = ref
       .select(round(element_at(col("embedding"), 1), 6).as("x"),
@@ -87,22 +88,7 @@ object DriftRebalance extends QueryModule {
       .unionByName(cur.select(round(element_at(col("embedding"), 1), 6).as("x"),
         lit(false).as("is_ref")))
       .persist()
-    val edges = AnalyticsQueries.driftEdges(base)
-    val totRow = base.agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)),
-      sum(when(!col("is_ref"), 1L).otherwise(0L))).head()
-    val bin = AnalyticsQueries.driftBin(edges, col("x"))
-    val counts = base.sparkSession.range(AnalyticsQueries.DriftBins)
-      .select(col("id").cast("int").as("bin"))
-      .join(base.groupBy(bin.as("bin")).agg(
-        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")),
-        Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val psi = AnalyticsQueries
-      .driftAssemble(counts, totRow.getLong(0), totRow.getLong(1))
+    val psi = AnalyticsQueries.driftPsiFrame(base)
       .select(col("psi")).head().getDouble(0)
     base.unpersist(blocking = false)
     psi

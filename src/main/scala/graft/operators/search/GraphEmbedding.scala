@@ -96,7 +96,12 @@ object GraphEmbedding extends QueryModule {
           .cast("decimal(38,0)")).as("num"),
         sum((col("d").cast("double") * col("em") * col("em"))
           .cast("decimal(38,0)")).as("den"))
-        .select((col("num").cast("double") / col("den").cast("double")).as("c"))
+        // den = 0 ⟺ the deflation target is identically zero (degenerate
+        // spectrum) — nothing to project out, c := 0 (both engines; an
+        // unguarded division is an ANSI error here and ±Inf elsewhere)
+        .select(when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double"))
+          .otherwise(lit(0.0)).as("c"))
       j.crossJoin(broadcast(st))
         .select(col("id"),
           round(col("xm") - col("c") * col("em")).cast("long").as("xm"))
@@ -107,9 +112,16 @@ object GraphEmbedding extends QueryModule {
       sum((col("xm").cast("double") * col("xm")).cast("decimal(38,0)")).as("ss"),
       count(lit(1)).as("n"))
       .select(sqrt(col("ss").cast("double") / col("n").cast("double")).as("rms"))
+    // rms = 0 ⟺ the deflated vector is identically zero (a graph whose
+    // non-trivial spectrum has dimension < the requested components,
+    // e.g. a single edge) — dividing would make 0/0 = NaN, which Spark
+    // casts to 0L while DuckDB raises on the cast (r12 review).
+    // Dividing the all-zero vector by 1 keeps both engines at exact
+    // zeros.
     deflated.crossJoin(broadcast(nrm))
       .select(col("id"),
-        round(col("xm") / col("rms") * lit(Mic)).cast("long").as("xm"))
+        round(col("xm") / when(col("rms") =!= 0.0, col("rms")).otherwise(lit(1.0))
+          * lit(Mic)).cast("long").as("xm"))
       .localCheckpoint(true) // truncate the 3^r lineage (descent discipline)
   }
 
@@ -196,9 +208,10 @@ object GraphEmbedding extends QueryModule {
          |${ns}z AS (SELECT id,
          |  CAST(round(xm - (SELECT m FROM ${ns}m)) AS BIGINT) AS xm FROM ${ns}y)""".stripMargin
     val defl = against.map { e =>
-      s""",${ns}c AS (SELECT
+      s""",${ns}c AS (SELECT coalesce(
          |    CAST(sum(CAST(CAST(dg.d AS DOUBLE) * z.xm * e.xm AS DECIMAL(38,0))) AS DOUBLE)
-         |    / CAST(sum(CAST(CAST(dg.d AS DOUBLE) * e.xm * e.xm AS DECIMAL(38,0))) AS DOUBLE) AS c
+         |    / nullif(CAST(sum(CAST(CAST(dg.d AS DOUBLE) * e.xm * e.xm AS DECIMAL(38,0))) AS DOUBLE), 0),
+         |    0.0) AS c
          |  FROM ${ns}z z JOIN $e e USING (id) JOIN $deg dg USING (id)),
          |${ns}w AS (SELECT z.id,
          |    CAST(round(z.xm - (SELECT c FROM ${ns}c) * e.xm) AS BIGINT) AS xm
@@ -211,7 +224,9 @@ object GraphEmbedding extends QueryModule {
        |    CAST(sum(CAST(CAST(xm AS DOUBLE) * xm AS DECIMAL(38,0))) AS DOUBLE)
        |    / CAST(count(*) AS DOUBLE)) AS rms FROM $fin),
        |$outX AS MATERIALIZED (SELECT id,
-       |  CAST(round(xm / (SELECT rms FROM ${ns}s) * 1000000.0) AS BIGINT) AS xm
+       |  CAST(round(xm / (CASE WHEN (SELECT rms FROM ${ns}s) = 0 THEN 1.0
+       |                        ELSE (SELECT rms FROM ${ns}s) END)
+       |             * 1000000.0) AS BIGINT) AS xm
        |  FROM $fin)""".stripMargin
   }
 

@@ -188,7 +188,14 @@ object GraphIndex extends QueryModule {
     * so the healed artifact is a valid top-[[Degree]] graph with exact
     * meta, though not necessarily edge-identical to the uninterrupted
     * run. Out-of-order replays are NOT supported — the streaming
-    * ingest's residue guard enforces ordering. */
+    * ingest's residue guard enforces ordering. That contract also
+    * means no OTHER operation may run between a crashed commit and its
+    * retry (including a no-op delete of absent ids: any commit moves
+    * the op counter, after which the retry reads as a genuine re-issue
+    * and double-folds — with position-aware guards this is inherent,
+    * not an implementation gap; distinguishing "retry after an
+    * unrelated interleaved op" from "genuine re-issue" would need a
+    * full op log). */
   def append(spark: SparkSession, indexPath: String,
              oldEmb: DataFrame, newEmb: DataFrame): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
@@ -481,18 +488,25 @@ object GraphIndex extends QueryModule {
     * makes a replayed [[upsert]] converge. */
   def delete(spark: SparkSession, indexPath: String,
              delIds: DataFrame, emb: DataFrame): Unit =
-    delete(spark, indexPath, delIds, emb, seqTol = 0)
+    delete(spark, indexPath, delIds, emb, upsertAppendFp = None)
 
-  /** `seqTol` widens the replay window by that many positions: a
-    * standalone delete is a replay only if its commit was the LAST op
-    * (tol 0, exact position); [[upsert]]'s interleaved delete passes
-    * tol 1 because in a replayed upsert that crashed after BOTH
-    * commits, the delete's commit sits one position behind the
-    * transaction's append — without the widened window the replayed
-    * delete would re-fold against a sidecar mid-swap and drift meta. */
+  /** `upsertAppendFp` widens the replay window for [[upsert]]'s
+    * interleaved delete: a standalone delete is a replay only if its
+    * commit was the LAST op (exact position), but in a replayed upsert
+    * that crashed after BOTH commits the delete's commit sits one
+    * position behind the transaction's append — so the delete also
+    * reads as a replay when it sits at seq−1 AND the append guard at
+    * the current position carries the SAME upsert's batch fingerprint.
+    * Qualifying the window on the sibling append is load-bearing (the
+    * r12 review): a bare one-position tolerance let a GENUINE upsert
+    * whose ids-only fingerprint matched an unrelated delete one
+    * position back skip its fold on the live path — no crash needed —
+    * leaving meta permanently high by the batch. With the
+    * qualification, that upsert's batch fp differs from the remembered
+    * append's and the fold runs. */
   private[search] def delete(spark: SparkSession, indexPath: String,
                              delIds: DataFrame, emb: DataFrame,
-                             seqTol: Int): Unit = {
+                             upsertAppendFp: Option[Long]): Unit = {
     val gOld = edges(spark, indexPath).localCheckpoint(true)
     val m = readMeta(spark, indexPath)
     val (nMeta, accOld) = (m.n, m.acc)
@@ -544,11 +558,15 @@ object GraphIndex extends QueryModule {
     val sidecar = nodes(spark, indexPath)
       .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
       .localCheckpoint(true) // pin PRE-swap state for the fold
-    // replay = same ids at (or within seqTol of) the current position;
-    // a content-only match after intervening ops is a GENUINE re-issue
-    // (e.g. delete → re-append → same delete again) and must fold
+    // replay = same ids at the current position, or (upsert only) one
+    // position back with the sibling append's guard live at the head;
+    // a content-only match after unrelated intervening ops is a
+    // GENUINE re-issue (e.g. delete → re-append → same delete again)
+    // and must fold
     val replay = m.lastD == fpD &&
-      m.lastDSeq >= m.seq - seqTol && m.lastDSeq <= m.seq
+      (m.lastDSeq == m.seq ||
+        (m.lastDSeq == m.seq - 1 && upsertAppendFp.exists(fb =>
+          m.lastA == fb && m.lastASeq == m.seq)))
     if (!replay) {
       val rD = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
         .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).head()
@@ -578,10 +596,15 @@ object GraphIndex extends QueryModule {
     * (vec_id, embedding) rows. */
   def upsert(spark: SparkSession, indexPath: String,
              survivorEmb: DataFrame, batch: DataFrame): Unit = {
-    // seqTol 1: in a replayed upsert that crashed after both commits,
-    // the delete's position is one behind the append's — the widened
-    // window recognizes it; a standalone delete keeps the exact check
-    delete(spark, indexPath, batch.select(col("vec_id")), survivorEmb, seqTol = 1)
+    // the batch's append fingerprint qualifies the delete's widened
+    // replay window: the delete one position back is this transaction's
+    // own only if the head commit is this very batch's append (one
+    // extra O(batch) scan — the price of not misreading an unrelated
+    // same-ids delete as ours; the r12 review finding)
+    val (cntB, accB) = countAndAcc(batch)
+    val fpB = batchFp(OpAppend, cntB, accB)
+    delete(spark, indexPath, batch.select(col("vec_id")), survivorEmb,
+      upsertAppendFp = Some(fpB))
     append(spark, indexPath, survivorEmb, batch)
   }
 

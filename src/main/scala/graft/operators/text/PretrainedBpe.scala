@@ -97,8 +97,16 @@ object PretrainedBpe extends QueryModule {
          |toksp AS (
          |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w0 FROM toks0),
          |toks AS (
-         |  SELECT doc_id, CASE WHEN i = 1 THEN w0 ELSE 'Ġ' || w0 END AS w
-         |  FROM toksp WHERE w0 <> ''),
+         |  -- the unmarked word is the first NON-EMPTY one, not position 1:
+         |  -- SQL trim strips spaces only, so text leading with a tab or
+         |  -- newline yields a phantom '' at i=1 while the engine's
+         |  -- Java-trim encoder sees the real word first (r12 review)
+         |  SELECT doc_id, CASE WHEN i = fi THEN w0 ELSE 'Ġ' || w0 END AS w
+         |  FROM (SELECT doc_id, i, w0,
+         |          min(CASE WHEN w0 <> '' THEN i END)
+         |            OVER (PARTITION BY doc_id) AS fi
+         |        FROM toksp)
+         |  WHERE w0 <> ''),
          |uwords AS (SELECT DISTINCT w FROM toks),
          |enc AS (
          |  SELECT w,

@@ -14,7 +14,7 @@ import graft.GraftSession
 object BuildGraphIndex {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BuildGraphIndex <sfDir> [<sfDir> ...]")
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), periodicGC = "2min")
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { dir =>
       val t0 = System.nanoTime()

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object ProfileBuildMemory {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft/sf10")
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), periodicGC = "2min")
     spark.sparkContext.setLogLevel("WARN")
     val maxHeap = Runtime.getRuntime.maxMemory() / (1 << 20)
     println(s"[mem] maxHeap=${maxHeap}MiB dir=$dir")

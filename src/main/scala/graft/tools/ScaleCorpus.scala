@@ -83,7 +83,7 @@ object ScaleCorpus {
     val src = args(0)
     val dst = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), periodicGC = "2min")
     spark.sparkContext.setLogLevel("WARN")
     val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(dst))

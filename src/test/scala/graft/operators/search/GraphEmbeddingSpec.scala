@@ -54,6 +54,17 @@ class GraphEmbeddingSpec extends SparkSpec {
       s"ring locality not recovered: adjacent $adj vs antipodal $anti")
   }
 
+  test("degenerate spectrum: a single-edge graph embeds at exact zeros instead of NaN") {
+    // K2's lazy-walk spectrum is {1, 0}: after deflating the trivial
+    // direction nothing survives, rms = 0, and an unguarded division
+    // would put NaN into the micro-unit cast (Spark: silent 0L;
+    // DuckDB: cast error — the r12 review's cross-engine divergence)
+    val (e1, e2) = GraphEmbedding.spectralPair(undOf(Seq((0L, 1L))))
+    assert(e1.count() === 2 && e2.count() === 2)
+    assert(e1.collect().forall(_.getLong(1) === 0L), "e1 not exactly zero")
+    assert(e2.collect().forall(_.getLong(1) === 0L), "e2 not exactly zero")
+  }
+
   test("corpus embedding: full coverage, RMS-normalized coordinates, deterministic replay") {
     val out = GraphEmbedding.qGraphEmbedding(spark, SfDir)
     val n = graft.Tables.embeddings(spark, SfDir).count()

@@ -168,6 +168,34 @@ class GraphIndexLifecycleSpec extends SparkSpec {
     assert(after.groupBy(_._1).keySet.size.toLong === nFull)
   }
 
+  test("a genuine upsert is not misread as a replay when an unrelated same-ids delete sits one position back") {
+    // The r12 review's top finding against the first position-aware
+    // cut: upsert's delete window accepted ANY matching-ids delete at
+    // seq-1, so after delete(X) -> re-append(X, v1), a genuine
+    // upsert(X, v2) skipped its fold (v1 rows never subtracted) while
+    // the swaps removed them - meta permanently high by |X|. The
+    // window is now qualified on the sibling append's fingerprint at
+    // the head position, which a DIFFERENT-content upsert cannot match.
+    val ids = emb.filter(col("vec_id") % DelMod === 0).select(col("vec_id"))
+    val batchV1 = emb.filter(col("vec_id") % DelMod === 0)
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    GraphIndex.delete(spark, idx, ids, surv)         // unrelated delete(X)
+    GraphIndex.append(spark, idx, surv, batchV1)     // genuine re-append(X, v1)
+    // genuine upsert(X, v2): same ids, new content
+    val batchV2 = batchV1.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val survCast = surv.select(col("vec_id"), col("embedding"))
+    GraphIndex.upsert(spark, idx, survCast, batchV2)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Long]("n") === emb.count(),
+      "upsert misread as replay: meta n drifted")
+    assertAuditExact("post-unrelated-delete-upsert")
+    // restore the original content for the downstream recip-share and
+    // compact tests (the lifecycle spec's shared-artifact discipline)
+    GraphIndex.upsert(spark, idx, survCast, batchV1)
+    assertAuditExact("post-restore")
+  }
+
   test("a crash inside the meta commit's rename window heals on the next read") {
     // writeMeta parks the pre-commit meta as meta_old before renaming
     // the fresh one in; a crash between the renames leaves meta missing.

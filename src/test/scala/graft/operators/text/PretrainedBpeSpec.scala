@@ -36,6 +36,18 @@ class PretrainedBpeSpec extends SparkSpec {
     assert(out === Seq("t", "he", "Ġthe", "Ġ", "T", "he"))
   }
 
+  test("leading non-space whitespace does not shift the unmarked first word") {
+    // '\t' is stripped by the encoder's Java trim but NOT by SQL trim —
+    // the oracle marks by first NON-EMPTY position for exactly this
+    // case (r12 review); the engine law: the first real word is
+    // unmarked whatever whitespace precedes it
+    val merges = Seq(("Ġ", "t"))
+    val out = Seq("\tthe tap").toDF("text")
+      .select(MarkedBpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    assert(out === Seq("t", "h", "e", "Ġt", "a", "p"))
+  }
+
   test("the frozen resource loads, is non-trivial, and the corpus query is exact and covering") {
     assert(PretrainedBpe.merges.nonEmpty, "frozen vocabulary is empty")
     val out = PretrainedBpe.qTokenPretrained(spark, SfDir).collect()

@@ -40,11 +40,15 @@ import org.apache.spark.sql.functions._
   * no corpus-sized driver state (the quantizer is K×d).
   *
   * The decision is DATA-driven in both engines: `fired` comes from the
-  * measured PSI, and the rebalance runs only when it fires — the oracle
-  * replays the fired branch, so if the planted drift ever stopped
-  * firing the Spark/oracle outputs would diverge and the gate would
-  * catch it (the spec additionally pins the quiet case: no planted
-  * shift → PSI under the bar → the loop must NOT fire).
+  * measured PSI, and the rebalance runs only when it fires — the
+  * oracle's report CTEs are gated on the SAME `psi > bar` predicate
+  * (CASE selecting the pre- vs post-rebalance assignment), so both
+  * engines replay the same branch at EVERY scale: a corpus where the
+  * planted shift does not breach the bar reports the quiet row
+  * (moved_rows = 0, after = before) identically in both, instead of
+  * diverging by construction (the r12 advice). The spec additionally
+  * pins the quiet case: no planted shift → PSI under the bar → the
+  * loop must NOT fire.
   */
 object DriftRebalance extends QueryModule {
 
@@ -222,11 +226,20 @@ object DriftRebalance extends QueryModule {
          |  FROM (SELECT cell, count(*) AS cnt2 FROM nasg GROUP BY cell)),
          |mv AS (SELECT count(*) AS moved FROM asg a JOIN nasg b USING (vec_id)
          |       WHERE a.cell <> b.cell)
+         |-- the rebalance branch is gated on the SAME fired predicate the
+         |-- engine uses: when PSI stays under the bar the artifact is
+         |-- untouched (post = pre), so the report must read the pre-frame
+         |-- — an unconditional nasg replay would diverge by construction
+         |-- at any corpus where the planted shift does not breach the bar
+         |-- (r12 advice)
          |SELECT round((SELECT p FROM psi), 6) AS psi,
          |  $PsiBar AS psi_bar,
          |  (SELECT p FROM psi) > $PsiBar AS fired,
          |  CAST((SELECT n FROM tot) AS BIGINT) AS n_total,
-         |  CAST((SELECT moved FROM mv) AS BIGINT) AS moved_rows,
+         |  CAST(CASE WHEN (SELECT p FROM psi) > $PsiBar
+         |       THEN (SELECT moved FROM mv) ELSE 0 END AS BIGINT) AS moved_rows,
          |  (SELECT mi FROM imb0) AS max_imb_before,
-         |  (SELECT mi FROM imb1) AS max_imb_after""".stripMargin)
+         |  CASE WHEN (SELECT p FROM psi) > $PsiBar
+         |       THEN (SELECT mi FROM imb1)
+         |       ELSE (SELECT mi FROM imb0) END AS max_imb_after""".stripMargin)
 }

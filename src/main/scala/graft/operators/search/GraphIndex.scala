@@ -320,6 +320,15 @@ object GraphIndex extends QueryModule {
   private def readMeta(spark: SparkSession, indexPath: String): Meta = {
     recoverMeta(spark, indexPath)
     val m = spark.read.parquet(s"$indexPath/meta").head()
+    // version gate BEFORE touching v7-only columns: a surviving pre-v7
+    // artifact on the direct mutation path (append/delete/upsert) would
+    // otherwise surface as an opaque Parquet missing-column error; only
+    // finalGraph's validArtifact falls through to a rebuild (r12 advice)
+    val ver = scala.util.Try(m.getAs[Int]("build_version")).getOrElse(0)
+    require(ver == BuildVersion,
+      s"graph-index artifact at $indexPath is build_version $ver but this " +
+        s"engine writes v$BuildVersion — the meta schema is incompatible; " +
+        "rebuild the artifact (GraphIndex.build) before mutating it")
     Meta(m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
       m.getAs[Long]("last_append_fp"), m.getAs[Long]("last_append_seq"),
       m.getAs[Long]("last_delete_fp"), m.getAs[Long]("last_delete_seq"),

@@ -226,6 +226,32 @@ class GraphIndexLifecycleSpec extends SparkSpec {
       s"reciprocal share degraded across the lifecycle: fresh $shareFresh -> cycled $cycled")
   }
 
+  test("a pre-v7 meta fails the direct mutation path with an explicit version message") {
+    // A surviving older artifact must not surface as an opaque Parquet
+    // missing-column error from append/delete/upsert (r12 advice): the
+    // version gate fires BEFORE any v7-only column is touched.
+    val p = java.nio.file.Files.createTempDirectory("graft_gidx_v6").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(p))
+    val dst = s"$p/${new java.io.File(idx).getName}"
+    // rewrite the meta in the v6 shape: same core columns, version 6,
+    // none of the v7 replay-guard columns
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dst/meta").head()
+    Seq((m.getAs[Long]("n"), m.getAs[Int]("k"), m.getAs[Int]("rounds"), 6,
+        m.getAs[Long]("corpus_fp"), m.getAs[String]("fp_acc")))
+      .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/meta")
+    val batch = emb.limit(0)
+    val ex = intercept[IllegalArgumentException] {
+      GraphIndex.append(spark, dst, emb, batch)
+    }
+    assert(ex.getMessage.contains("build_version 6"), ex.getMessage)
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+  }
+
   test("compact collapses each bucket to one file without changing a single edge") {
     val before = GraphIndex.edges(spark, idx).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

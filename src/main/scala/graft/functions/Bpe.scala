@@ -93,7 +93,8 @@ object Bpe {
   }
 
   /** The GPT-2-convention variant: the caller supplies the initial
-    * symbol sequence (characters of the Ġ-marked word, no `</w>`). */
+    * symbol sequence (characters of the byte-remapped pre-token —
+    * [[Gpt2.encodePretoken]] — no `</w>`). */
   def encodeMarked(word: String, ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
     encodeSyms(word.map(_.toString).toArray, ranks)
@@ -201,44 +202,7 @@ object BpeTokens {
     Shim.column(BpeTokens(Shim.expression(text), merges))
 }
 
-/** Document → subword tokens under the GPT-2/tiktoken vocabulary
-  * convention: whitespace words are CASE-SENSITIVE, every word except
-  * the document's first is marked with a leading Ġ (the published
-  * merges.txt space marker — "hello world" tokenizes as "hello",
-  * "Ġworld"), and the greedy lowest-rank loop runs with NO `</w>`
-  * terminator. The merge table is a fixed pretrained artifact riding
-  * the plan as a constant ([[graft.operators.text.PretrainedBpe]]
-  * loads it from the published merges.txt format), so swapping in a
-  * real released vocabulary changes counts, not code. Same
-  * codegen-by-reference and per-partition Zipf cache as [[BpeTokens]]
-  * (via [[BpeTokensBase]]; the cache key is the marked word, so
-  * first-word and mid-sentence occurrences encode independently, as
-  * GPT-2 does). */
-case class MarkedBpeTokens(child: Expression, merges: Seq[(String, String)])
-    extends BpeTokensBase {
-
-  override def prettyName: String = "marked_bpe_tokens"
-
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[UTF8String].toString.trim
-      .split(graft.operators.text.TextQueries.WsRe)
-    val out = mutable.ArrayBuffer.empty[UTF8String]
-    var first = true
-    words.foreach { w =>
-      if (w.nonEmpty) {
-        val mw = if (first) w else "Ġ" + w
-        first = false
-        cachedEncode(mw, Bpe.encodeMarked(_, ranks))
-          .foreach(t => out += UTF8String.fromString(t))
-      }
-    }
-    new GenericArrayData(out.toArray[Any])
-  }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object MarkedBpeTokens {
-  def apply(text: Column, merges: Seq[(String, String)]): Column =
-    Shim.column(MarkedBpeTokens(Shim.expression(text), merges))
-}
+// (The r12 Ġ-convention encoder `MarkedBpeTokens` — Java-trimmed words,
+// first word unmarked — is superseded by the full-pipeline
+// [[Gpt2BpeTokens]]: the Ġ marker now falls out of the byte-unicode
+// table instead of being bolted on per word.)

@@ -1,20 +1,24 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.text.TextQueries
+import graft.functions.{Bpe, Gpt2}
+import graft.operators.text.PretrainedBpe
 import org.apache.spark.sql.functions._
 
 /** One-off generator for the FROZEN pretrained-style BPE vocabulary
   * shipped as a repo resource (src/main/resources/graft/bpe/): trains
-  * GPT-2-convention merges (Ġ-marked words, case-sensitive, no `</w>`)
-  * on the sf0.01 documents corpus and writes them in the published
-  * merges.txt format (`#version` header, one `left right` pair per
-  * line, rank = line order). The committed artifact is what
-  * [[graft.operators.text.PretrainedBpe]] loads — regenerating it
-  * changes the frozen vocabulary and must be deliberate (the query and
-  * its oracle both read the same resource, so they can never drift
-  * from each other, but counts would drift from any previously
-  * recorded run).
+  * GPT-2-pipeline merges on the sf0.01 documents corpus — decorated
+  * exactly as the query decorates it ([[PretrainedBpe.decorated]]),
+  * pre-tokenized by the published regex scan ([[Gpt2.pretokenize]])
+  * and byte-unicode remapped ([[Gpt2.remap]]) — and writes them in the
+  * published merges.txt format (`#version` header, one `left right`
+  * pair per line, rank = line order). Training stops early when the
+  * pair space exhausts, so the committed artifact's line count IS the
+  * merge count (may be below [[NumMerges]]). The committed artifact is
+  * what [[PretrainedBpe]] loads — regenerating it changes the frozen
+  * vocabulary and must be deliberate (the query and its oracle both
+  * read the same resource, so they can never drift from each other,
+  * but counts would drift from any previously recorded run).
   *
   * Usage: `sbt "runMain graft.tools.GenFrozenMerges [corpusDir] [outFile]"`. */
 object GenFrozenMerges {
@@ -26,16 +30,19 @@ object GenFrozenMerges {
       "src/main/resources/graft/bpe/frozen_gpt2_style.merges.txt")
     val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // pre-token frequency table in the REMAPPED alphabet — the table
+    // BPE training actually operates on (one groupBy, top-K capped)
     val freqs = Tables.documents(spark, dir)
-      .select(posexplode(split(trim(col("text")), TextQueries.WsRe)).as(Seq("p", "w")))
-      .filter(col("w") =!= "")
-      .select(when(col("p") === 0, col("w"))
-        .otherwise(concat(lit("Ġ"), col("w"))).as("mw"))
-      .groupBy("mw").agg(count(lit(1)).as("c"))
+      .select(PretrainedBpe.decorated(col("text"), col("doc_id")).as("txt"))
+      .as[String]
+      .flatMap(t => Gpt2.pretokenize(t).map(Gpt2.remap))
+      .groupByKey(identity).count()
+      .toDF("mw", "c")
       .orderBy(col("c").desc, col("mw"))
       .limit(graft.operators.text.BpeQueries.MaxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = graft.functions.Bpe.learn(freqs, NumMerges, endMark = false)
+    val merges = Bpe.learn(freqs, NumMerges, endMark = false)
     merges.foreach { case (a, b) =>
       require(!a.contains("|") && !b.contains("|") &&
         !a.contains(" ") && !b.contains(" "),

@@ -1,10 +1,12 @@
 package graft.operators.text
 
 import graft.SparkSpec
-import graft.functions.MarkedBpeTokens
+import graft.functions.{Gpt2, Gpt2BpeTokens}
 import org.apache.spark.sql.functions._
 
-/** Laws of the pretrained-vocabulary tokenizer path. */
+/** Laws of the pretrained-vocabulary tokenizer path (full GPT-2
+  * pipeline: regex pre-tokenization + byte-unicode remap + greedy
+  * merges). */
 class PretrainedBpeSpec extends SparkSpec {
 
   import spark.implicits._
@@ -25,27 +27,72 @@ class PretrainedBpeSpec extends SparkSpec {
     }
   }
 
-  test("GPT-2 conventions: Ġ marks every non-initial word, first word unmarked, no </w>, case-sensitive") {
+  test("byte-unicode table matches GPT-2's published bytes_to_unicode") {
+    // printable ASCII and the two latin-1 blocks keep their code point
+    assert(Gpt2.ByteChar('A'.toInt) === 'A')
+    assert(Gpt2.ByteChar(0x7e) === '~')
+    assert(Gpt2.ByteChar(0xa1) === '¡')
+    assert(Gpt2.ByteChar(0xff) === 'ÿ')
+    // the 68 excluded bytes map to 256+n in ascending byte order — the
+    // published table's fixed points: space→Ġ (U+0120), \n→Ċ (U+010A),
+    // \t→ĉ (U+0109), byte 0→Ā (U+0100), DEL = the 34th → ġ (U+0121)
+    assert(Gpt2.ByteChar(0x20) === 'Ġ')
+    assert(Gpt2.ByteChar(0x0a) === 'Ċ')
+    assert(Gpt2.ByteChar(0x09) === 'ĉ')
+    assert(Gpt2.ByteChar(0x00) === 'Ā')
+    assert(Gpt2.ByteChar(0x7f) === 'ġ')
+    // exactly 68 bytes are remapped, covering U+0100..U+0143 densely
+    val remapped = (0 until 256).filter(b => Gpt2.ByteChar(b) >= 256)
+    assert(remapped.size === 68)
+    assert(remapped.map(Gpt2.ByteChar(_).toInt).toSeq ===
+      (0x100 until 0x144).toSeq)
+    // multi-byte UTF-8 becomes one symbol per byte: é = C3 A9 → Ã©
+    assert(Gpt2.remap("é") === "Ã©")
+    assert(Gpt2.remap(" a") === "Ġa")
+  }
+
+  test("pre-tokenizer scan matches the published regex's behavior on its edge shapes") {
+    def pt(s: String) = Gpt2.pretokenize(s)
+    // contractions win at the apostrophe, lookahead-free
+    assert(pt("Don't stop") === Seq("Don", "'t", " stop"))
+    assert(pt("we're I'll") === Seq("we", "'re", " I", "'ll"))
+    assert(pt("'street") === Seq("'s", "treet")) // the published pattern's quirk
+    // ' ?X+' classes: letters / numbers / other split with one attached space
+    assert(pt("x3 3x") === Seq("x", "3", " 3", "x"))
+    assert(pt(" 42.7%") === Seq(" 42", ".", "7", "%"))
+    assert(pt("¡hola! über") === Seq("¡", "hola", "!", " über"))
+    // whitespace: a run before a token emits run-minus-last; the last
+    // space attaches; non-space single ws stands alone; trailing run whole
+    assert(pt("a  b") === Seq("a", " ", " b"))
+    assert(pt("a \tb") === Seq("a", " ", "\t", "b"))
+    assert(pt("a\tb") === Seq("a", "\t", "b"))
+    assert(pt("end.  ") === Seq("end", ".", "  "))
+    assert(pt("  ") === Seq("  "))
+    assert(pt("") === Seq.empty)
+    // space+apostrophe is a punctuation run, not a contraction — the
+    // ` ?` branches carry no apostrophe alternatives
+    assert(pt(" 'tis") === Seq(" '", "tis"))
+  }
+
+  test("Gpt2BpeTokens: Ġ falls out of the byte map, merges apply greedily by rank") {
+    // vocabulary in the remapped alphabet: Ġ+t first, then h+e, then Ġt+he
     val merges = Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"))
     val out = Seq("the the The").toDF("text")
-      .select(MarkedBpeTokens(col("text"), merges).as("t"))
+      .select(Gpt2BpeTokens(col("text"), merges).as("t"))
       .head().getSeq[String](0)
-    // word 1 "the": [t,h,e] -> he -> [t, he]
-    // word 2 "Ġthe": [Ġ,t,h,e] -> Ġt -> he -> [Ġt, he] -> Ġthe
-    // word 3 "ĠThe": capital T blocks every merge except h+e -> [Ġ, T, he]
+    // pre-tokens: "the", " the", " The"
+    // "the" → [t,h,e] → he → [t, he]
+    // " the" → [Ġ,t,h,e] → Ġt → he → [Ġt, he] → Ġthe
+    // " The" → [Ġ,T,h,e] → capital T blocks all but h+e → [Ġ, T, he]
     assert(out === Seq("t", "he", "Ġthe", "Ġ", "T", "he"))
   }
 
-  test("leading non-space whitespace does not shift the unmarked first word") {
-    // '\t' is stripped by the encoder's Java trim but NOT by SQL trim —
-    // the oracle marks by first NON-EMPTY position for exactly this
-    // case (r12 review); the engine law: the first real word is
-    // unmarked whatever whitespace precedes it
-    val merges = Seq(("Ġ", "t"))
-    val out = Seq("\tthe tap").toDF("text")
-      .select(MarkedBpeTokens(col("text"), merges).as("t"))
+  test("leading/trailing whitespace becomes real tokens (no trim anywhere)") {
+    val out = Seq("\tthe tap  ").toDF("text")
+      .select(Gpt2BpeTokens(col("text"), Seq(("Ġ", "t"))).as("t"))
       .head().getSeq[String](0)
-    assert(out === Seq("t", "h", "e", "Ġt", "a", "p"))
+    // pre-tokens: "\t"(→ĉ), "the", " tap", "  "(→ĠĠ)
+    assert(out === Seq("ĉ", "t", "h", "e", "Ġt", "a", "p", "Ġ", "Ġ"))
   }
 
   test("the frozen resource loads, is non-trivial, and the corpus query is exact and covering") {
@@ -55,7 +102,9 @@ class PretrainedBpeSpec extends SparkSpec {
     assert(out.length.toLong === n)
     out.foreach { r =>
       assert(r.getInt(2) >= 1, s"doc ${r.getLong(0)} got zero tokens")
-      // a fixed vocabulary can never yield fewer tokens than words
+      // every non-empty word is ≥1 pre-tokens, each ≥1 BPE tokens, and
+      // whitespace tokens only add — so tokens ≥ non-empty words holds
+      // for ANY corpus under the non-empty n_words (r12 advice)
       assert(r.getInt(2) >= r.getInt(1),
         s"doc ${r.getLong(0)}: tokens ${r.getInt(2)} < words ${r.getInt(1)}")
     }

@@ -398,17 +398,36 @@ object GraphIndex extends QueryModule {
                                  candGen: DataFrame => DataFrame,
                                  trace: Boolean): (DataFrame, Seq[DataFrame]) = {
     val qs = queries.select(col("q"), col("qv"))
-    def scoreQ(pairs: DataFrame): DataFrame =
-      pairs.filter(col("j") =!= col("q"))
-        .join(nodeEmb.select(col("vec_id").as("j"), col("embedding").as("nv")), Seq("j"))
-        .join(qs, Seq("q"))
-        .select(col("q"), col("j"),
-          round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
     val entryPairs = qs.select(col("q")).withColumn("one", lit(1))
       .join(broadcast(entries.select(col("j")).withColumn("one", lit(1))), Seq("one"))
       .select(col("q"), col("j"))
-    val s0raw = scoreQ(entryPairs)
-    val s0 = if (trace) s0raw.localCheckpoint(true) else s0raw
+    beamKernelFrom(scoreQK(qs, nodeEmb)(entryPairs), queries, nodeEmb,
+      beam, rounds, candGen, trace)
+  }
+
+  /** The shared scoring stage: (q, j) pairs → (q, j, sim) with the
+    * query point excluded. */
+  private def scoreQK(qs: DataFrame, nodeEmb: DataFrame)(pairs: DataFrame): DataFrame =
+    pairs.filter(col("j") =!= col("q"))
+      .join(nodeEmb.select(col("vec_id").as("j"), col("embedding").as("nv")), Seq("j"))
+      .join(qs, Seq("q"))
+      .select(col("q"), col("j"),
+        round(cosine_sim(col("qv"), col("nv")), 6).as("sim"))
+
+  /** The kernel's round loop, started from a caller-supplied SCORED
+    * seed frame (q, j, sim) — the entry-descent hook: [[GraphServe]]'s
+    * hierarchical entry layers produce the seed (an upper-layer beam
+    * walk) and the base rounds continue from it. `beamKernel` itself is
+    * this with seed = the scored global entry pairs. When `trace` is
+    * set the seed and each round's scored frame are checkpointed and
+    * returned (row counts = per-stage scoring cost). */
+  private[search] def beamKernelFrom(seed: DataFrame, queries: DataFrame,
+                                     nodeEmb: DataFrame, beam: Int, rounds: Int,
+                                     candGen: DataFrame => DataFrame,
+                                     trace: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val qs = queries.select(col("q"), col("qv"))
+    val scoreQ = scoreQK(qs, nodeEmb) _
+    val s0 = if (trace) seed.localCheckpoint(true) else seed
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (trace) frames += s0
     var b = topQ(s0, beam).localCheckpoint(true)
@@ -421,6 +440,15 @@ object GraphIndex extends QueryModule {
     }
     (b, frames.toSeq)
   }
+
+  /** [[beamSearch]] from a pre-computed entry seed (q, j, sim) — the
+    * serve-side composition: hierarchical entry descent → base-graph
+    * beam rounds. */
+  private[search] def beamSearchFrom(seed: DataFrame, queries: DataFrame,
+                                     undAdj: DataFrame, nodeEmb: DataFrame,
+                                     beam: Int, rounds: Int): DataFrame =
+    beamKernelFrom(seed, queries, nodeEmb, beam, rounds,
+      hop1Gen(undAdj), trace = false)._1
 
   /** The append COMPUTE (shared by [[append]] and the replay spec):
     * returns (full new edge list, changed-node frame). `nOld` comes

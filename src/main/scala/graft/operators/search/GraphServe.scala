@@ -17,21 +17,48 @@ import org.apache.spark.sql.functions._
   * scorings regardless of corpus size — the index bounds the work, which
   * is the entire point of building one.
   *
-  * Determinism: entry points and the query sample are arithmetic id
+  * '''Hierarchical entry (r13 — the full "H" of HNSW, recursive):''' the
+  * r12 serve entered by brute-scoring each query against the √n upper
+  * layer, which made entry the one serve-path term that GROWS with
+  * corpus size (~31.6k scorings/query at 10⁹ nodes vs the beam's
+  * ~2.4k). The entry is now a DESCENT through two nested layers picked
+  * by the same multiplicative id hash:
+  *  - layer 2 = the ~n^(1/4) ids with prio(id) ≡ 0 (mod se1·u2) — tiny,
+  *    brute-scored per query (round 0 of the descent);
+  *  - layer 1 = the ~√n ids with prio(id) ≡ 0 (mod se1), searched by
+  *    [[L1Rounds]] beam rounds over layer 1's OWN exact-kNN subgraph
+  *    (degree [[L1Degree]], built once per corpus: a √n×√n pair job ≈
+  *    ONE corpus-scan of work, replayable as a single window CTE);
+  *  - the final layer-1 beam seeds the base-graph rounds (b0).
+  * Entry cost per query is now n^(1/4) + L1Rounds·beam·deḡ — BOUNDED
+  * in n (≈ 21 + ~2·300 at sf10) where √n is not: the crossover is
+  * n ≈ 2–4M, above which the hierarchy wins outright (10⁹ nodes:
+  * ~1.5k vs 31.6k scorings/query, 13× the beam's work → 0.6×). At
+  * 10¹¹+ nodes recurse once more: build layer 1's subgraph with
+  * NN-descent instead of the exact pair job and add a layer-3 stride —
+  * the same construction, nothing here assumes two levels beyond the
+  * memoized builder. Per-round scoring counts are REPORTED in
+  * q_graph_serve's rows (n_scored — the q_graph_filtered accounting
+  * discipline), so this cost is a measured number, not a claim.
+  *
+  * Determinism: layer membership and the query sample are arithmetic id
   * filters (no data-dependent choice), similarities are rounded to 6 with
   * ties broken by node id, and the graph itself is the deterministic
-  * descent replay — so the whole serve (graph build + beam rounds +
-  * recall grading) replays hash-exact in DuckDB from the SAME graph CTE
-  * chain ([[KnnGraph.graphCtePrefix]]) the build oracle uses.
+  * descent replay — so the whole serve (graph build + layer-1 subgraph +
+  * descent + beam rounds + recall grading) replays hash-exact in DuckDB
+  * from the SAME graph CTE chain ([[KnnGraph.graphCtePrefix]]) the build
+  * oracle uses.
   *
   * Recall contract: the query point is excluded from every beam (node ≠
-  * q, matching the q ≠ node exact truth — see [[scored]]); with beam ≥ k
+  * q, matching the q ≠ node exact truth — see scoring); with beam ≥ k
   * and the shared (sim DESC, node) order, an exact top-k member that
   * enters a query's beam can never be evicted (at most k−1 candidates
   * order before it), so per-round recall@k is monotone non-decreasing —
   * spec-asserted. The same argument across
-  * WIDTHS (a wider beam's candidate pool is a superset round by round)
-  * makes recall monotone in the beam width, which is what
+  * WIDTHS (a wider beam's candidate pool is a superset round by round,
+  * including through the descent: the same entry scores cut to nested
+  * top-width prefixes, expanded through the same subgraph) makes recall
+  * monotone in the beam width, which is what
   * [[qBeamSweep]] measures: the ef/beam tuning curve of an HNSW-class
   * index, the serve-side sibling of the nprobe sweep (q_nprobe_sweep).
   */
@@ -51,25 +78,26 @@ object GraphServe extends QueryModule {
     * (q_beam_sweep's ef curve; the default sits at the top arm). */
   val SweepBeams = Seq(10, 20, 40)
 
-  /** Beam-expansion rounds after entry-point scoring (round 0 = entries). */
+  /** Beam-expansion rounds after the entry descent (round 0 = entry). */
   val Rounds = 3
 
   /** Legacy fixed entry-point count; still the PRE-FILTER arm's matching
-    * entry budget ([[FilteredGraphServe]]). The serve itself enters
-    * through the √n upper layer ([[upperModulus]]) instead. */
+    * entry budget ([[FilteredGraphServe]]). */
   val Entries = 8
 
-  /** The COARSE UPPER LAYER — the "H" of HNSW, Spark-shaped: entry
-    * points are the ~√n ids ≡ 0 (mod upperModulus(n)), and round 0
-    * scores each query against ALL of them, so the top-beam prefix that
-    * seeds the walk is already query-local (the IVF-centroid trick
-    * applied to the graph; HNSW's upper layers serve exactly this
-    * role). Cost: √n scorings per query in round 0 — the two-layer
-    * operating point; at 10^11 nodes add a third layer by beam-walking
-    * the upper layer's own subgraph instead of brute-forcing it, the
-    * same recursion HNSW applies. Stride entries (8 fixed ids) capped
-    * serve recall at 0.754 at sf0.001; the upper layer is what lifts
-    * entry distance from O(n) to O(√n)-bounded. */
+  /** Degree of layer 1's own exact-kNN subgraph — the inter-layer
+    * navigation graph. 8 suffices: the walk only needs to land NEAR the
+    * query's region; the base rounds refine. */
+  val L1Degree = 8
+
+  /** Beam rounds of the layer-1 descent (entry phase). Two rounds of
+    * degree-8 expansion from the top-beam layer-2 prefix cover the
+    * relevant layer-1 region at every tested scale (recall parity with
+    * the r12 brute-√n entry, spec- and gate-asserted). */
+  val L1Rounds = 2
+
+  /** The √n stride of layer 1 (and, recursively, layer 2's extra
+    * stride over layer 1's member count). */
   def upperModulus(n: Long): Long =
     math.max(1L, math.ceil(n / math.ceil(math.sqrt(n.toDouble))).toLong)
 
@@ -78,17 +106,18 @@ object GraphServe extends QueryModule {
   private[search] def upperModulusSql(nSql: String): String =
     s"greatest(1, CAST(ceil(($nSql) / ceil(sqrt(($nSql)))) AS BIGINT))"
 
-  /** Hole-proof upper-layer membership: the engine-exact multiplicative
+  /** Hole-proof layer membership: the engine-exact multiplicative
     * id hash ([[graft.operators.sampling.SamplingQueries.prio]]) modulo
-    * the √n stride, instead of a raw `id % se` stride. A raw stride
+    * the layer stride, instead of a raw `id % se` stride. A raw stride
     * assumes a DENSE id space and annihilates when the stride shares a
     * factor with an arithmetic survivor split — se=21 over a %7-deleted
     * corpus leaves ZERO entries and every insertion beam comes back
     * empty (caught by GraphIndexLifecycleSpec's upsert law). The hash
-    * scrambles residue classes, so ~n/se entries survive ANY id space:
+    * scrambles residue classes, so ~n/se members survive ANY id space:
     * delete-split survivors, sparse ScaleCorpus ids, production hash
     * ids. Pure map-side filter (no global sort) and exact BIGINT
-    * arithmetic in both engines. */
+    * arithmetic in both engines. Layer 2 uses se1·u2, so its members
+    * nest inside layer 1 by construction. */
   private[search] def entryPick(id: Column, se: Long): Column =
     graft.operators.sampling.SamplingQueries.prio(id) % lit(se) === 0
 
@@ -102,18 +131,31 @@ object GraphServe extends QueryModule {
   /** Query-sample size target: ids ≡ mq−1 (mod mq), mq = max(2, ceil(n/target)). */
   val QueryTarget = 1000L
 
+  /** Everything one serve pins per (corpus dir, beam width): the
+    * per-round beam frames, the query sample, corpus size, and the
+    * measured per-stage scoring counts (entry descent; each base
+    * round) — the n_scored accounting q_graph_serve reports. */
+  private[search] case class Served(beams: Seq[DataFrame], qs: DataFrame,
+                                    n: Long, entryScored: Long,
+                                    roundScored: Seq[Long])
+
   /** Serves are memoized per (corpus dir, beam width) — the [[KnnGraph]]
     * memo rationale: the beams feed several lazy consumers (per-round
     * grading, the sweep, the spec's monotonicity checks) and a rolling
     * per-site cache would let a second build unpersist frames the first
     * build's consumers still hold, recomputing the whole graph+beam DAG. */
-  private val servedMemo = new graft.BoundedMemo[
-    (String, Int), (Seq[DataFrame], DataFrame, Long)](KnnGraph.MemoCap)
+  private val servedMemo =
+    new graft.BoundedMemo[(String, Int), Served](KnnGraph.MemoCap)
 
   /** Query sample and exact truth depend only on the corpus — shared by
     * every beam width and both grading queries. */
   private val qsMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
   private val exactMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
+
+  /** The hierarchy's per-corpus structures: layer 1's undirected
+    * exact-kNN subgraph, the layer-2 entry frame, and the strides. */
+  private val l1Memo = new graft.BoundedMemo[
+    String, (DataFrame, DataFrame, Long, Long)](KnnGraph.MemoCap)
 
   /** Deterministic query sample: ids ≡ mq−1 (mod mq), pinned once per dir. */
   private[search] def qsFor(spark: SparkSession, dir: String): DataFrame =
@@ -140,6 +182,58 @@ object GraphServe extends QueryModule {
       topPer(exactPairs, K).select(col("q"), col("node")).localCheckpoint(true)
     }
 
+  /** Layer structures, built once per corpus: layer-1 members M1 (the
+    * √n stride), layer 2 M2 = the u2-sub-stride of M1 (~n^(1/4)), and
+    * M1's own exact top-[[L1Degree]] kNN subgraph, symmetrized. The
+    * pair job is √n × √n ≈ n scorings ONCE (map-side cross with the
+    * broadcast member list, TopKPerGroup heap) — the same order as one
+    * corpus scan; at 10¹¹+ nodes swap in an NN-descent build over the
+    * members (the [[KnnGraph]] kernel) and/or a third layer. */
+  private[search] def l1Layer(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame, Long, Long) =
+    l1Memo.getOrElseUpdate(dir) {
+      val emb = KnnGraph.e(spark, dir)
+      val n = emb.count()
+      val se1 = upperModulus(n)
+      val m1 = emb.filter(entryPick(col("vec_id"), se1)).localCheckpoint(true)
+      val u2 = upperModulus(m1.count())
+      val se2 = se1 * u2
+      val m2 = m1.filter(entryPick(col("vec_id"), se2))
+        .select(col("vec_id").as("j")).localCheckpoint(true)
+      val pairs = m1.select(col("vec_id").as("i"), col("embedding").as("vi"))
+        .crossJoin(broadcast(
+          m1.select(col("vec_id").as("j"), col("embedding").as("vj"))))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
+      val l1g = graft.plans.TopKPerGroup(
+        pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
+        L1Degree).select(col("i"), col("j"))
+      (GraphIndex.und(l1g).localCheckpoint(true), m2, se1, se2)
+    }
+
+  /** The entry DESCENT for an arbitrary query frame (q, qv): brute
+    * layer-2 scores → [[L1Rounds]] beam rounds over layer 1's subgraph →
+    * the seed frame (q, j, sim) the base rounds start from. Scoring runs
+    * against `nodeEmb` (floats for the standard serve; the dequantized
+    * frame for [[GraphSqServe]]'s arm — the layer STRUCTURE stays
+    * float-built, it is part of the index). With `trace`, returns each
+    * stage's scored frame (row counts = entry scoring cost). */
+  private[search] def descend(spark: SparkSession, dir: String,
+                              queries: DataFrame, nodeEmb: DataFrame,
+                              beam: Int, trace: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val (und1, m2, _, _) = l1Layer(spark, dir)
+    val (b, frames) = GraphIndex.beamKernel(queries, nodeEmb, m2, beam,
+      L1Rounds, GraphIndex.hop1Gen(und1), trace)
+    (b.select(col("q"), col("j"), col("sim")), frames)
+  }
+
+  /** Per-round beam frames b0..b`Rounds` for the deterministic query
+    * sample, served from the final descent graph (memoized per
+    * (dir, beam)). */
+  def beamRounds(spark: SparkSession, dir: String, beam: Int = Beam): Served =
+    servedMemo.getOrElseUpdate((dir, beam))(buildBeams(spark, dir, pin = true, beam))
+
   /** Score (q, node) pairs: rounded cosine between the query's vector and
     * the node's — node side fetched by equi-join, query side broadcast
     * (the sample is bounded by [[QueryTarget]]). The query point itself is
@@ -147,8 +241,9 @@ object GraphServe extends QueryModule {
     * without the filter q-self enters every beam at sim 1.0, permanently
     * occupies rank 1 of the graded top-10 (recall ceiling 0.9 against the
     * q≠node exact truth), and breaks round-monotone recall the round
-    * q-self is discovered. Filtering here covers b0 and every round's
-    * pool by induction (pools are scored ∪ previous beam). */
+    * q-self is discovered. Filtering here covers the descent (the kernel
+    * applies the same exclusion) and every round's pool by induction
+    * (pools are scored ∪ previous beam). */
   private[search] def scored(pairs: DataFrame, emb: DataFrame, qs: DataFrame): DataFrame =
     pairs.filter(col("node") =!= col("q"))
       .join(emb.select(col("vec_id").as("node"), col("embedding").as("nv")), Seq("node"))
@@ -161,19 +256,13 @@ object GraphServe extends QueryModule {
       df.withColumn("neg_sim", -col("sim")), Seq("q"), Seq("neg_sim", "node"), k)
       .select(col("q"), col("node"), col("sim"))
 
-  /** Per-round beam frames b0..b`Rounds` for the deterministic query
-    * sample, served from the final descent graph (memoized per
-    * (dir, beam)). */
-  def beamRounds(spark: SparkSession, dir: String,
-                 beam: Int = Beam): (Seq[DataFrame], DataFrame, Long) =
-    servedMemo.getOrElseUpdate((dir, beam))(buildBeams(spark, dir, pin = true, beam))
-
   /** The un-memoized build. `pin = true` persists AND materializes every
-    * shared frame (the memoized path); `pin = false` leaves the frames
-    * lazy — the determinism spec's fresh-replay bypass, which must not
-    * stack a second set of cached copies next to the memo's. */
+    * shared frame and COUNTS each stage's scored rows (the memoized
+    * path); `pin = false` leaves the base-round frames lazy and skips
+    * the counts — the determinism spec's fresh-replay bypass, which must
+    * not stack a second set of cached copies next to the memo's. */
   private[search] def buildBeams(spark: SparkSession, dir: String,
-                                 pin: Boolean, beam: Int = Beam): (Seq[DataFrame], DataFrame, Long) = {
+                                 pin: Boolean, beam: Int = Beam): Served = {
     // localCheckpoint for the [[KnnGraph.nnDescentRounds]] reason: beam
     // round r references round r-1 twice, so plan size (and the driver's
     // per-action canonicalization walk) doubles per round unless each
@@ -189,58 +278,63 @@ object GraphServe extends QueryModule {
     val g = GraphIndex.finalGraph(spark, dir)
     val und = pinned(GraphIndex.und(g))
     val qs = qsFor(spark, dir)
-    val se = upperModulus(n)
-    // constant-key equi-join (not a cross join): the upper layer is
-    // √n-sized (a few MB of ids even at 10^11 nodes), so this is a
-    // broadcast hash join, never a BNLJ
-    val entryPairs = qs.select(col("q")).withColumn("one", lit(1))
-      .join(broadcast(
-        emb.filter(entryPick(col("vec_id"), se))
-          .select(col("vec_id").as("node")).withColumn("one", lit(1))), Seq("one"))
-      .select(col("q"), col("node"))
-    val b0 = pinned(topPer(scored(entryPairs, emb, qs), beam))
+    val (seed, entryFrames) = descend(spark, dir, qs, emb, beam, trace = pin)
+    val entryScored = if (pin) entryFrames.map(_.count()).sum else 0L
+    val b0 = pinned(seed.withColumnRenamed("j", "node"))
+    val roundScored = scala.collection.mutable.ArrayBuffer.empty[Long]
     val beams = (1 to Rounds).scanLeft(b0) { (b, _) =>
       val cand = b.select(col("q"), col("node"))
         .join(und.withColumnRenamed("i", "node"), Seq("node"))
         .select(col("q"), col("j").as("node")).distinct()
-      val pool = scored(cand, emb, qs).unionByName(b).dropDuplicates("q", "node")
+      val sc = pinned(scored(cand, emb, qs))
+      if (pin) roundScored += sc.count()
+      val pool = sc.unionByName(b).dropDuplicates("q", "node")
       pinned(topPer(pool, beam))
     }
-    (beams, qs, n)
+    Served(beams, qs, n, entryScored, roundScored.toSeq)
   }
 
-  /** Recall row for one served frame: (label, n_beam, n_eval, recall@K). */
+  /** Recall row for one served frame: (label, n_beam, n_eval,
+    * [n_scored,] recall). */
   private def recallRowDf(b: DataFrame, exact: DataFrame, nEval: Long,
-                          labelName: String, label: Int): DataFrame = {
+                          labelName: String, label: Int,
+                          nScored: Option[Long]): DataFrame = {
     val size = b.agg(count(lit(1)).as("n_beam"))
     val hits = topPer(b, K).join(exact, Seq("q", "node"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-    size.crossJoin(broadcast(hits)).select(
-      lit(label).as(labelName), col("n_beam"), lit(nEval).as("n_eval"),
-      round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall"))
+    val base = size.crossJoin(broadcast(hits))
+    val cols = Seq(lit(label).as(labelName), col("n_beam"),
+        lit(nEval).as("n_eval")) ++
+      nScored.map(s => lit(s).as("n_scored")).toSeq :+
+      round(col("n_hits").cast("double") / lit(nEval * K), 6).as("recall")
+    base.select(cols: _*)
   }
 
-  /** Per-round serve quality at the default beam: beam size and recall@10
-    * of each round's top-10 vs the exact top-10 of the query sample. */
+  /** Per-round serve quality at the default beam: beam size, the
+    * round's scored-pair count (round 0 = the whole entry descent —
+    * the hierarchy's cost, reported not claimed), and recall@10 of
+    * each round's top-10 vs the exact top-10 of the query sample. */
   def qGraphServe(spark: SparkSession, dir: String): DataFrame = {
-    val (beams, qs, _) = beamRounds(spark, dir)
+    val s = beamRounds(spark, dir)
     val exact = exactFor(spark, dir)
-    val nEval = qs.count()
-    beams.zipWithIndex.map { case (b, r) =>
-      recallRowDf(b, exact, nEval, "round", r)
+    val nEval = s.qs.count()
+    s.beams.zipWithIndex.map { case (b, r) =>
+      val ns = if (r == 0) s.entryScored else s.roundScored(r - 1)
+      recallRowDf(b, exact, nEval, "round", r, Some(ns))
     }.reduce(_.unionByName(_)).orderBy("round")
   }
 
   /** The ef/beam tuning curve: final-round recall@10 per swept beam
-    * width over the SAME graph, entries, and query sample — the
+    * width over the SAME graph, layers, and query sample — the
     * serve-side sibling of q_nprobe_sweep's probe curve. Monotone in the
-    * width (wider beams keep superset pools round by round). */
+    * width (wider beams keep superset pools round by round, descent
+    * included). */
   def qBeamSweep(spark: SparkSession, dir: String): DataFrame = {
     val exact = exactFor(spark, dir)
     val nEval = qsFor(spark, dir).count()
     SweepBeams.map { w =>
-      val (beams, _, _) = beamRounds(spark, dir, w)
-      recallRowDf(beams.last, exact, nEval, "beam", w)
+      recallRowDf(beamRounds(spark, dir, w).beams.last, exact, nEval,
+        "beam", w, None)
     }.reduce(_.unionByName(_)).orderBy("beam")
   }
 
@@ -249,9 +343,11 @@ object GraphServe extends QueryModule {
     "q_beam_sweep" -> (qBeamSweep _))
 
   /** Shared oracle prelude: descent graph, undirected adjacency, query
-    * sample, entry points, entry scores, exact truth. Shared with the
-    * streaming serve ([[GraphServeStream]]) so batch and stream replay
-    * from ONE definition. */
+    * sample, layer members (ent = layer 1, ent2 = layer 2), layer 1's
+    * exact-kNN subgraph (und1), the shared float layer-2 entry scores
+    * (es2), and the exact truth. Shared with the streaming serve
+    * ([[GraphServeStream]]) and the quantized serve ([[GraphSqServe]])
+    * so every serve arm replays from ONE definition. */
   private[search] def servePrelude: String =
     s"""${KnnGraph.graphCtePrefix},
        |und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
@@ -261,24 +357,72 @@ object GraphServe extends QueryModule {
        |qs AS MATERIALIZED (SELECT id AS q, v AS qv FROM e
        |  WHERE id % (SELECT mq FROM qprm) = (SELECT mq FROM qprm) - 1),
        |nev AS (SELECT count(*) AS n_eval FROM qs),
-       |ent AS (SELECT id AS node FROM e WHERE ${entryPickSql("id", "SELECT se FROM qprm")}),
-       |es AS (SELECT qs.q, ent.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
-       |  FROM qs CROSS JOIN ent JOIN e ON e.id = ent.node WHERE ent.node <> qs.q),
+       |m1v AS MATERIALIZED (SELECT id, v FROM e
+       |  WHERE ${entryPickSql("id", "SELECT se FROM qprm")}),
+       |u2prm AS (SELECT (SELECT se FROM qprm)
+       |    * ${upperModulusSql("SELECT count(*) FROM m1v")} AS se2),
+       |ent2 AS (SELECT id AS node FROM m1v
+       |  WHERE ${entryPickSql("id", "SELECT se2 FROM u2prm")}),
+       |l1p AS (SELECT a.id AS i, b.id AS j,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM m1v a CROSS JOIN m1v b WHERE a.id <> b.id),
+       |l1g AS (SELECT i, j FROM (
+       |    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM l1p) WHERE rn <= $L1Degree),
+       |und1 AS MATERIALIZED (SELECT i, j FROM l1g UNION SELECT j AS i, i AS j FROM l1g),
+       |es2 AS MATERIALIZED (SELECT qs.q, ent2.node,
+       |    round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
+       |  FROM qs CROSS JOIN ent2 JOIN e ON e.id = ent2.node
+       |  WHERE ent2.node <> qs.q),
        |exact AS MATERIALIZED ${KnnGraph.exactTopKSql("qs", "q", "qv", "e", "q", "node", K)}""".stripMargin
 
-  /** b0 for one beam width: top-`beam` of the entry scores. */
-  private[search] def b0Cte(beam: Int, sfx: String): String =
-    s"""b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
+  /** The entry descent for one beam width as CTEs: top-`beam` of the
+    * layer-2 entry scores (`esName`), then [[L1Rounds]] beam rounds over
+    * layer 1's subgraph scoring against `tbl` (floats by default; the
+    * SQ serve passes its dequantized frame), ending in b`sfx`0 — the
+    * seed the base-round CTEs ([[serveCtes]]) continue from. */
+  private[search] def descentCtes(beam: Int, sfx: String,
+                                  esName: String = "es2", tbl: String = "e",
+                                  idc: String = "id", vc: String = "v"): String = {
+    val rounds = (1 to L1Rounds).map { r =>
+      val prev = s"lb$sfx${r - 1}"
+      s"""lbc$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
+         |  JOIN und1 u ON u.i = p.node),
+         |lbs$sfx$r AS (SELECT p.q, p.node,
+         |    round(list_cosine_similarity(qs.qv, $tbl.$vc), 6) AS sim
+         |  FROM lbc$sfx$r p JOIN $tbl ON $tbl.$idc = p.node JOIN qs ON qs.q = p.q
+         |  WHERE p.node <> p.q),
+         |lbp$sfx$r AS (SELECT q, node, sim FROM lbs$sfx$r
+         |  UNION SELECT q, node, sim FROM $prev),
+         |lb$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
+         |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+         |    FROM lbp$sfx$r) WHERE rn <= $beam)""".stripMargin
+    }
+    s"""lb${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
        |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-       |    FROM es) WHERE rn <= $beam)""".stripMargin
+       |    FROM $esName) WHERE rn <= $beam),
+       |${rounds.mkString(",\n")},
+       |b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM lb$sfx$L1Rounds)""".stripMargin
+  }
 
-  /** One serve round as CTEs: beam ∪ scored graph-neighbors → top-beam. */
-  private[search] def serveCtes(r: Int, beam: Int, sfx: String): String = {
+  /** The descent's total scored-row count (entry phase n_scored) for
+    * one width chain. */
+  private[search] def descentScoredSql(sfx: String, esName: String = "es2"): String =
+    (s"(SELECT count(*) FROM $esName)" +:
+      (1 to L1Rounds).map(r => s"(SELECT count(*) FROM lbs$sfx$r)")).mkString(" + ")
+
+  /** One serve round as CTEs: beam ∪ scored graph-neighbors → top-beam.
+    * Scoring against `tbl` (floats by default; the SQ serve swaps in
+    * its dequantized frame). */
+  private[search] def serveCtes(r: Int, beam: Int, sfx: String,
+                                tbl: String = "e", idc: String = "id",
+                                vc: String = "v"): String = {
     val prev = s"b$sfx${r - 1}"
     s"""bc$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
        |  JOIN und u ON u.i = p.node),
-       |bs$sfx$r AS (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
-       |  FROM bc$sfx$r p JOIN e ON e.id = p.node JOIN qs ON qs.q = p.q
+       |bs$sfx$r AS (SELECT p.q, p.node,
+       |    round(list_cosine_similarity(qs.qv, $tbl.$vc), 6) AS sim
+       |  FROM bc$sfx$r p JOIN $tbl ON $tbl.$idc = p.node JOIN qs ON qs.q = p.q
        |  WHERE p.node <> p.q),
        |bp$sfx$r AS (SELECT q, node, sim FROM bs$sfx$r UNION SELECT q, node, sim FROM $prev),
        |b$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
@@ -286,28 +430,36 @@ object GraphServe extends QueryModule {
        |    FROM bp$sfx$r) WHERE rn <= $beam)""".stripMargin
   }
 
-  /** Recall row over a named final beam frame. */
-  private def recallSql(b: String, labelName: String, label: Int): String =
+  /** Recall row over a named final beam frame; `nScoredSql` mirrors the
+    * engine's per-round n_scored accounting when present. */
+  private def recallSql(b: String, labelName: String, label: Int,
+                        nScoredSql: Option[String]): String = {
+    val ns = nScoredSql.map(s => s"CAST($s AS BIGINT) AS n_scored, ").getOrElse("")
     s"""SELECT $label AS $labelName, (SELECT count(*) FROM $b) AS n_beam,
-       |  (SELECT n_eval FROM nev) AS n_eval,
+       |  (SELECT n_eval FROM nev) AS n_eval, $ns
        |  round(CAST((SELECT count(*) FROM (
        |      SELECT q, node FROM (
        |        SELECT q, node, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
        |        FROM $b) WHERE rn <= $K) t JOIN exact USING (q, node)) AS DOUBLE)
        |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "q_graph_serve" ->
       s"""WITH $servePrelude,
-         |${b0Cte(Beam, "")},
+         |${descentCtes(Beam, "")},
          |${(1 to Rounds).map(serveCtes(_, Beam, "")).mkString(",\n")}
-         |${(0 to Rounds).map(r => recallSql(s"b$r", "round", r)).mkString("\nUNION ALL\n")}
+         |${(0 to Rounds).map { r =>
+             val ns = if (r == 0) descentScoredSql("")
+                      else s"(SELECT count(*) FROM bs$r)"
+             recallSql(s"b$r", "round", r, Some(ns))
+           }.mkString("\nUNION ALL\n")}
          |ORDER BY round""".stripMargin,
     "q_beam_sweep" ->
       s"""WITH $servePrelude,
          |${SweepBeams.map(w =>
-             (b0Cte(w, s"w${w}_") +: (1 to Rounds).map(serveCtes(_, w, s"w${w}_")))
+             (descentCtes(w, s"w${w}_") +: (1 to Rounds).map(serveCtes(_, w, s"w${w}_")))
                .mkString(",\n")).mkString(",\n")}
-         |${SweepBeams.map(w => recallSql(s"bw${w}_$Rounds", "beam", w)).mkString("\nUNION ALL\n")}
+         |${SweepBeams.map(w => recallSql(s"bw${w}_$Rounds", "beam", w, None)).mkString("\nUNION ALL\n")}
          |ORDER BY beam""".stripMargin)
 }

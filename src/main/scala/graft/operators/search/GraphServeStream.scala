@@ -46,12 +46,11 @@ object GraphServeStream extends QueryModule {
     * ProfileServeStream A/B subtracts to isolate stream-machinery cost. */
   private[graft] def batchServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
-    val n = emb.count()
-    val se = GraphServe.upperModulus(n)
-    val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
-      .select(col("vec_id").as("j"))
+    val qs = GraphServe.qsFor(spark, dir)
     val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
-    GraphIndex.beamSearch(GraphServe.qsFor(spark, dir), undAdj, emb, entries,
+    val (seed, _) = GraphServe.descend(spark, dir, qs, emb,
+      GraphServe.Beam, trace = false)
+    GraphIndex.beamSearchFrom(seed, qs, undAdj, emb,
         GraphServe.Beam, GraphServe.Rounds)
       .filter(col("rk") <= K)
       .select(col("q"), col("rk"), col("j").as("node"), col("sim"))
@@ -61,10 +60,6 @@ object GraphServeStream extends QueryModule {
                                  onePerTrigger: Boolean): DataFrame = {
     import java.nio.file.Paths
     val emb = KnnGraph.e(spark, dir)
-    val n = emb.count()
-    val se = GraphServe.upperModulus(n)
-    val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
-      .select(col("vec_id").as("j"))
     val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
       .localCheckpoint(true)
     val qs = GraphServe.qsFor(spark, dir)
@@ -85,7 +80,11 @@ object GraphServeStream extends QueryModule {
         .writeStream
         .option("checkpointLocation", ckDir)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          GraphIndex.beamSearch(batch.toDF(), undAdj, emb, entries,
+          // per micro-batch: entry descent (the memoized layer
+          // structures are index-side, loaded once) → base beam rounds
+          val (seed, _) = GraphServe.descend(spark, dir, batch.toDF(), emb,
+            GraphServe.Beam, trace = false)
+          GraphIndex.beamSearchFrom(seed, batch.toDF(), undAdj, emb,
               GraphServe.Beam, GraphServe.Rounds)
             .filter(col("rk") <= K)
             .select(col("q"), col("rk"), col("j").as("node"), col("sim"))
@@ -103,7 +102,7 @@ object GraphServeStream extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_serve_stream" ->
       s"""WITH ${GraphServe.servePrelude},
-         |${GraphServe.b0Cte(GraphServe.Beam, "")},
+         |${GraphServe.descentCtes(GraphServe.Beam, "")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "")).mkString(",\n")}
          |SELECT q, CAST(rn AS INT) AS rk, node, sim FROM (
          |  SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn

@@ -54,10 +54,12 @@ object GraphSqServe extends QueryModule {
       val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
         .localCheckpoint(true)
       val qs = GraphServe.qsFor(spark, dir)
-      val se = GraphServe.upperModulus(n)
-      val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
-        .select(col("vec_id").as("j"))
-      val sqBeam = GraphIndex.beamSearch(qs, undAdj, dqEmb, entries,
+      // the hierarchy's layer structures are float-built (they are part
+      // of the index); the SQ arm SCORES its descent and beam against
+      // the dequantized vectors — the served-system convention
+      val (sqSeed, _) = GraphServe.descend(spark, dir, qs, dqEmb,
+        GraphServe.Beam, trace = false)
+      val sqBeam = GraphIndex.beamSearchFrom(sqSeed, qs, undAdj, dqEmb,
         GraphServe.Beam, GraphServe.Rounds)
       val sqTop = sqBeam.filter(col("rk") <= K)
         .select(col("q"), col("j")).localCheckpoint(true)
@@ -70,9 +72,9 @@ object GraphSqServe extends QueryModule {
           .select(col("q"), col("j"),
             round(cosine_sim(col("qv"), col("nv")), 6).as("sim")))
         .localCheckpoint(true)
-      val (floatBeams, _, _) = GraphServe.beamRounds(spark, dir)
       val floatTop = topQK(
-        floatBeams.last.select(col("q"), col("node").as("j"), col("sim")))
+        GraphServe.beamRounds(spark, dir).beams.last
+          .select(col("q"), col("node").as("j"), col("sim")))
         .localCheckpoint(true)
       val exact = GraphServe.exactFor(spark, dir)
         .select(col("q"), col("node").as("j")).localCheckpoint(true)
@@ -97,21 +99,6 @@ object GraphSqServe extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_sq_serve" -> (qGraphSqServe _))
 
-  /** SQ-scored serve round r: like GraphServe.serveCtes but scoring
-    * against the dequantized vectors. */
-  private def sqServeCtes(r: Int): String = {
-    val prev = s"sqb${r - 1}"
-    s"""sqbc$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
-       |  JOIN und u ON u.i = p.node),
-       |sqbs$r AS (SELECT p.q, p.node, round(list_cosine_similarity(qs.qv, dqv.dq), 6) AS sim
-       |  FROM sqbc$r p JOIN dqv ON dqv.vec_id = p.node JOIN qs ON qs.q = p.q
-       |  WHERE p.node <> p.q),
-       |sqbp$r AS (SELECT q, node, sim FROM sqbs$r UNION SELECT q, node, sim FROM $prev),
-       |sqb$r AS MATERIALIZED (SELECT q, node, sim FROM (
-       |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-       |    FROM sqbp$r) WHERE rn <= ${GraphServe.Beam})""".stripMargin
-  }
-
   private def topKCte(name: String, src: String): String =
     s"""$name AS (SELECT q, node FROM (
        |    SELECT q, node, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
@@ -127,7 +114,7 @@ object GraphSqServe extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_sq_serve" ->
       s"""WITH ${GraphServe.servePrelude},
-         |${GraphServe.b0Cte(GraphServe.Beam, "")},
+         |${GraphServe.descentCtes(GraphServe.Beam, "")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "")).mkString(",\n")},
          |${topKCte("ftop", s"b${GraphServe.Rounds}")},
          |ex2 AS (
@@ -141,16 +128,16 @@ object GraphSqServe extends QueryModule {
          |  SELECT e2.vec_id,
          |    list(d.mn + floor((e2.x - d.mn) / d.rg * 255 + 0.5) * d.rg / 255 ORDER BY e2.ord) AS dq
          |  FROM ex2 e2 JOIN dims d USING (ord) GROUP BY e2.vec_id),
-         |esq AS (SELECT qs.q, ent.node, round(list_cosine_similarity(qs.qv, dqv.dq), 6) AS sim
-         |  FROM qs CROSS JOIN ent JOIN dqv ON dqv.vec_id = ent.node
-         |  WHERE ent.node <> qs.q),
-         |sqb0 AS MATERIALIZED (SELECT q, node, sim FROM (
-         |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-         |    FROM esq) WHERE rn <= ${GraphServe.Beam}),
-         |${(1 to GraphServe.Rounds).map(sqServeCtes).mkString(",\n")},
-         |${topKCte("sqtop", s"sqb${GraphServe.Rounds}")},
+         |-- the SQ arm's descent: same layer structures (float-built),
+         |-- every SCORE against the dequantized vectors
+         |esq2 AS (SELECT qs.q, ent2.node, round(list_cosine_similarity(qs.qv, dqv.dq), 6) AS sim
+         |  FROM qs CROSS JOIN ent2 JOIN dqv ON dqv.vec_id = ent2.node
+         |  WHERE ent2.node <> qs.q),
+         |${GraphServe.descentCtes(GraphServe.Beam, "sq", "esq2", "dqv", "vec_id", "dq")},
+         |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "sq", "dqv", "vec_id", "dq")).mkString(",\n")},
+         |${topKCte("sqtop", s"bsq${GraphServe.Rounds}")},
          |rr AS (SELECT b.q, b.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
-         |  FROM sqb${GraphServe.Rounds} b JOIN e ON e.id = b.node JOIN qs ON qs.q = b.q),
+         |  FROM bsq${GraphServe.Rounds} b JOIN e ON e.id = b.node JOIN qs ON qs.q = b.q),
          |${topKCte("rrtop", "rr")}
          |${armRow(0, "float_beam", "ftop")}
          |UNION ALL

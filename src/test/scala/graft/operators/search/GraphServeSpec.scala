@@ -9,7 +9,7 @@ class GraphServeSpec extends SparkSpec {
   private lazy val out = GraphServe.qGraphServe(spark, SfDir).collect()
 
   test("every beam round keeps at most Beam candidates per query and NEVER the query point itself") {
-    val (beams, qs, _) = served
+    val (beams, qs) = (served.beams, served.qs)
     val nq = qs.count()
     beams.foreach { b =>
       val rows = b.collect()
@@ -22,14 +22,16 @@ class GraphServeSpec extends SparkSpec {
   }
 
   test("beam membership only improves: per-query kept-candidate min sim never decreases once beams are full") {
-    val (beams, _, _) = served
+    val beams = served.beams
     // The Beam-th best sim per query is monotone ONLY once every query's
-    // pool holds >= Beam candidates: b0 holds ~Entries candidates per
-    // query (< Beam), so round 0->1 can legitimately ADD lower-sim
-    // neighbors that reduce the kept min (r9 advice — the earlier
-    // from-round-0 assertion passed by order-statistic luck). Assert from
-    // the first round where every query's beam is full; pools only grow
-    // after that, so fullness persists.
+    // pool holds >= Beam candidates: the descent's b0 can hold fewer
+    // than Beam candidates per query (layer 1 is ~√n members, fewer
+    // than the beam width at small corpora), so round 0->1 can
+    // legitimately ADD lower-sim neighbors that reduce the kept min
+    // (r9 advice — the earlier from-round-0 assertion passed by
+    // order-statistic luck). Assert from the first round where every
+    // query's beam is full; pools only grow after that, so fullness
+    // persists.
     val fullFrom = beams.indexWhere { b =>
       b.groupBy("q").agg(count(lit(1)).as("n"))
         .agg(min("n")).head().getLong(0) >= GraphServe.Beam
@@ -81,11 +83,31 @@ class GraphServeSpec extends SparkSpec {
   }
 
   test("the serve is deterministic: a fresh un-memoized replay produces identical final beams") {
-    val a = served._1.last.select("q", "node").collect()
+    val a = served.beams.last.select("q", "node").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = GraphServe.buildBeams(spark, SfDir, pin = false)
-      ._1.last.select("q", "node").collect()
+      .beams.last.select("q", "node").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
+  }
+
+  test("n_scored accounting: entry descent is counted, positive, and bounded by the descent's own budget") {
+    // round 0 = the whole hierarchical entry (layer-2 brute scores +
+    // L1Rounds walk rounds); each later round = that round's scored
+    // candidate pairs. All measured counts, not formulas.
+    val nEval = served.qs.count()
+    val entry = out.head.getAs[Long]("n_scored")
+    assert(entry === served.entryScored)
+    assert(entry > 0L)
+    // upper bound: per query, layer 2 whole at entry plus at most all
+    // of layer 1 PER walk round (rounds re-score already-seen nodes —
+    // the pool dedups, the scoring stage does not) — and layer 1 is ~√n
+    val (und1, m2, _, _) = GraphServe.l1Layer(spark, SfDir)
+    val m1Count = und1.select("i").distinct().count()
+    assert(entry <= nEval * (m2.count() + GraphServe.L1Rounds * m1Count),
+      s"entry scored $entry exceeds the layer budget")
+    out.tail.foreach { r =>
+      assert(r.getAs[Long]("n_scored") > 0L)
+    }
   }
 }

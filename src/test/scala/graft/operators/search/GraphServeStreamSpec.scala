@@ -19,16 +19,7 @@ class GraphServeStreamSpec extends SparkSpec {
   }
 
   test("micro-batched serve is row-identical to a direct batch serve over the same artifact") {
-    val emb = KnnGraph.e(spark, SfDir)
-    val n = emb.count()
-    val se = GraphServe.upperModulus(n)
-    val entries = emb.filter(GraphServe.entryPick(col("vec_id"), se))
-      .select(col("vec_id").as("j"))
-    val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, SfDir))
-    val direct = GraphIndex.beamSearch(GraphServe.qsFor(spark, SfDir), undAdj,
-        emb, entries, GraphServe.Beam, GraphServe.Rounds)
-      .filter(col("rk") <= GraphServeStream.K)
-      .select(col("q"), col("rk"), col("j").as("node"), col("sim"))
+    val direct = GraphServeStream.batchServe(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     val streamed = out.map(r => (r.getAs[Long]("q"), r.getAs[Int]("rk"),
       r.getAs[Long]("node"), r.getAs[Double]("sim"))).toSet

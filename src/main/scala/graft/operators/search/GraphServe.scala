@@ -214,16 +214,24 @@ object GraphServe extends QueryModule {
 
   /** The entry DESCENT for an arbitrary query frame (q, qv): brute
     * layer-2 scores → [[L1Rounds]] beam rounds over layer 1's subgraph →
-    * the seed frame (q, j, sim) the base rounds start from. Scoring runs
+    * the seed frame (q, j, sim) the base rounds start from. The descent
+    * ALWAYS walks at the DEFAULT width ([[Beam]]) regardless of the
+    * caller's serve width — HNSW's shape (upper layers use a fixed ef;
+    * efSearch applies at layer 0) and the property that makes the width
+    * sweep's recall honest: every width cuts its b0 prefix from the
+    * SAME descent, so narrow widths keep the full-quality entries
+    * (a width-10 descent measurably lost ~0.01 recall vs the brute-√n
+    * entry at sf1; the shared-descent cut restored parity) and the
+    * nested-prefix superset argument holds exactly. Scoring runs
     * against `nodeEmb` (floats for the standard serve; the dequantized
     * frame for [[GraphSqServe]]'s arm — the layer STRUCTURE stays
     * float-built, it is part of the index). With `trace`, returns each
     * stage's scored frame (row counts = entry scoring cost). */
   private[search] def descend(spark: SparkSession, dir: String,
                               queries: DataFrame, nodeEmb: DataFrame,
-                              beam: Int, trace: Boolean): (DataFrame, Seq[DataFrame]) = {
+                              trace: Boolean): (DataFrame, Seq[DataFrame]) = {
     val (und1, m2, _, _) = l1Layer(spark, dir)
-    val (b, frames) = GraphIndex.beamKernel(queries, nodeEmb, m2, beam,
+    val (b, frames) = GraphIndex.beamKernel(queries, nodeEmb, m2, Beam,
       L1Rounds, GraphIndex.hop1Gen(und1), trace)
     (b.select(col("q"), col("j"), col("sim")), frames)
   }
@@ -278,9 +286,10 @@ object GraphServe extends QueryModule {
     val g = GraphIndex.finalGraph(spark, dir)
     val und = pinned(GraphIndex.und(g))
     val qs = qsFor(spark, dir)
-    val (seed, entryFrames) = descend(spark, dir, qs, emb, beam, trace = pin)
+    val (seed, entryFrames) = descend(spark, dir, qs, emb, trace = pin)
     val entryScored = if (pin) entryFrames.map(_.count()).sum else 0L
-    val b0 = pinned(seed.withColumnRenamed("j", "node"))
+    // b0 = the caller's width cut of the fixed-width descent result
+    val b0 = pinned(topPer(seed.withColumnRenamed("j", "node"), beam))
     val roundScored = scala.collection.mutable.ArrayBuffer.empty[Long]
     val beams = (1 to Rounds).scanLeft(b0) { (b, _) =>
       val cand = b.select(col("q"), col("node"))
@@ -376,12 +385,14 @@ object GraphServe extends QueryModule {
        |  WHERE ent2.node <> qs.q),
        |exact AS MATERIALIZED ${KnnGraph.exactTopKSql("qs", "q", "qv", "e", "q", "node", K)}""".stripMargin
 
-  /** The entry descent for one beam width as CTEs: top-`beam` of the
-    * layer-2 entry scores (`esName`), then [[L1Rounds]] beam rounds over
-    * layer 1's subgraph scoring against `tbl` (floats by default; the
-    * SQ serve passes its dequantized frame), ending in b`sfx`0 — the
-    * seed the base-round CTEs ([[serveCtes]]) continue from. */
-  private[search] def descentCtes(beam: Int, sfx: String,
+  /** The entry descent as CTEs — always at the DEFAULT width (the
+    * engine's fixed upper-layer ef; see [[descend]]): top-[[Beam]] of
+    * the layer-2 entry scores (`esName`), then [[L1Rounds]] beam rounds
+    * over layer 1's subgraph scoring against `tbl` (floats by default;
+    * the SQ serve passes its dequantized frame), ending in
+    * lb`sfx`[[L1Rounds]] — each serve width cuts its own b0 prefix from
+    * it ([[seedCutCte]]). */
+  private[search] def descentCtes(sfx: String,
                                   esName: String = "es2", tbl: String = "e",
                                   idc: String = "id", vc: String = "v"): String = {
     val rounds = (1 to L1Rounds).map { r =>
@@ -396,14 +407,21 @@ object GraphServe extends QueryModule {
          |  UNION SELECT q, node, sim FROM $prev),
          |lb$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
          |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-         |    FROM lbp$sfx$r) WHERE rn <= $beam)""".stripMargin
+         |    FROM lbp$sfx$r) WHERE rn <= $Beam)""".stripMargin
     }
     s"""lb${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
        |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-       |    FROM $esName) WHERE rn <= $beam),
-       |${rounds.mkString(",\n")},
-       |b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM lb$sfx$L1Rounds)""".stripMargin
+       |    FROM $esName) WHERE rn <= $Beam),
+       |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** b`sfx`0 = the width-`beam` prefix of a descent chain's final
+    * frame — the per-width seed the base-round CTEs continue from. */
+  private[search] def seedCutCte(beam: Int, sfx: String,
+                                 chain: String = ""): String =
+    s"""b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
+       |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+       |    FROM lb$chain$L1Rounds) WHERE rn <= $beam)""".stripMargin
 
   /** The descent's total scored-row count (entry phase n_scored) for
     * one width chain. */
@@ -447,7 +465,8 @@ object GraphServe extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_serve" ->
       s"""WITH $servePrelude,
-         |${descentCtes(Beam, "")},
+         |${descentCtes("")},
+         |${seedCutCte(Beam, "")},
          |${(1 to Rounds).map(serveCtes(_, Beam, "")).mkString(",\n")}
          |${(0 to Rounds).map { r =>
              val ns = if (r == 0) descentScoredSql("")
@@ -457,8 +476,9 @@ object GraphServe extends QueryModule {
          |ORDER BY round""".stripMargin,
     "q_beam_sweep" ->
       s"""WITH $servePrelude,
+         |${descentCtes("")},
          |${SweepBeams.map(w =>
-             (descentCtes(w, s"w${w}_") +: (1 to Rounds).map(serveCtes(_, w, s"w${w}_")))
+             (seedCutCte(w, s"w${w}_") +: (1 to Rounds).map(serveCtes(_, w, s"w${w}_")))
                .mkString(",\n")).mkString(",\n")}
          |${SweepBeams.map(w => recallSql(s"bw${w}_$Rounds", "beam", w, None)).mkString("\nUNION ALL\n")}
          |ORDER BY beam""".stripMargin)

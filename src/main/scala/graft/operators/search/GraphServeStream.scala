@@ -48,8 +48,7 @@ object GraphServeStream extends QueryModule {
     val emb = KnnGraph.e(spark, dir)
     val qs = GraphServe.qsFor(spark, dir)
     val undAdj = GraphIndex.und(GraphIndex.finalGraph(spark, dir))
-    val (seed, _) = GraphServe.descend(spark, dir, qs, emb,
-      GraphServe.Beam, trace = false)
+    val (seed, _) = GraphServe.descend(spark, dir, qs, emb, trace = false)
     GraphIndex.beamSearchFrom(seed, qs, undAdj, emb,
         GraphServe.Beam, GraphServe.Rounds)
       .filter(col("rk") <= K)
@@ -83,7 +82,7 @@ object GraphServeStream extends QueryModule {
           // per micro-batch: entry descent (the memoized layer
           // structures are index-side, loaded once) → base beam rounds
           val (seed, _) = GraphServe.descend(spark, dir, batch.toDF(), emb,
-            GraphServe.Beam, trace = false)
+            trace = false)
           GraphIndex.beamSearchFrom(seed, batch.toDF(), undAdj, emb,
               GraphServe.Beam, GraphServe.Rounds)
             .filter(col("rk") <= K)
@@ -102,7 +101,8 @@ object GraphServeStream extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_serve_stream" ->
       s"""WITH ${GraphServe.servePrelude},
-         |${GraphServe.descentCtes(GraphServe.Beam, "")},
+         |${GraphServe.descentCtes("")},
+         |${GraphServe.seedCutCte(GraphServe.Beam, "")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "")).mkString(",\n")}
          |SELECT q, CAST(rn AS INT) AS rk, node, sim FROM (
          |  SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn

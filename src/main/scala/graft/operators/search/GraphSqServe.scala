@@ -57,8 +57,7 @@ object GraphSqServe extends QueryModule {
       // the hierarchy's layer structures are float-built (they are part
       // of the index); the SQ arm SCORES its descent and beam against
       // the dequantized vectors — the served-system convention
-      val (sqSeed, _) = GraphServe.descend(spark, dir, qs, dqEmb,
-        GraphServe.Beam, trace = false)
+      val (sqSeed, _) = GraphServe.descend(spark, dir, qs, dqEmb, trace = false)
       val sqBeam = GraphIndex.beamSearchFrom(sqSeed, qs, undAdj, dqEmb,
         GraphServe.Beam, GraphServe.Rounds)
       val sqTop = sqBeam.filter(col("rk") <= K)
@@ -114,7 +113,8 @@ object GraphSqServe extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q_graph_sq_serve" ->
       s"""WITH ${GraphServe.servePrelude},
-         |${GraphServe.descentCtes(GraphServe.Beam, "")},
+         |${GraphServe.descentCtes("")},
+         |${GraphServe.seedCutCte(GraphServe.Beam, "")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "")).mkString(",\n")},
          |${topKCte("ftop", s"b${GraphServe.Rounds}")},
          |ex2 AS (
@@ -133,7 +133,8 @@ object GraphSqServe extends QueryModule {
          |esq2 AS (SELECT qs.q, ent2.node, round(list_cosine_similarity(qs.qv, dqv.dq), 6) AS sim
          |  FROM qs CROSS JOIN ent2 JOIN dqv ON dqv.vec_id = ent2.node
          |  WHERE ent2.node <> qs.q),
-         |${GraphServe.descentCtes(GraphServe.Beam, "sq", "esq2", "dqv", "vec_id", "dq")},
+         |${GraphServe.descentCtes("sq", "esq2", "dqv", "vec_id", "dq")},
+         |${GraphServe.seedCutCte(GraphServe.Beam, "sq", "sq")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "sq", "dqv", "vec_id", "dq")).mkString(",\n")},
          |${topKCte("sqtop", s"bsq${GraphServe.Rounds}")},
          |rr AS (SELECT b.q, b.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim

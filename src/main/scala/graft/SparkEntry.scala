@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.search.GraphIndex,
     graft.operators.search.GraphOptimize,
     graft.operators.search.GraphDriftOptimize,
+    graft.operators.search.UmapLayout,
     graft.operators.search.DriftRebalance,
     graft.operators.search.GraphEmbedding,
     graft.operators.search.GraphAppendStream,

@@ -241,22 +241,28 @@ object GraphEmbedding extends QueryModule {
       stepSql("und", "deg", s"$prefix${r - 1}", s"$prefix$r", s"$prefix${r}n", against)
     }.mkString(",\n")
 
+  /** The spectral chain as CTEs on top of [[KnnGraph.graphCtePrefix]]:
+    * symmetrize + degrees, the deterministic init, the two unrolled
+    * power chains, sign canonicalization → ec1/ec2 (id, xm). Shared
+    * with [[UmapLayout]]'s oracle (the layout refines this init). */
+  private[search] def spectralCtes: String =
+    s"""und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
+       |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
+       |deg AS MATERIALIZED (SELECT i AS id, count(*) AS d FROM und GROUP BY i),
+       |a0 AS (SELECT id, CAST(round(((id * 48271) % 2147483647
+       |  / 2147483647.0 - 0.5) * 1000000.0) AS BIGINT) AS xm FROM deg),
+       |b0 AS (SELECT id, xm FROM a0),
+       |${chainSql("a", None)},
+       |${canonicalSql(s"a$PowerRounds", "ec1")},
+       |${chainSql("b", Some("ec1"))},
+       |${canonicalSql(s"b$PowerRounds", "ec2")}""".stripMargin
+
   /** The full replay: descent graph (the [[KnnGraph.graphCtePrefix]]
-    * rounds), symmetrize + degrees, the deterministic init, the two
-    * unrolled power chains, sign canonicalization, join. */
+    * rounds), the spectral chain, join. */
   override def oracles: Map[String, String] = Map(
     "q_graph_embedding" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |und AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}
-         |  UNION SELECT j AS i, i AS j FROM g${KnnGraph.Rounds}),
-         |deg AS MATERIALIZED (SELECT i AS id, count(*) AS d FROM und GROUP BY i),
-         |a0 AS (SELECT id, CAST(round(((id * 48271) % 2147483647
-         |  / 2147483647.0 - 0.5) * 1000000.0) AS BIGINT) AS xm FROM deg),
-         |b0 AS (SELECT id, xm FROM a0),
-         |${chainSql("a", None)},
-         |${canonicalSql(s"a$PowerRounds", "ec1")},
-         |${chainSql("b", Some("ec1"))},
-         |${canonicalSql(s"b$PowerRounds", "ec2")}
+         |$spectralCtes
          |SELECT e1.id AS vec_id, e1.xm / 1000000.0 AS e1, e2.xm / 1000000.0 AS e2
          |FROM ec1 e1 JOIN ec2 e2 USING (id)
          |ORDER BY vec_id""".stripMargin)

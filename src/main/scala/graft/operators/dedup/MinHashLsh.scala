@@ -253,18 +253,35 @@ object MinHashLsh extends QueryModule {
       .select(col("doc_id").as("id"), col("component"))
   }
 
-  /** Contraction gate: contract only when the corpus actually carries
-    * exact copies. The contracted pipeline pays an extra full-text
-    * shuffle (the md5 copy-group join that routes each text to its
-    * representative) plus the expansion joins — a 21x win on the sf10
-    * probe corpus (100-copy groups) but pure overhead on a dup-light
-    * corpus (the r12 isolated A/B measured q_dedup_minhash at ~2x r10's
-    * uncontracted time at sf0.1, whose only copies are the 20 planted
-    * NEAR-dups — distinct texts, w=1 everywhere). The probe is one
-    * map-side scan (count + HyperLogLog distinct over md5 — no shuffle
-    * of the text column); contraction wins once copies shave >~25% of
-    * the shingling work, far coarser than the sketch's ~2% error. */
-  val ContractionBar = 0.75
+  /** Contraction gate: contract only when the corpus carries DEEP
+    * exact-copy duplication. The contracted pipeline pays an extra
+    * full-text shuffle (the md5 copy-group join that routes each text
+    * to its representative) plus the expansion joins — that overhead is
+    * comparable to one shingling pass, so contraction only wins when it
+    * skips MOST of the shingling. The bar is MEASURED, not picked
+    * (tools/ProfileContraction, planted copy-group sweep, isolated
+    * median-of-3 to the shared components end state — the r13 fix of
+    * the r12 "0.75 was picked" finding):
+    *
+    *   distinct share | contracted / plain (sf0.1, 5k docs) | (sf1, 50k docs)
+    *   0.93           | 2.14x slower                        | —
+    *   0.32           | 1.61x slower                        | —
+    *   0.11           | 1.38x slower                        | —
+    *   0.093          | —                                   | 0.99x (break-even)
+    *   0.054          | —                                   | 0.72x
+    *   0.016          | —                                   | 0.46x
+    *   0.01 (sf10)    | —                                   | 0.05x (the r12 21x win)
+    *
+    * The crossover sits at share ≈ 0.09–0.11 on both corpus sizes and
+    * moves DOWNWARD-favorable with scale (larger corpora amortize the
+    * group machinery), so 0.1 is the conservative measured bar: corpora
+    * in the old (0.1, 0.75) band — which measurably paid up to 2×
+    * overhead under the picked bar — now take the plain path. The probe
+    * is one map-side scan (count + HyperLogLog distinct over md5 — no
+    * shuffle of the text column); the sketch's ~2% error is far inside
+    * the flat region around the crossover (±1pp of share moves the
+    * ratio by <2%). */
+  val ContractionBar = 0.1
 
   /** distinct-text share of a corpus in one cheap scan. */
   private[graft] def distinctShare(docs: DataFrame): Double = {

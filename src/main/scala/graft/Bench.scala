@@ -121,9 +121,14 @@ object Bench {
     val allSamples = selected.map { case (name, _) =>
       "\"" + name + "\":[" + samples(name).map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val coldAll = selected.collect {
+      case (name, _) if !failed.contains(name) &&
+        samples(name).head - median(samples(name)) > 0.0 =>
+        "\"" + name + "\":" + ms(samples(name).head - median(samples(name)))
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_times.json"),
-      s"""{"line":$fullLine,"samples":$allSamples}""" + "\n")
+      s"""{"line":$fullLine,"cold":$coldAll,"samples":$allSamples}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}")
     }
@@ -144,7 +149,22 @@ object Bench {
       .mkString("{", ",", "}")
     val top = healthy.sortBy(-_._2).take(12)
       .map { case (n, t) => "\"" + n + "\":" + ms(t) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${selected.size},"n_errors":${failed.size},"errors":$errs,"families":$famTotals,"top":$top,"queries_file":"bench_times.json","sf":"$sfDir","reps":$reps}"""
+    // ONE-TIME artifact construction (memoized graph/index builds) lands
+    // entirely on rep 1 and is invisible in the median headline (the r12
+    // verdict: ~120 s of cold graph builds read as samples-array
+    // archaeology). Surface it as an explicit per-family COLD line:
+    // cold(q) = max(0, rep1 − median) — the warm-up premium the first
+    // session pays once, by family, plus the total. Medians and the
+    // headline total are unchanged in protocol.
+    val coldByQ = healthy.map { case (n, med) =>
+      n -> math.max(0.0, samples(n).head - med) }
+    val coldTotal = coldByQ.map(_._2).sum
+    val coldFams = coldByQ.groupBy { case (n, _) => family.getOrElse(n, "Other") }
+      .map { case (f, qs2) => f -> qs2.map(_._2).sum }
+      .filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
+      .map { case (f, c) => "\"" + f + "\":" + ms(c) }.mkString("{", ",", "}")
+    val coldJson = s""""cold_total":${ms(coldTotal)},"cold_families":$coldFams"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${selected.size},"n_errors":${failed.size},"errors":$errs,$coldJson,"families":$famTotals,"top":$top,"queries_file":"bench_times.json","sf":"$sfDir","reps":$reps}"""
     System.err.println(fullLine)
     println(compact)
     spark.stop()

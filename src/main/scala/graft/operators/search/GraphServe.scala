@@ -96,6 +96,22 @@ object GraphServe extends QueryModule {
     * the r12 brute-√n entry, spec- and gate-asserted). */
   val L1Rounds = 2
 
+  /** Brute-below-bar gate: when layer 1 holds ≤ this many members the
+    * entry BRUTE-SCORES the whole layer in one stage instead of walking
+    * it — what HNSW itself does below a size threshold, and a MEASURED
+    * call here: the walk's three extra bounded stages cost ~2.2 s of
+    * pure scheduling latency per serve batch at sf0.1 (|layer1| = 45,
+    * compute ≈ nothing — tools/ProfileServeStream arm (d)), while at
+    * sf10's 447-member layer the walk is compute-parity with brute
+    * (430 vs 447 scorings/query) and +0.02 recall. 4·Beam = 160 sits
+    * between the measured points (141 → brute, 447 → walk). The branch
+    * is DATA-driven and replayed by the oracle on the same count
+    * predicate (the drift-loop CASE discipline), and the brute branch
+    * is exactly the r12 √n entry — so small corpora keep its measured
+    * latency while the walk bounds entry cost once layer 1 outgrows a
+    * few beam widths. */
+  val L1BruteBar: Long = 4L * Beam
+
   /** The √n stride of layer 1 (and, recursively, layer 2's extra
     * stride over layer 1's member count). */
   def upperModulus(n: Long): Long =
@@ -152,13 +168,14 @@ object GraphServe extends QueryModule {
   private val qsMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
   private val exactMemo = new graft.BoundedMemo[String, DataFrame](KnnGraph.MemoCap)
 
-  /** The hierarchy's per-corpus structures: layer 1's undirected
-    * exact-kNN subgraph, the layer-2 entry frame, and the strides. */
+  /** The hierarchy's per-corpus structures: layer-1 members + count,
+    * the layer-2 entry frame, and (walk branch only) layer 1's
+    * undirected exact-kNN subgraph. */
   private val l1Memo = new graft.BoundedMemo[
-    String, (DataFrame, DataFrame, Long, Long)](KnnGraph.MemoCap)
+    String, (DataFrame, Long, DataFrame, Option[DataFrame])](KnnGraph.MemoCap)
 
   /** Deterministic query sample: ids ≡ mq−1 (mod mq), pinned once per dir. */
-  private[search] def qsFor(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qsFor(spark: SparkSession, dir: String): DataFrame =
     qsMemo.getOrElseUpdate(dir) {
       val emb = KnnGraph.e(spark, dir)
       val mq = math.max(2L, math.ceil(emb.count() / QueryTarget.toDouble).toLong)
@@ -183,56 +200,70 @@ object GraphServe extends QueryModule {
     }
 
   /** Layer structures, built once per corpus: layer-1 members M1 (the
-    * √n stride), layer 2 M2 = the u2-sub-stride of M1 (~n^(1/4)), and
-    * M1's own exact top-[[L1Degree]] kNN subgraph, symmetrized. The
-    * pair job is √n × √n ≈ n scorings ONCE (map-side cross with the
-    * broadcast member list, TopKPerGroup heap) — the same order as one
-    * corpus scan; at 10¹¹+ nodes swap in an NN-descent build over the
-    * members (the [[KnnGraph]] kernel) and/or a third layer. */
-  private[search] def l1Layer(spark: SparkSession,
-                              dir: String): (DataFrame, DataFrame, Long, Long) =
+    * √n stride, with member count n1), layer 2 M2 = the u2-sub-stride
+    * of M1 (~n^(1/4)), and — ONLY when n1 > [[L1BruteBar]] (the walk
+    * branch) — M1's own exact top-[[L1Degree]] kNN subgraph,
+    * symmetrized. The pair job is √n × √n ≈ n scorings ONCE (map-side
+    * cross with the broadcast member list, TopKPerGroup heap) — the
+    * same order as one corpus scan; at 10¹¹+ nodes swap in an
+    * NN-descent build over the members (the [[KnnGraph]] kernel)
+    * and/or a third layer. */
+  private[graft] def l1Layer(spark: SparkSession,
+                             dir: String): (DataFrame, Long, DataFrame, Option[DataFrame]) =
     l1Memo.getOrElseUpdate(dir) {
       val emb = KnnGraph.e(spark, dir)
       val n = emb.count()
       val se1 = upperModulus(n)
       val m1 = emb.filter(entryPick(col("vec_id"), se1)).localCheckpoint(true)
-      val u2 = upperModulus(m1.count())
+      val n1 = m1.count()
+      val u2 = upperModulus(n1)
       val se2 = se1 * u2
       val m2 = m1.filter(entryPick(col("vec_id"), se2))
         .select(col("vec_id").as("j")).localCheckpoint(true)
-      val pairs = m1.select(col("vec_id").as("i"), col("embedding").as("vi"))
-        .crossJoin(broadcast(
-          m1.select(col("vec_id").as("j"), col("embedding").as("vj"))))
-        .filter(col("i") =!= col("j"))
-        .select(col("i"), col("j"),
-          round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
-      val l1g = graft.plans.TopKPerGroup(
-        pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
-        L1Degree).select(col("i"), col("j"))
-      (GraphIndex.und(l1g).localCheckpoint(true), m2, se1, se2)
+      val und1 = if (n1 <= L1BruteBar) None else Some {
+        val pairs = m1.select(col("vec_id").as("i"), col("embedding").as("vi"))
+          .crossJoin(broadcast(
+            m1.select(col("vec_id").as("j"), col("embedding").as("vj"))))
+          .filter(col("i") =!= col("j"))
+          .select(col("i"), col("j"),
+            round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
+        val l1g = graft.plans.TopKPerGroup(
+          pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
+          L1Degree).select(col("i"), col("j"))
+        GraphIndex.und(l1g).localCheckpoint(true)
+      }
+      (m1, n1, m2, und1)
     }
 
-  /** The entry DESCENT for an arbitrary query frame (q, qv): brute
-    * layer-2 scores → [[L1Rounds]] beam rounds over layer 1's subgraph →
-    * the seed frame (q, j, sim) the base rounds start from. The descent
-    * ALWAYS walks at the DEFAULT width ([[Beam]]) regardless of the
-    * caller's serve width — HNSW's shape (upper layers use a fixed ef;
-    * efSearch applies at layer 0) and the property that makes the width
-    * sweep's recall honest: every width cuts its b0 prefix from the
-    * SAME descent, so narrow widths keep the full-quality entries
-    * (a width-10 descent measurably lost ~0.01 recall vs the brute-√n
-    * entry at sf1; the shared-descent cut restored parity) and the
-    * nested-prefix superset argument holds exactly. Scoring runs
-    * against `nodeEmb` (floats for the standard serve; the dequantized
-    * frame for [[GraphSqServe]]'s arm — the layer STRUCTURE stays
-    * float-built, it is part of the index). With `trace`, returns each
-    * stage's scored frame (row counts = entry scoring cost). */
-  private[search] def descend(spark: SparkSession, dir: String,
-                              queries: DataFrame, nodeEmb: DataFrame,
-                              trace: Boolean): (DataFrame, Seq[DataFrame]) = {
-    val (und1, m2, _, _) = l1Layer(spark, dir)
-    val (b, frames) = GraphIndex.beamKernel(queries, nodeEmb, m2, Beam,
-      L1Rounds, GraphIndex.hop1Gen(und1), trace)
+  /** The entry DESCENT for an arbitrary query frame (q, qv): below the
+    * brute bar, ONE stage brute-scoring all of layer 1 (exactly the r12
+    * √n entry); above it, brute layer-2 scores → [[L1Rounds]] beam
+    * rounds over layer 1's subgraph. Either way the result is the seed
+    * frame (q, j, sim) the base rounds start from, cut at the DEFAULT
+    * width ([[Beam]]) regardless of the caller's serve width — HNSW's
+    * shape (upper layers use a fixed ef; efSearch applies at layer 0)
+    * and the property that makes the width sweep's recall honest: every
+    * width cuts its b0 prefix from the SAME descent, so narrow widths
+    * keep the full-quality entries (a width-10 descent measurably lost
+    * ~0.01 recall vs the brute-√n entry at sf1; the shared-descent cut
+    * restored parity) and the nested-prefix superset argument holds
+    * exactly. Scoring runs against `nodeEmb` (floats for the standard
+    * serve; the dequantized frame for [[GraphSqServe]]'s arm — the
+    * layer STRUCTURE stays float-built, it is part of the index). With
+    * `trace`, returns each stage's scored frame (row counts = entry
+    * scoring cost). */
+  private[graft] def descend(spark: SparkSession, dir: String,
+                             queries: DataFrame, nodeEmb: DataFrame,
+                             trace: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val (m1, _, m2, und1) = l1Layer(spark, dir)
+    val (b, frames) = und1 match {
+      case None =>
+        GraphIndex.beamKernel(queries, nodeEmb,
+          m1.select(col("vec_id").as("j")), Beam, 0, identity, trace)
+      case Some(u1) =>
+        GraphIndex.beamKernel(queries, nodeEmb, m2, Beam,
+          L1Rounds, GraphIndex.hop1Gen(u1), trace)
+    }
     (b.select(col("q"), col("j"), col("sim")), frames)
   }
 
@@ -379,11 +410,23 @@ object GraphServe extends QueryModule {
        |    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
        |    FROM l1p) WHERE rn <= $L1Degree),
        |und1 AS MATERIALIZED (SELECT i, j FROM l1g UNION SELECT j AS i, i AS j FROM l1g),
+       |l1n AS (SELECT count(*) AS n1 FROM m1v),
        |es2 AS MATERIALIZED (SELECT qs.q, ent2.node,
        |    round(list_cosine_similarity(qs.qv, e.v), 6) AS sim
        |  FROM qs CROSS JOIN ent2 JOIN e ON e.id = ent2.node
        |  WHERE ent2.node <> qs.q),
+       |${entryFullCtes("esb", "e", "id", "v")},
        |exact AS MATERIALIZED ${KnnGraph.exactTopKSql("qs", "q", "qv", "e", "q", "node", K)}""".stripMargin
+
+  /** Brute entry scores of the query sample against ALL of layer 1 for
+    * one scoring table — the below-bar branch (exactly the r12 √n
+    * entry). */
+  private[search] def entryFullCtes(name: String, tbl: String,
+                                    idc: String, vc: String): String =
+    s"""$name AS MATERIALIZED (SELECT qs.q, m1v.id AS node,
+       |    round(list_cosine_similarity(qs.qv, $tbl.$vc), 6) AS sim
+       |  FROM qs CROSS JOIN m1v JOIN $tbl ON $tbl.$idc = m1v.id
+       |  WHERE m1v.id <> qs.q)""".stripMargin
 
   /** The entry descent as CTEs — always at the DEFAULT width (the
     * engine's fixed upper-layer ef; see [[descend]]): top-[[Beam]] of
@@ -415,19 +458,32 @@ object GraphServe extends QueryModule {
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
-  /** b`sfx`0 = the width-`beam` prefix of a descent chain's final
-    * frame — the per-width seed the base-round CTEs continue from. */
+  /** b`sfx`0 = the width-`beam` prefix of the entry result, following
+    * the SAME brute-below-bar branch the engine takes ([[L1BruteBar]] —
+    * the drift-loop CASE discipline): below the bar, cut from the full
+    * layer-1 brute scores (`esFull`); above it, from the descent
+    * chain's final frame. */
   private[search] def seedCutCte(beam: Int, sfx: String,
-                                 chain: String = ""): String =
-    s"""b${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
+                                 chain: String = "",
+                                 esFull: String = "esb"): String =
+    s"""b${sfx}0 AS MATERIALIZED (
+       |  SELECT q, node, sim FROM (
        |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
-       |    FROM lb$chain$L1Rounds) WHERE rn <= $beam)""".stripMargin
+       |    FROM $esFull) WHERE rn <= $beam AND (SELECT n1 FROM l1n) <= $L1BruteBar
+       |  UNION ALL
+       |  SELECT q, node, sim FROM (
+       |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+       |    FROM lb$chain$L1Rounds) WHERE rn <= $beam AND (SELECT n1 FROM l1n) > $L1BruteBar)""".stripMargin
 
-  /** The descent's total scored-row count (entry phase n_scored) for
-    * one width chain. */
-  private[search] def descentScoredSql(sfx: String, esName: String = "es2"): String =
-    (s"(SELECT count(*) FROM $esName)" +:
+  /** The entry phase's total scored-row count (n_scored), following
+    * the same brute/walk branch. */
+  private[search] def descentScoredSql(sfx: String, esName: String = "es2",
+                                       esFull: String = "esb"): String = {
+    val walk = (s"(SELECT count(*) FROM $esName)" +:
       (1 to L1Rounds).map(r => s"(SELECT count(*) FROM lbs$sfx$r)")).mkString(" + ")
+    s"""CASE WHEN (SELECT n1 FROM l1n) <= $L1BruteBar
+       | THEN (SELECT count(*) FROM $esFull) ELSE $walk END""".stripMargin
+  }
 
   /** One serve round as CTEs: beam ∪ scored graph-neighbors → top-beam.
     * Scoring against `tbl` (floats by default; the SQ serve swaps in

@@ -133,8 +133,9 @@ object GraphSqServe extends QueryModule {
          |esq2 AS (SELECT qs.q, ent2.node, round(list_cosine_similarity(qs.qv, dqv.dq), 6) AS sim
          |  FROM qs CROSS JOIN ent2 JOIN dqv ON dqv.vec_id = ent2.node
          |  WHERE ent2.node <> qs.q),
+         |${GraphServe.entryFullCtes("esqb", "dqv", "vec_id", "dq")},
          |${GraphServe.descentCtes("sq", "esq2", "dqv", "vec_id", "dq")},
-         |${GraphServe.seedCutCte(GraphServe.Beam, "sq", "sq")},
+         |${GraphServe.seedCutCte(GraphServe.Beam, "sq", "sq", "esqb")},
          |${(1 to GraphServe.Rounds).map(GraphServe.serveCtes(_, GraphServe.Beam, "sq", "dqv", "vec_id", "dq")).mkString(",\n")},
          |${topKCte("sqtop", s"bsq${GraphServe.Rounds}")},
          |rr AS (SELECT b.q, b.node, round(list_cosine_similarity(qs.qv, e.v), 6) AS sim

@@ -177,7 +177,7 @@ object KnnGraph extends QueryModule {
 
   private val exactCache = new graft.RollingCache
 
-  private[search] def e(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def e(spark: SparkSession, dir: String): DataFrame =
     embCache.getOrElseUpdate(dir) {
       val p = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).persist()

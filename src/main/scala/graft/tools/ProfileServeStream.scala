@@ -32,6 +32,15 @@ object ProfileServeStream {
       Prof.time(s"(c) batch beam serve    #$i") {
         GraphServeStream.batchServe(spark, dir).count()
       }
+      // (d) entry descent alone — (c) − (d) attributes the batch kernel
+      // to base beam rounds vs entry ranking (r12 verdict item 8: the
+      // hierarchy cut the entry share; this measures what remains)
+      Prof.time(s"(d) entry descent only  #$i") {
+        val emb = graft.operators.search.KnnGraph.e(spark, dir)
+        val qs = graft.operators.search.GraphServe.qsFor(spark, dir)
+        graft.operators.search.GraphServe
+          .descend(spark, dir, qs, emb, trace = false)._1.count()
+      }
     }
     spark.stop()
   }

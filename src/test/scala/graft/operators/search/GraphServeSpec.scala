@@ -99,12 +99,12 @@ class GraphServeSpec extends SparkSpec {
     val entry = out.head.getAs[Long]("n_scored")
     assert(entry === served.entryScored)
     assert(entry > 0L)
-    // upper bound: per query, layer 2 whole at entry plus at most all
-    // of layer 1 PER walk round (rounds re-score already-seen nodes —
-    // the pool dedups, the scoring stage does not) — and layer 1 is ~√n
-    val (und1, m2, _, _) = GraphServe.l1Layer(spark, SfDir)
-    val m1Count = und1.select("i").distinct().count()
-    assert(entry <= nEval * (m2.count() + GraphServe.L1Rounds * m1Count),
+    // upper bound: per query, either the whole layer 1 once (the brute
+    // branch below L1BruteBar) or layer 2 whole plus at most all of
+    // layer 1 PER walk round (rounds re-score already-seen nodes — the
+    // pool dedups, the scoring stage does not) — and layer 1 is ~√n
+    val (_, n1, m2, _) = GraphServe.l1Layer(spark, SfDir)
+    assert(entry <= nEval * (m2.count() + math.max(1, GraphServe.L1Rounds) * n1),
       s"entry scored $entry exceeds the layer budget")
     out.tail.foreach { r =>
       assert(r.getAs[Long]("n_scored") > 0L)

@@ -51,7 +51,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_graph_append_stream", "q_graph_sq_serve", "q_graph_optimize",
     // 1-row broadcast report scalars (max-imbalance aggregates + the
     // moved-rows count) crossed into the single summary row
-    "q_drift_rebalance")
+    "q_drift_rebalance",
+    // same shape: 1-row before/after stats broadcasts crossed into the
+    // single report row, plus the sample-bounded exact-truth broadcast
+    "q_graph_drift_optimize")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -40,12 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * trailing all-ws segment), scan each DISTINCT segment once, and sum
   * counts, landing on the same tokens as this full-text scan.
   *
-  * Remaining divergence from Python's `regex` module, precisely
-  * scoped: the `\s` class here is Java/RE2's ASCII whitespace
-  * [ \t\n\f\r] in BOTH engines, while Python's `\s` also matches
-  * the ~20 Unicode space separators (U+00A0, U+2000–200A, …) — a
-  * corpus containing those classifies them as punctuation here. Letter
-  * and number classes are full Unicode (\p{L}, \p{N}) in both engines.
+  * Class parity with Python's `regex` module: the whitespace class is
+  * the EXACT 25-code-point Unicode White_Space set in both engines
+  * ([[WsChars]] on the JVM, [[WsClassRe2]] in RE2 — enumerated against
+  * the regex module itself and verified code-point-identical, closing
+  * the r12 "ASCII \s" residue); letter and number classes are full
+  * Unicode (\p{L}, \p{N}) in both engines.
   *
   * Reference: the tiktoken/cl100k token-budget cells in
   * nuevo-kmeans-pre.ipynb and update-etiquetas.ipynb.
@@ -75,8 +75,20 @@ object Gpt2 {
     new String(out)
   }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  /** Python `regex` \\s exactly: the 25 Unicode White_Space code points
+    * (enumerated against the regex module itself — the r13 closure of
+    * the "ASCII \\s" residue). All BMP chars, so a Char test suffices. */
+  private val WsChars: Set[Char] =
+    ((Seq(0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680,
+      0x2028, 0x2029, 0x202F, 0x205F, 0x3000) ++ (0x2000 to 0x200A))
+      .map(_.toChar)).toSet
+
+  /** The same class in RE2 (DuckDB) syntax — \\p{Zs} plus the
+    * non-separator whitespace controls; verified code-point-identical
+    * to the Python set over the BMP prefix. */
+  val WsClassRe2: String = " \\t\\n\\x0B\\f\\r\\x{0085}\\x{2028}\\x{2029}\\p{Zs}"
+
+  private def isWs(c: Char): Boolean = WsChars(c)
 
   private def isLetter(cp: Int): Boolean = Character.isLetter(cp)
 

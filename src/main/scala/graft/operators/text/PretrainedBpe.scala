@@ -28,11 +28,11 @@ import org.apache.spark.sql.functions._
   * fetch a released file. The load path is the point: a user drops a
   * real published merges.txt (GPT-2's file is byte-compatible with this
   * parser — same format, same alphabet) in its place and gets that
-  * tokenizer's counts with no code change. The one remaining
-  * divergence from Python's `regex` module is precisely scoped in
-  * [[graft.functions.Gpt2]]: the whitespace class is ASCII in both
-  * engines, so Unicode space separators (U+00A0 …) classify as
-  * punctuation.
+  * tokenizer's counts with no code change. Character classes match
+  * Python's `regex` module exactly, including the 25-code-point
+  * Unicode White_Space set ([[graft.functions.Gpt2.WsClassRe2]] —
+  * the r12 ASCII-\\s residue, closed r13 and exercised by the
+  * U+00A0/U+2009/U+3000 decoration arms).
   *
   * The synthetic corpus is ASCII-only, so each document is DECORATED
   * deterministically by doc_id (the q_text_normalize pattern) with the
@@ -63,8 +63,8 @@ object PretrainedBpe extends QueryModule {
     * doc_id % 3) — ONE definition feeding both engines. */
   val Prefixes: Seq[String] = Seq(
     "Don't stop — it's café №5, naïve 42.7% ",
-    "We'll we're I'm they've you'd 100x  ",
-    "über Straße ¡hola! 'tis x3 3x\t",
+    "We'll we're I'm they've you'd 100x  ",
+    "über Straße ¡hola! 'tis x3 3x　\t",
     "")
   val Suffixes: Seq[String] = Seq(" end.  ", "\t", "")
 
@@ -151,7 +151,7 @@ object PretrainedBpe extends QueryModule {
     val mcs = (0 until 256).map(b => s"chr(${Gpt2.ByteChar(b).toInt})")
       .mkString("[", ", ", "]")
     val ws = "[ \\t\\n\\r\\f\\x0B]+"          // TextQueries.WsRe, RE2 form
-    val wsCls = " \\t\\n\\x0B\\f\\r"          // the class body reused below
+    val wsCls = Gpt2.WsClassRe2       // the EXACT Python-\\s class (Gpt2)
     Map("q_token_pretrained" ->
       s"""WITH RECURSIVE
          |mm AS (SELECT $ks AS ks),

@@ -72,6 +72,12 @@ class PretrainedBpeSpec extends SparkSpec {
     // space+apostrophe is a punctuation run, not a contraction — the
     // ` ?` branches carry no apostrophe alternatives
     assert(pt(" 'tis") === Seq(" '", "tis"))
+    // Unicode whitespace classifies as \s (the 25-point White_Space
+    // set, r13): NBSP/thin/ideographic spaces are ws, NOT punctuation —
+    // and only a literal 0x20 can attach via the ` ?` branches
+    assert(pt("a b") === Seq("a", " ", "b"))
+    assert(pt("x  y") === Seq("x", " ", " y"))
+    assert(pt("k　") === Seq("k", "　"))
   }
 
   test("Gpt2BpeTokens: Ġ falls out of the byte map, merges apply greedily by rank") {

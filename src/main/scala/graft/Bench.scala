@@ -121,11 +121,13 @@ object Bench {
     val allSamples = selected.map { case (name, _) =>
       "\"" + name + "\":[" + samples(name).map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val coldAll = selected.collect {
-      case (name, _) if !failed.contains(name) &&
-        samples(name).head - median(samples(name)) > 0.0 =>
-        "\"" + name + "\":" + ms(samples(name).head - median(samples(name)))
-    }.mkString("{", ",", "}")
+    // ONE cold-premium computation feeds both the file map and the
+    // stdout families (r13 review: two independent derivations invited
+    // silent drift): cold(q) = max(0, rep1 − median) over healthy
+    val coldByQ = healthy.map { case (n, med) =>
+      n -> math.max(0.0, samples(n).head - med) }
+    val coldAll = coldByQ.collect { case (n, c) if c > 0.0 =>
+      "\"" + n + "\":" + ms(c) }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_times.json"),
       s"""{"line":$fullLine,"cold":$coldAll,"samples":$allSamples}""" + "\n")
@@ -152,12 +154,10 @@ object Bench {
     // ONE-TIME artifact construction (memoized graph/index builds) lands
     // entirely on rep 1 and is invisible in the median headline (the r12
     // verdict: ~120 s of cold graph builds read as samples-array
-    // archaeology). Surface it as an explicit per-family COLD line:
-    // cold(q) = max(0, rep1 − median) — the warm-up premium the first
-    // session pays once, by family, plus the total. Medians and the
-    // headline total are unchanged in protocol.
-    val coldByQ = healthy.map { case (n, med) =>
-      n -> math.max(0.0, samples(n).head - med) }
+    // archaeology). Surface the SAME coldByQ as an explicit per-family
+    // COLD line — the warm-up premium the first session pays once, by
+    // family, plus the total. Medians and the headline total are
+    // unchanged in protocol.
     val coldTotal = coldByQ.map(_._2).sum
     val coldFams = coldByQ.groupBy { case (n, _) => family.getOrElse(n, "Other") }
       .map { case (f, qs2) => f -> qs2.map(_._2).sum }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The two public GPT-2 tokenizer stages the Ġ-convention encoder
-  * ([[MarkedBpeTokens]]'s role) previously approximated — now exact
+  * (the r12 `MarkedBpeTokens` encoder's role) previously approximated — now exact
   * (the r12 verdict's stated fidelity gaps, closed):
   *
   *  1. '''Pre-tokenization''' — GPT-2 splits text with the published

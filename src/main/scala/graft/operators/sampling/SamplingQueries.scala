@@ -50,7 +50,7 @@ object SamplingQueries extends QueryModule {
     pmod(pmod(id, lit(SplitMod)) * lit(Mult), lit(SplitMod))
 
   /** Same expression in DuckDB SQL (sign-normalized to match pmod). */
-  private def prioSql(id: String): String =
+  private[graft] def prioSql(id: String): String =
     s"((((($id % $SplitMod) + $SplitMod) % $SplitMod) * $Mult) % $SplitMod)"
 
   /** Documents plus their deterministic hash-split assignment. */

@@ -174,6 +174,11 @@ object GraphServe extends QueryModule {
   private val l1Memo = new graft.BoundedMemo[
     String, (DataFrame, Long, DataFrame, Option[DataFrame])](KnnGraph.MemoCap)
 
+  /** The query sample's entry-descent seed + its scored count, shared
+    * by every swept width (the descent is width-independent). */
+  private val seedMemo =
+    new graft.BoundedMemo[String, (DataFrame, Long)](KnnGraph.MemoCap)
+
   /** Deterministic query sample: ids ≡ mq−1 (mod mq), pinned once per dir. */
   private[graft] def qsFor(spark: SparkSession, dir: String): DataFrame =
     qsMemo.getOrElseUpdate(dir) {
@@ -317,8 +322,16 @@ object GraphServe extends QueryModule {
     val g = GraphIndex.finalGraph(spark, dir)
     val und = pinned(GraphIndex.und(g))
     val qs = qsFor(spark, dir)
-    val (seed, entryFrames) = descend(spark, dir, qs, emb, trace = pin)
-    val entryScored = if (pin) entryFrames.map(_.count()).sum else 0L
+    // the descent is width-independent by construction (fixed-width
+    // walk, per-width prefix cuts), so the memoized path shares ONE
+    // descent across the sweep's widths (r13 review); the fresh-replay
+    // bypass (pin = false) stays un-memoized
+    val (seed, entryScored) =
+      if (pin) seedMemo.getOrElseUpdate(dir) {
+        val (s, frames) = descend(spark, dir, qs, emb, trace = true)
+        (s.localCheckpoint(true), frames.map(_.count()).sum)
+      }
+      else (descend(spark, dir, qs, emb, trace = false)._1, 0L)
     // b0 = the caller's width cut of the fixed-width descent result
     val b0 = pinned(topPer(seed.withColumnRenamed("j", "node"), beam))
     val roundScored = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -156,11 +156,11 @@ object UmapLayout extends QueryModule {
 
   // ---------------------------------------------------------------- oracle
 
-  private def prioSql(expr: String): String = {
-    val m = SamplingQueries.SplitMod
-    val c = SamplingQueries.Mult
-    s"(((($expr) % $m + $m) % $m) * $c) % $m"
-  }
+  private def prioSql(expr: String): String =
+    // ONE definition of the hash replay; the composite must be
+    // parenthesized (SamplingQueries interpolates `$id % M` directly,
+    // and % binds tighter than the composite's +)
+    SamplingQueries.prioSql(s"($expr)")
 
   private def roundSql(r: Int): String = {
     val a = alpha(r)

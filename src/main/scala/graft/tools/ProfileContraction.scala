@@ -30,9 +30,13 @@ object ProfileContraction {
     val leader = (col("doc_id") - pmod(col("doc_id"), lit(GroupSize.toLong)))
     val leaders = docs.select(
       col("doc_id").as("lead_id"), col("text").as("lead_text"))
+    // LEFT join + fallback: a sparse/offset id space can compute a
+    // leader id that does not exist — such docs keep their own text
+    // instead of silently vanishing and skewing the timing ratios
+    // (r13 review); the measured share is re-probed afterwards anyway
     docs.withColumn("lead_id", when(sel, leader).otherwise(col("doc_id")))
-      .join(leaders, Seq("lead_id"))
-      .select(col("doc_id"), col("lead_text").as("text"))
+      .join(leaders, Seq("lead_id"), "left")
+      .select(col("doc_id"), coalesce(col("lead_text"), col("text")).as("text"))
   }
 
   private def timeIt(body: => Long): Double = {

@@ -124,8 +124,17 @@ object GraphAppendStream extends QueryModule {
     "q_graph_append_stream" -> (qGraphAppendStream _))
 
   /** Insertion beams of one micro-batch `t` over adjacency `und` with
-    * query set `qn$t` and entries `oent$t`, node embeddings scored from
-    * `src$t` — then the merged graph + restricted round → `gs$t`. */
+    * query set `qn$t`, entering through the PINNED hierarchy
+    * ([[GraphIndex.insertEntryCtes]]): members of the prefix corpus on
+    * the build-time stride (`sprm.se` from the shared
+    * [[GraphIndex.appendCtes]] chain — the engine reads the same value
+    * from meta), branch predicate = the BUILD's member count (the
+    * engine's l1edges-existence contract), and — on the walk branch —
+    * the INCREMENTALLY-grown layer state: batch 0 descends the build's
+    * exact subgraph (`und1a`), batch t>0 descends it plus every prior
+    * batch's member out-edges ([[layerStateCtes]], the engine's
+    * append-time l1edges rows). Then the merged graph + restricted
+    * round → `gs$t`. */
   private def streamBatchCtes(t: Int, prevGraph: String): String = {
     val rounds = (1 to GraphIndex.InsertRounds).map { r =>
       val prev = s"ib$t${r - 1}"
@@ -144,16 +153,13 @@ object GraphAppendStream extends QueryModule {
        |  WHERE ${BatchResidues.drop(t).map(r => s"id % 10 <> $r").mkString(" AND ")}),
        |sund$t AS MATERIALIZED (SELECT i, j FROM $prevGraph
        |  UNION SELECT j AS i, i AS j FROM $prevGraph),
-       |snn$t AS (SELECT count(*) AS n FROM src$t),
-       |sprm$t AS (SELECT ${GraphServe.upperModulusSql(s"SELECT n FROM snn$t")} AS se),
-       |oent$t AS (SELECT id AS j FROM src$t
-       |  WHERE ${GraphServe.entryPickSql("id", s"SELECT se FROM sprm$t")}),
-       |is${t}0 AS (SELECT qq.q, oent$t.j, round(list_cosine_similarity(qq.qv, s.v), 6) AS sim
-       |  FROM qn$t qq CROSS JOIN oent$t JOIN src$t s ON s.id = oent$t.j
-       |  WHERE oent$t.j <> qq.q),
-       |ib${t}0 AS MATERIALIZED (SELECT q, j, sim FROM (
-       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM is${t}0) WHERE rn <= ${GraphIndex.InsertBeam}),
+       |m1s$t AS MATERIALIZED (SELECT id, v FROM src$t
+       |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
+       |${if (t == 0) "" else layerStateCtes(t) + ",\n"}${
+          GraphIndex.insertEntryCtes(s"s$t", s"m1s$t", s"qn$t",
+          "SELECT se FROM sprm", "SELECT count(*) FROM m1a",
+          undRel = Some(if (t == 0) "und1a" else s"unds$t"))},
+       |ib${t}0 AS MATERIALIZED (SELECT q, j, sim FROM ibs${t}0),
        |${rounds.mkString(",\n")},
        |newe$t AS MATERIALIZED (SELECT q AS i, j, sim FROM (
        |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
@@ -177,6 +183,27 @@ object GraphAppendStream extends QueryModule {
        |    SELECT i, j, sim, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
        |    FROM mpool$t) WHERE rn <= ${GraphIndex.Degree})""".stripMargin
   }
+
+  /** The layer-1 edge state batch `t` descends (walk branch): the
+    * previous state (batch 1: the build's exact subgraph `l1ga`) plus
+    * batch t−1's new members' incremental out-edges — each new member's
+    * exact top-[[GraphServe.L1Degree]] against the members AFTER that
+    * batch (`m1s$t`), exactly the rows [[GraphIndex.append]] wrote into
+    * `l1edges` at that batch's commit. Dead (CASE-pruned) below the
+    * brute bar, like every walk CTE. */
+  private def layerStateCtes(t: Int): String =
+    s"""nm${t - 1} AS (SELECT id, v FROM fe WHERE id % 10 = ${BatchResidues(t - 1)}
+       |  AND ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
+       |nlp${t - 1} AS (SELECT a.id AS i, b.id AS j,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+       |  FROM nm${t - 1} a CROSS JOIN m1s$t b WHERE a.id <> b.id),
+       |nle${t - 1} AS (SELECT i, j FROM (
+       |    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |    FROM nlp${t - 1}) WHERE rn <= ${GraphServe.L1Degree}),
+       |st$t AS (SELECT i, j FROM ${if (t == 1) "l1ga" else s"st${t - 1}"}
+       |  UNION ALL SELECT i, j FROM nle${t - 1}),
+       |unds$t AS MATERIALIZED (SELECT i, j FROM st$t
+       |  UNION SELECT j AS i, i AS j FROM st$t)""".stripMargin
 
   private def phaseRow(ord: Int, name: String, g: String): String =
     s"""SELECT $ord AS phase_ord, '$name' AS phase,

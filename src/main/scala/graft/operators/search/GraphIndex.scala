@@ -93,15 +93,25 @@ object GraphIndex extends QueryModule {
     * guard survived arbitrarily many intervening ops, so
     * append(B) → delete(B's ids) → a GENUINE re-append of the same
     * content was misread as a crash replay and skipped its fold,
-    * leaving meta short by the batch — the r12 review finding). */
-  val BuildVersion = 7
+    * leaving meta short by the batch — the r12 review finding). v8:
+    * the entry HIERARCHY is part of the artifact (the full HNSW
+    * shape): meta pins the layer strides (`layer_se1`, `layer_se2` —
+    * immutable once built, like HNSW's per-node level assignment) and
+    * the build-time layer-1 size (`n1_build`, the walk/brute branch
+    * predicate); an `l1nodes` dataset holds every layer-1 member's
+    * (id, embedding) so the insert's entry phase never rescans the
+    * corpus to find entries, and — when the build-time layer exceeds
+    * [[GraphServe.L1BruteBar]] — an `l1edges` dataset persists the
+    * layer-1 navigation subgraph the insertion beams descend, closing
+    * the r13 survey's stated insert-path √n term. */
+  val BuildVersion = 8
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
       scored.withColumn("neg_sim", -col("sim")), Seq(keyCol), Seq("neg_sim", "j"), k)
       .select(col(keyCol), col("j"), col("sim"))
 
-  private[search] def und(g: DataFrame): DataFrame =
+  private[graft] def und(g: DataFrame): DataFrame =
     g.select(col("i"), col("j"))
       .union(g.select(col("j").as("i"), col("i").as("j")))
       .distinct()
@@ -138,9 +148,71 @@ object GraphIndex extends QueryModule {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/nodes")
     val (n, acc) = countAndAcc(emb)
+    // the persisted entry hierarchy (v8): strides pinned from the BUILD
+    // corpus, the member embeddings as their own bucketed dataset (the
+    // insert's entry phase reads √n rows of artifact instead of
+    // filter-scanning a 100 TB corpus per batch), and — above the
+    // measured brute bar — the layer-1 navigation subgraph
+    val se1 = GraphServe.upperModulus(n)
+    val m1 = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .localCheckpoint(true)
+    val n1 = m1.count()
+    val se2 = se1 * GraphServe.upperModulus(n1)
+    m1.select(col("vec_id").as("id"), col("embedding"))
+      .withColumn("bucket", pmod(col("id"), lit(NumBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/l1nodes")
+    if (n1 > GraphServe.L1BruteBar) writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
     // guard positions -1: no op has committed yet, so no (fp, seq)
     // probe can match a fresh build's slots
-    writeMeta(spark, indexPath, Meta(n, acc, 0L, -1L, 0L, -1L, 0L))
+    writeMeta(spark, indexPath, Meta(n, acc, 0L, -1L, 0L, -1L, 0L, se1, se2, n1))
+  }
+
+  private def writeLayerEdges(edges: DataFrame, indexPath: String): Unit =
+    edges.select(col("i"), col("j"), col("sim"))
+      .withColumn("bucket", pmod(col("i"), lit(NumBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/l1edges")
+
+  /** The live layer-1 member dataset (id, embedding) — every corpus
+    * vector with prio(id) ≡ 0 (mod the pinned se1), maintained
+    * incrementally by [[append]]/[[delete]]. √n-sized at build; grows
+    * linearly with the corpus thereafter (the pinned-stride contract —
+    * a rebuild re-pins, exactly like HNSW's fixed per-level share). */
+  private[search] def layerNodes(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/l1nodes").select(col("id"), col("embedding"))
+
+  /** The persisted layer-1 navigation subgraph (directed i, j, sim),
+    * or None while the build-time layer sat at or under
+    * [[GraphServe.L1BruteBar]] (the brute branch needs no subgraph).
+    * Old members' lists go stale as appends add members (they never
+    * re-rank against newcomers) — acceptable for NAVIGATION (the
+    * undirected view connects newcomers bidirectionally) and healed by
+    * [[materializeLayer]] or a rebuild, the same maintenance story as
+    * the base graph's [[optimize]]. */
+  private[search] def layerEdges(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$indexPath/l1edges")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)
+      .select(col("i"), col("j"), col("sim")))
+    else None
+  }
+
+  /** MAINTENANCE: (re)build the layer-1 subgraph over the CURRENT
+    * member set, exact top-[[GraphServe.L1Degree]] per member. For an
+    * artifact whose corpus outgrew the build-time brute bar through
+    * appends (the automatic path keeps brute entries until the layer is
+    * materialized — existence of `l1edges` IS the engine's branch), or
+    * to heal stale member lists after heavy ingest. One |members|² pair
+    * job ≈ one corpus-scan of work — a maintenance pass, never on the
+    * per-batch commit path. Drill oracles assume build-time
+    * materialization only; calling this mid-drill would fork the
+    * replayed branch. */
+  def materializeLayer(spark: SparkSession, indexPath: String): Unit = {
+    val m1 = layerNodes(spark, indexPath)
+      .select(col("id").as("vec_id"), col("embedding")).localCheckpoint(true)
+    writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
   }
 
   /** One (id, content hash) row per corpus vector — the rows the
@@ -207,13 +279,32 @@ object GraphIndex extends QueryModule {
     // any intervening commit the positions diverge and the fold runs
     val replay = m.lastA == fpB && m.lastASeq == m.seq
     val nOld = if (replay) m.n - cntB else m.n // pre-batch size either way
-    val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld, cntB)
+    // the PRE-batch hierarchy state: on a replay the batch's members may
+    // already sit in l1nodes/l1edges from the crashed attempt's swaps —
+    // subtract them back out so the replayed computation descends the
+    // same layers the crashed attempt did (the nOld discipline). The
+    // anti-joins are member-frame-sized, never a corpus scan, and only
+    // run on the replay branch.
+    val m1Live = layerNodes(spark, indexPath)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val batchIds = newEmb.select(col("vec_id"))
+    val m1Old = (if (replay) m1Live.join(batchIds, Seq("vec_id"), "left_anti")
+                 else m1Live).localCheckpoint(true)
+    val und1Old = layerEdges(spark, indexPath).map { le =>
+      val pre = if (!replay) le
+        else le.join(batchIds.select(col("vec_id").as("i")), Seq("i"), "left_anti")
+          .join(batchIds.select(col("vec_id").as("j")), Seq("j"), "left_anti")
+          .select(col("i"), col("j"), col("sim"))
+      und(pre).localCheckpoint(true)
+    }
+    val (gNew, changed) = appendedGraph(spark, gOld, oldEmb, newEmb, nOld, cntB,
+      LayerState(m1Old, m.se2, und1Old))
     val touched = changed
       .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq // ≤ NumBuckets values — driver-sized
     if (!replay)
       writeMeta(spark, indexPath, Meta(m.n + cntB, m.acc.add(accB),
-        fpB, m.seq + 1, m.lastD, m.lastDSeq, m.seq + 1))
+        fpB, m.seq + 1, m.lastD, m.lastDSeq, m.seq + 1, m.se1, m.se2, m.n1b))
     val batchNodes = nodesOf(newEmb).localCheckpoint(true)
     val touchedN = batchNodes
       .select(pmod(col("id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
@@ -224,6 +315,36 @@ object GraphIndex extends QueryModule {
       .filter(col("bucket").isin(touchedN.map(Long.box): _*)).select(col("id"), col("h"))
       .unionByName(batchNodes).dropDuplicates("id")
     swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
+    // hierarchy maintenance, O(batch-members × layer): batch vectors on
+    // the pinned se1 stride JOIN layer 1 (their embeddings into
+    // l1nodes; their exact top-L1Degree out-edges into l1edges when the
+    // walk layer is materialized). Existing members' lists are not
+    // re-ranked — navigation tolerates stale lists (und symmetrizes the
+    // new links), materializeLayer/rebuild heals. Replay converges: the
+    // recomputed rows equal the crashed attempt's and dropDuplicates
+    // absorbs the overlap.
+    val batchL1 = newEmb.filter(GraphServe.entryPick(col("vec_id"), m.se1))
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val touchedL1 = batchL1
+      .select(pmod(col("vec_id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (touchedL1.nonEmpty) {
+      val l1New = spark.read.parquet(s"$indexPath/l1nodes")
+        .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
+        .select(col("id"), col("embedding"))
+        .unionByName(batchL1.select(col("vec_id").as("id"), col("embedding")))
+        .dropDuplicates("id")
+      swapDataset(spark, indexPath, "l1nodes", "id", l1New, touchedL1)
+      if (und1Old.isDefined) {
+        val allM1 = m1Old.unionByName(batchL1)
+        val newL1Edges = GraphServe.l1OutEdges(batchL1, allM1)
+        val l1eNew = spark.read.parquet(s"$indexPath/l1edges")
+          .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
+          .select(col("i"), col("j"), col("sim"))
+          .unionByName(newL1Edges).dropDuplicates("i", "j")
+        swapDataset(spark, indexPath, "l1edges", "i", l1eNew, touchedL1)
+      }
+    }
     swapDataset(spark, indexPath, "edges", "i",
       gNew.select(col("i"), col("j"), col("sim")), touched)
   }
@@ -258,10 +379,17 @@ object GraphIndex extends QueryModule {
     * detection compares BOTH halves of a guard: content alone survives
     * intervening ops (the v7 finding), position alone collides across
     * indexes; together they pin "this exact batch was the op that
-    * committed last". */
+    * committed last". v8 adds the IMMUTABLE layer pins: `se1`/`se2`
+    * (the hierarchy's strides, fixed at build like HNSW's level
+    * assignment — layer membership must not shift wholesale as n
+    * drifts, or every persisted layer edge goes stale at once) and
+    * `n1b` (build-time layer-1 member count — the walk/brute branch
+    * predicate, a pure function of the build corpus so the oracle
+    * replays the branch from its own chain). */
   private[search] case class Meta(n: Long, acc: java.math.BigInteger,
                                   lastA: Long, lastASeq: Long,
-                                  lastD: Long, lastDSeq: Long, seq: Long)
+                                  lastD: Long, lastDSeq: Long, seq: Long,
+                                  se1: Long, se2: Long, n1b: Long)
 
   /** Commit the meta sidecar under a rename-aside swap: a bare
     * overwrite is delete-dir-then-write, so a crash mid-write would
@@ -288,10 +416,10 @@ object GraphIndex extends QueryModule {
     // the RAW accumulator travels as a string: exact, unbounded, and
     // immune to decimal-precision truncation at any corpus size
     Seq((m.n, Degree, KnnGraph.Rounds, BuildVersion, fold(m.acc), m.acc.toString,
-        m.lastA, m.lastASeq, m.lastD, m.lastDSeq, m.seq))
+        m.lastA, m.lastASeq, m.lastD, m.lastDSeq, m.seq, m.se1, m.se2, m.n1b))
       .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc",
         "last_append_fp", "last_append_seq", "last_delete_fp",
-        "last_delete_seq", "op_seq")
+        "last_delete_seq", "op_seq", "layer_se1", "layer_se2", "n1_build")
       .coalesce(1).write.mode("overwrite").parquet(fresh.toString)
     fs.delete(old, true)
     if (fs.exists(meta) && !fs.rename(meta, old))
@@ -332,7 +460,8 @@ object GraphIndex extends QueryModule {
     Meta(m.getAs[Long]("n"), new java.math.BigInteger(m.getAs[String]("fp_acc")),
       m.getAs[Long]("last_append_fp"), m.getAs[Long]("last_append_seq"),
       m.getAs[Long]("last_delete_fp"), m.getAs[Long]("last_delete_seq"),
-      m.getAs[Long]("op_seq"))
+      m.getAs[Long]("op_seq"), m.getAs[Long]("layer_se1"),
+      m.getAs[Long]("layer_se2"), m.getAs[Long]("n1_build"))
   }
 
   /** The live `nodes` sidecar (id, h, bucket). */
@@ -380,7 +509,7 @@ object GraphIndex extends QueryModule {
 
   /** The standard 1-hop candidate generator: each beam member expands
     * to its undirected neighbors. */
-  private[search] def hop1Gen(undAdj: DataFrame): DataFrame => DataFrame = b =>
+  private[graft] def hop1Gen(undAdj: DataFrame): DataFrame => DataFrame = b =>
     b.join(undAdj.select(col("i").as("j"), col("j").as("c")), Seq("j"))
       .select(col("q"), col("c").as("j")).distinct()
 
@@ -393,7 +522,7 @@ object GraphIndex extends QueryModule {
     * arm's scoring cost); when false (the serve/insert hot path) the
     * scored frames stream straight into the heap without an extra
     * materialization, exactly the old beamSearch plan. */
-  private[search] def beamKernel(queries: DataFrame, nodeEmb: DataFrame,
+  private[graft] def beamKernel(queries: DataFrame, nodeEmb: DataFrame,
                                  entries: DataFrame, beam: Int, rounds: Int,
                                  candGen: DataFrame => DataFrame,
                                  trace: Boolean): (DataFrame, Seq[DataFrame]) = {
@@ -421,7 +550,7 @@ object GraphIndex extends QueryModule {
     * this with seed = the scored global entry pairs. When `trace` is
     * set the seed and each round's scored frame are checkpointed and
     * returned (row counts = per-stage scoring cost). */
-  private[search] def beamKernelFrom(seed: DataFrame, queries: DataFrame,
+  private[graft] def beamKernelFrom(seed: DataFrame, queries: DataFrame,
                                      nodeEmb: DataFrame, beam: Int, rounds: Int,
                                      candGen: DataFrame => DataFrame,
                                      trace: Boolean): (DataFrame, Seq[DataFrame]) = {
@@ -450,26 +579,64 @@ object GraphIndex extends QueryModule {
     beamKernelFrom(seed, queries, nodeEmb, beam, rounds,
       hop1Gen(undAdj), trace = false)._1
 
+  /** The artifact's entry-hierarchy state at insert time: the layer-1
+    * members (vec_id, embedding — from `l1nodes`, PRE-batch on a
+    * replay), the pinned layer-2 stride, and the layer-1 navigation
+    * subgraph's undirected view when materialized (the walk branch —
+    * None keeps the one-stage brute entry, bit-for-bit the v7 path). */
+  private[graft] case class LayerState(m1: DataFrame, se2: Long,
+                                        und1: Option[DataFrame])
+
+  /** The insertion beams' entry SEED — the [[GraphServe.descend]]
+    * geometry over the ARTIFACT's persisted hierarchy instead of the
+    * serve's in-session memo, closing the one insert-path term that
+    * grew with corpus size (the old entry brute-scored each new vector
+    * against all ~√n layer members; at 10⁹ nodes that was ~31.6k
+    * scorings per INSERTED vector — the descent bounds it at
+    * ~n^(1/4) + L1Rounds·beam·deg, same as the serve). Brute branch:
+    * one stage scoring every query against the whole layer (row-exact
+    * the pre-v8 entry). Walk branch: the layer-2 sub-stride members
+    * brute-scored, then [[GraphServe.L1Rounds]] beam rounds over the
+    * persisted layer-1 subgraph. BOTH branches score against the
+    * member embeddings from `l1nodes` — the entry phase reads ZERO
+    * corpus rows, where the v7 entry filter-scanned the whole corpus
+    * per batch to find its entry set. Cut at the fixed upper-layer
+    * width ([[GraphServe.Beam]] = [[InsertBeam]]), HNSW's shape. */
+  private[graft] def insertSeed(queries: DataFrame, layer: LayerState): DataFrame = {
+    val m1e = layer.m1
+    val b = layer.und1 match {
+      case None =>
+        beamKernel(queries, m1e, m1e.select(col("vec_id").as("j")),
+          GraphServe.Beam, 0, identity, trace = false)._1
+      case Some(u1) =>
+        val m2 = m1e.filter(GraphServe.entryPick(col("vec_id"), layer.se2))
+          .select(col("vec_id").as("j"))
+        beamKernel(queries, m1e, m2, GraphServe.Beam,
+          GraphServe.L1Rounds, hop1Gen(u1), trace = false)._1
+    }
+    b.select(col("q"), col("j"), col("sim"))
+  }
+
   /** The append COMPUTE (shared by [[append]] and the replay spec):
     * returns (full new edge list, changed-node frame). `nOld` comes
     * from the artifact's meta and `cntB` from the caller's one batch
     * scan (not counts over the corpus frames — the commit path stays
     * O(batch) in driver-forced actions, including the scoring-tier
-    * inputs below). */
+    * inputs below); `layer` is the artifact's pre-batch entry
+    * hierarchy ([[LayerState]]). */
   private[search] def appendedGraph(spark: SparkSession, gOld: DataFrame,
                                     oldEmb: DataFrame, newEmb: DataFrame,
-                                    nOld: Long, cntB: Long): (DataFrame, DataFrame) = {
-    val se = GraphServe.upperModulus(nOld)
+                                    nOld: Long, cntB: Long,
+                                    layer: LayerState): (DataFrame, DataFrame) = {
     val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
     // phase 1: insertion beam over the old graph, entering through the
-    // √n upper layer (GraphServe.upperModulus — the HNSW insert descends
-    // the same hierarchy the serve does) ------------------------------
-    val entries = oldEmb.filter(GraphServe.entryPick(col("vec_id"), se))
-      .select(col("vec_id").as("j"))
+    // artifact's persisted hierarchy (the HNSW insert descends the same
+    // layers the serve does) ------------------------------------------
     val oldUnd = und(gOld).localCheckpoint(true)
     // the final beam is already ranked (sim DESC, j) — its top-K prefix
     // IS the adopted neighbor list
-    val bFinal = beamSearch(qs, oldUnd, oldEmb, entries, InsertBeam, InsertRounds)
+    val bFinal = beamSearchFrom(insertSeed(qs, layer), qs, oldUnd, oldEmb,
+      InsertBeam, InsertRounds)
     val newEdges = bFinal.filter(col("rk") <= Degree)
       .select(col("q").as("i"), col("j"), col("sim"))
     // phase 2: one descent round through the new neighborhoods --------
@@ -614,10 +781,44 @@ object GraphIndex extends QueryModule {
       // made a replayed upsert double-fold the append batch — the r11
       // review's top finding)
       writeMeta(spark, indexPath, Meta(nMeta - rD.getLong(0),
-        accOld.subtract(accD), m.lastA, m.lastASeq, fpD, m.seq + 1, m.seq + 1))
+        accOld.subtract(accD), m.lastA, m.lastASeq, fpD, m.seq + 1, m.seq + 1,
+        m.se1, m.se2, m.n1b))
     }
     val nodesNew = sidecar.join(ids.select(col("vec_id").as("id")), Seq("id"), "left_anti")
     swapDataset(spark, indexPath, "nodes", "id", nodesNew, touchedN)
+    // hierarchy maintenance: drop deleted members from l1nodes, and —
+    // when the walk layer is materialized — every layer edge touching a
+    // deleted member (both directions: the in-edge sources are found by
+    // one scan of the member-sized edge list, never the corpus).
+    // Surviving members keep shortened lists; navigation tolerates it
+    // and materializeLayer/rebuild heals (the layerEdges contract).
+    val delL1 = ids.filter(GraphServe.entryPick(col("vec_id"), m.se1))
+      .localCheckpoint(true)
+    val touchedL1 = delL1
+      .select(pmod(col("vec_id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    if (touchedL1.nonEmpty) {
+      val l1Surv = spark.read.parquet(s"$indexPath/l1nodes")
+        .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
+        .select(col("id"), col("embedding"))
+        .join(delL1.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+      swapDataset(spark, indexPath, "l1nodes", "id", l1Surv, touchedL1)
+      layerEdges(spark, indexPath).foreach { le =>
+        // sources that point AT a deleted member — their buckets are
+        // rewritten too (the in-edge side)
+        val degradedSrc = le
+          .join(delL1.select(col("vec_id").as("j")), Seq("j"), "left_semi")
+          .select(col("i")).distinct()
+        val touchedE = (degradedSrc.unionByName(delL1.select(col("vec_id").as("i")))
+          .select(pmod(col("i"), lit(NumBuckets.toLong)).as("bucket")).distinct()
+          .collect().map(_.getLong(0)).toSet ++ touchedL1).toSeq.sorted
+        val leSurv = le
+          .join(delL1.select(col("vec_id").as("i")), Seq("i"), "left_anti")
+          .join(delL1.select(col("vec_id").as("j")), Seq("j"), "left_anti")
+          .select(col("i"), col("j"), col("sim"))
+        swapDataset(spark, indexPath, "l1edges", "i", leSurv, touchedE)
+      }
+    }
     swapDataset(spark, indexPath, "edges", "i", gNew, touched)
   }
 
@@ -705,8 +906,14 @@ object GraphIndex extends QueryModule {
     * + one shuffle keyed by bucket per dataset, whole-directory swap
     * via two renames (run without concurrent readers; see the
     * IvfIndex.compact scaladoc for the object-store manifest variant). */
-  def compact(spark: SparkSession, indexPath: String): Unit =
-    Seq("edges", "nodes").foreach(compactDataset(spark, indexPath, _))
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    // l1edges only exists on walk-branch artifacts (layerEdges contract)
+    val datasets = Seq("edges", "nodes", "l1nodes") ++
+      (if (fs.exists(new Path(s"$indexPath/l1edges"))) Seq("l1edges") else Nil)
+    datasets.foreach(compactDataset(spark, indexPath, _))
+  }
 
   private def compactDataset(spark: SparkSession, indexPath: String,
                              dataset: String): Unit = {
@@ -978,9 +1185,66 @@ object GraphIndex extends QueryModule {
        |    FROM ip$r) WHERE rn <= $InsertBeam)""".stripMargin
   }
 
+  /** The insert-entry hierarchy over one member relation `m1` for query
+    * frame `qsTbl`, CTE names suffixed `sfx`: member count, pinned
+    * layer-2 sub-stride (se2 = se1 · upperModulus(|members|) — for the
+    * DRILL artifacts |members at build| IS the member count of the old
+    * chain, so the pinned value replays from the chain itself), the
+    * layer-1 exact-kNN subgraph, the layer-2 entry scores, the descent
+    * rounds, and the branch-selected top-[[InsertBeam]] seed
+    * `ib<sfx>0` (brute below [[GraphServe.L1BruteBar]] — row-exact
+    * the pre-v8 entry — else the walk; the engine's branch is `l1edges`
+    * existence, decided at build by the same count predicate). */
+  private[search] def insertEntryCtes(sfx: String, m1: String,
+                                      qsTbl: String, se1Sql: String,
+                                      n1bSql: String,
+                                      undRel: Option[String] = None): String = {
+    import GraphServe.{L1BruteBar, L1Degree, entryPickSql, upperModulusSql}
+    val undName = undRel.getOrElse(s"und1$sfx")
+    // the exact layer-1 subgraph over `m1` — the BUILD-time state; a
+    // caller replaying a LATER batch passes the incrementally-grown
+    // state instead (undRel), exactly what the engine's l1edges holds
+    val subgraph = if (undRel.isDefined) "" else
+      s"""l1p$sfx AS (SELECT a.id AS i, b.id AS j,
+         |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |  FROM $m1 a CROSS JOIN $m1 b WHERE a.id <> b.id),
+         |l1g$sfx AS (SELECT i, j FROM (
+         |    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+         |    FROM l1p$sfx) WHERE rn <= $L1Degree),
+         |und1$sfx AS MATERIALIZED (SELECT i, j FROM l1g$sfx
+         |  UNION SELECT j AS i, i AS j FROM l1g$sfx),
+         |""".stripMargin
+    s"""l1n$sfx AS (SELECT CAST(($n1bSql) AS BIGINT) AS n1),
+       |u2prm$sfx AS (SELECT ($se1Sql) * ${upperModulusSql(n1bSql)} AS se2),
+       |ent2$sfx AS (SELECT id AS j FROM $m1
+       |  WHERE ${entryPickSql("id", s"SELECT se2 FROM u2prm$sfx")}),
+       |${subgraph}isb$sfx AS (SELECT $qsTbl.q, $m1.id AS j,
+       |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
+       |  FROM $qsTbl CROSS JOIN $m1 WHERE $m1.id <> $qsTbl.q),
+       |es2$sfx AS MATERIALIZED (SELECT $qsTbl.q, ent2$sfx.j,
+       |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
+       |  FROM $qsTbl CROSS JOIN ent2$sfx JOIN $m1 ON $m1.id = ent2$sfx.j
+       |  WHERE ent2$sfx.j <> $qsTbl.q),
+       |${GraphServe.descentCtes(sfx, esName = s"es2$sfx", tbl = m1,
+          idc = "id", vc = "v", qsTbl = qsTbl, undTbl = undName,
+          nodeCol = "j")},
+       |ib${sfx}0 AS MATERIALIZED (
+       |  SELECT q, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM isb$sfx) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) <= $L1BruteBar
+       |  UNION ALL
+       |  SELECT q, j, sim FROM (
+       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+       |    FROM lb$sfx${GraphServe.L1Rounds}) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) > $L1BruteBar)""".stripMargin
+  }
+
   /** The shared append replay: old chain (prefix `o`), insertion beams,
     * merged graph + one restricted descent round → `gapp`. Shared with
-    * [[GraphAppendStream]]'s oracle (the one-shot arm). */
+    * [[GraphAppendStream]]'s oracle (the one-shot arm). The insertion
+    * beams enter through the persisted hierarchy ([[insertEntryCtes]];
+    * `sprm.se` is the pinned build-time stride — in this drill the
+    * build corpus IS the old chain, so it replays as
+    * upperModulus(|old|)). */
   private[search] def appendCtes: String =
     s"""${KnnGraph.graphCtePrefixWhere(s"vec_id % $AppendMod <> $NewResidue", "o")},
        |fe AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -988,12 +1252,11 @@ object GraphIndex extends QueryModule {
        |ound AS MATERIALIZED (SELECT i, j FROM og${KnnGraph.Rounds}
        |  UNION SELECT j AS i, i AS j FROM og${KnnGraph.Rounds}),
        |sprm AS (SELECT ${GraphServe.upperModulusSql("SELECT n FROM oprm")} AS se),
-       |oent AS (SELECT id AS j FROM oe WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
-       |is0 AS (SELECT qn.q, oent.j, round(list_cosine_similarity(qn.qv, oe.v), 6) AS sim
-       |  FROM qn CROSS JOIN oent JOIN oe ON oe.id = oent.j WHERE oent.j <> qn.q),
-       |ib0 AS MATERIALIZED (SELECT q, j, sim FROM (
-       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM is0) WHERE rn <= $InsertBeam),
+       |m1a AS MATERIALIZED (SELECT id, v FROM oe
+       |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
+       |${insertEntryCtes("a", "m1a", "qn", "SELECT se FROM sprm",
+          "SELECT count(*) FROM m1a")},
+       |ib0 AS MATERIALIZED (SELECT q, j, sim FROM iba0),
        |${(1 to InsertRounds).map(insertCtes).mkString(",\n")},
        |newe AS MATERIALIZED (SELECT q AS i, j, sim FROM (
        |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn

@@ -134,11 +134,11 @@ object GraphServe extends QueryModule {
     * ids. Pure map-side filter (no global sort) and exact BIGINT
     * arithmetic in both engines. Layer 2 uses se1·u2, so its members
     * nest inside layer 1 by construction. */
-  private[search] def entryPick(id: Column, se: Long): Column =
+  private[graft] def entryPick(id: Column, se: Long): Column =
     graft.operators.sampling.SamplingQueries.prio(id) % lit(se) === 0
 
   /** The same predicate in DuckDB SQL (sign-normalized like pmod). */
-  private[search] def entryPickSql(idSql: String, seSql: String): String = {
+  private[graft] def entryPickSql(idSql: String, seSql: String): String = {
     val m = graft.operators.sampling.SamplingQueries.SplitMod
     val c = graft.operators.sampling.SamplingQueries.Mult
     s"((((($idSql % $m) + $m) % $m) * $c) % $m) % ($seSql) = 0"
@@ -225,20 +225,30 @@ object GraphServe extends QueryModule {
       val se2 = se1 * u2
       val m2 = m1.filter(entryPick(col("vec_id"), se2))
         .select(col("vec_id").as("j")).localCheckpoint(true)
-      val und1 = if (n1 <= L1BruteBar) None else Some {
-        val pairs = m1.select(col("vec_id").as("i"), col("embedding").as("vi"))
-          .crossJoin(broadcast(
-            m1.select(col("vec_id").as("j"), col("embedding").as("vj"))))
-          .filter(col("i") =!= col("j"))
-          .select(col("i"), col("j"),
-            round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
-        val l1g = graft.plans.TopKPerGroup(
-          pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
-          L1Degree).select(col("i"), col("j"))
-        GraphIndex.und(l1g).localCheckpoint(true)
-      }
+      val und1 = if (n1 <= L1BruteBar) None
+        else Some(GraphIndex.und(l1OutEdges(m1, m1)).localCheckpoint(true))
       (m1, n1, m2, und1)
     }
+
+  /** Exact top-[[L1Degree]] out-edges of each `src` member against the
+    * `dst` member set (self excluded) — the layer-1 subgraph kernel,
+    * shared by the serve's in-session layer ([[l1Layer]]), the
+    * artifact's persisted layer ([[GraphIndex.build]]), and the
+    * incremental member additions on append. `dst` is broadcast (the
+    * member set is ~√n of the corpus — a few MB of (id, vector) rows
+    * even at 10⁹ nodes; at 10¹¹+ swap in an NN-descent build over the
+    * members, the [[KnnGraph]] kernel). Returns DIRECTED (i, j, sim). */
+  private[graft] def l1OutEdges(src: DataFrame, dst: DataFrame): DataFrame = {
+    val pairs = src.select(col("vec_id").as("i"), col("embedding").as("vi"))
+      .crossJoin(broadcast(
+        dst.select(col("vec_id").as("j"), col("embedding").as("vj"))))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
+    graft.plans.TopKPerGroup(
+      pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
+      L1Degree).select(col("i"), col("j"), col("sim"))
+  }
 
   /** The entry DESCENT for an arbitrary query frame (q, qv): below the
     * brute bar, ONE stage brute-scoring all of layer 1 (exactly the r12
@@ -450,23 +460,26 @@ object GraphServe extends QueryModule {
     * it ([[seedCutCte]]). */
   private[search] def descentCtes(sfx: String,
                                   esName: String = "es2", tbl: String = "e",
-                                  idc: String = "id", vc: String = "v"): String = {
+                                  idc: String = "id", vc: String = "v",
+                                  qsTbl: String = "qs", undTbl: String = "und1",
+                                  nodeCol: String = "node"): String = {
+    val nc = nodeCol
     val rounds = (1 to L1Rounds).map { r =>
       val prev = s"lb$sfx${r - 1}"
-      s"""lbc$sfx$r AS (SELECT DISTINCT p.q, u.j AS node FROM $prev p
-         |  JOIN und1 u ON u.i = p.node),
-         |lbs$sfx$r AS (SELECT p.q, p.node,
-         |    round(list_cosine_similarity(qs.qv, $tbl.$vc), 6) AS sim
-         |  FROM lbc$sfx$r p JOIN $tbl ON $tbl.$idc = p.node JOIN qs ON qs.q = p.q
-         |  WHERE p.node <> p.q),
-         |lbp$sfx$r AS (SELECT q, node, sim FROM lbs$sfx$r
-         |  UNION SELECT q, node, sim FROM $prev),
-         |lb$sfx$r AS MATERIALIZED (SELECT q, node, sim FROM (
-         |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+      s"""lbc$sfx$r AS (SELECT DISTINCT p.q, u.j AS $nc FROM $prev p
+         |  JOIN $undTbl u ON u.i = p.$nc),
+         |lbs$sfx$r AS (SELECT p.q, p.$nc,
+         |    round(list_cosine_similarity($qsTbl.qv, $tbl.$vc), 6) AS sim
+         |  FROM lbc$sfx$r p JOIN $tbl ON $tbl.$idc = p.$nc JOIN $qsTbl ON $qsTbl.q = p.q
+         |  WHERE p.$nc <> p.q),
+         |lbp$sfx$r AS (SELECT q, $nc, sim FROM lbs$sfx$r
+         |  UNION SELECT q, $nc, sim FROM $prev),
+         |lb$sfx$r AS MATERIALIZED (SELECT q, $nc, sim FROM (
+         |    SELECT q, $nc, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, $nc) AS rn
          |    FROM lbp$sfx$r) WHERE rn <= $Beam)""".stripMargin
     }
-    s"""lb${sfx}0 AS MATERIALIZED (SELECT q, node, sim FROM (
-       |    SELECT q, node, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, node) AS rn
+    s"""lb${sfx}0 AS MATERIALIZED (SELECT q, $nc, sim FROM (
+       |    SELECT q, $nc, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, $nc) AS rn
        |    FROM $esName) WHERE rn <= $Beam),
        |${rounds.mkString(",\n")}""".stripMargin
   }

@@ -1,0 +1,148 @@
+package graft.operators.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws of the v8 persisted entry hierarchy (meta-pinned strides,
+  * `l1nodes` member dataset, `l1edges` navigation subgraph) and of the
+  * WALK-branch insert path it enables. The drill corpora sit below
+  * [[GraphServe.L1BruteBar]] (brute branch, bit-exact the v7 entry), so
+  * the walk branch is forced here through [[GraphIndex.materializeLayer]]
+  * — the explicit maintenance API — on a second artifact built from the
+  * SAME inputs, and the two appends are compared. */
+class GraphLayerSpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables.embeddings(spark, SfDir)
+    .select(col("vec_id"), col("embedding"))
+  private lazy val oldEmb =
+    emb.filter(col("vec_id") % GraphIndex.AppendMod =!= GraphIndex.NewResidue)
+  private lazy val newEmb =
+    emb.filter(col("vec_id") % GraphIndex.AppendMod === GraphIndex.NewResidue)
+  private lazy val gOld = KnnGraph.nnDescentRounds(oldEmb,
+    s"$SfDir#old${GraphIndex.AppendMod}${GraphIndex.NewResidue}",
+    GraphIndex.Degree, KnnGraph.Rounds).last
+
+  /** Brute-branch artifact (never materialized) and walk-branch artifact
+    * (layer materialized before the append) — same build inputs. */
+  private lazy val (idxBrute, idxWalk) = {
+    val a = java.nio.file.Files.createTempDirectory("graft_layer_brute").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_layer_walk").toString
+    GraphIndex.build(spark, a, gOld, oldEmb)
+    GraphIndex.build(spark, b, gOld, oldEmb)
+    GraphIndex.materializeLayer(spark, b)
+    GraphIndex.append(spark, a, oldEmb, newEmb)
+    GraphIndex.append(spark, b, oldEmb, newEmb)
+    (a, b)
+  }
+
+  private def meta(idx: String) = spark.read.parquet(s"$idx/meta").head()
+
+  private def edgeSet(idx: String): Set[(Long, Long)] =
+    GraphIndex.edges(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("meta pins the hierarchy: se1 from the build corpus, se2 nested, n1_build = the member count") {
+    val m = meta(idxBrute)
+    val nOld = oldEmb.count()
+    val se1 = m.getAs[Long]("layer_se1")
+    assert(se1 === GraphServe.upperModulus(nOld))
+    val members = oldEmb.filter(GraphServe.entryPick(col("vec_id"), se1)).count()
+    assert(m.getAs[Long]("n1_build") === members)
+    assert(m.getAs[Long]("layer_se2") === se1 * GraphServe.upperModulus(members))
+  }
+
+  test("l1nodes tracks exactly the pinned-stride members through append") {
+    val m = meta(idxBrute)
+    val se1 = m.getAs[Long]("layer_se1")
+    val expect = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = GraphIndex.layerNodes(spark, idxBrute)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === expect,
+      "l1nodes diverged from {id in corpus : prio(id) % se1 == 0} after append")
+    assert(expect.nonEmpty, "degenerate test: no layer members at all")
+  }
+
+  test("the brute-branch artifact has no l1edges; the materialized one persists exact member out-edges") {
+    assert(GraphIndex.layerEdges(spark, idxBrute).isEmpty,
+      "below-bar build materialized a layer subgraph")
+    val le = GraphIndex.layerEdges(spark, idxWalk).get.collect()
+    assert(le.nonEmpty)
+    assert(le.forall(r => r.getLong(0) != r.getLong(1)), "self-loop layer edge")
+    val se1 = meta(idxWalk).getAs[Long]("layer_se1")
+    val memberIds = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(le.forall(r => memberIds(r.getLong(0)) && memberIds(r.getLong(1))),
+      "a layer edge touches a non-member")
+    val deg = le.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= GraphServe.L1Degree)
+    // every CURRENT member is a source: the materialize pass covered the
+    // build members and the append added the batch members' out-edges
+    assert(le.map(_.getLong(0)).toSet === memberIds,
+      "a member has no layer out-edges after the walk-branch append")
+  }
+
+  test("the walk-branch append stays in the brute-branch append's recall class") {
+    val gB = edgeSet(idxBrute)
+    val gW = edgeSet(idxWalk)
+    // both are valid top-Degree graphs over the full corpus
+    val n = emb.count()
+    for ((g, name) <- Seq((gB, "brute"), (gW, "walk"))) {
+      assert(g.map(_._1).size.toLong > 0)
+      assert(g.forall { case (i, j) => i != j }, s"$name: self-loop")
+      assert(g.groupBy(_._1).keySet.size.toLong === n, s"$name: node not indexed")
+      assert(g.groupBy(_._1).map(_._2.size).max <= GraphIndex.Degree)
+    }
+    val m = KnnGraph.evalModulus(n, GraphIndex.AppendMod)
+    val ev = emb.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i"), col("embedding").as("emb_i"))
+    val exact = GraphIndex.exactTopK(emb, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(g: Set[(Long, Long)]): Double =
+      g.count(exact).toDouble / exact.size
+    val (rB, rW) = (recall(gB), recall(gW))
+    assert(rW >= rB - 0.05,
+      s"walk-branch append recall $rW trails brute-branch $rB — the descent is not finding the entry region")
+  }
+
+  test("a replayed walk-branch append converges: meta, l1nodes, and l1edges all unchanged") {
+    edgeSet(idxWalk) // force the shared fixture
+    val mBefore = meta(idxWalk)
+    val nodesBefore = GraphIndex.layerNodes(spark, idxWalk)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val edgesBefore = GraphIndex.layerEdges(spark, idxWalk).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    GraphIndex.append(spark, idxWalk, oldEmb, newEmb) // the replay
+    assert(meta(idxWalk).getAs[Long]("n") === mBefore.getAs[Long]("n"))
+    assert(meta(idxWalk).getAs[String]("fp_acc") === mBefore.getAs[String]("fp_acc"))
+    val nodesAfter = GraphIndex.layerNodes(spark, idxWalk)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(nodesAfter === nodesBefore, "replay drifted l1nodes")
+    val edgesAfter = GraphIndex.layerEdges(spark, idxWalk).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(edgesAfter === edgesBefore, "replay drifted l1edges")
+  }
+
+  test("delete removes members and every layer edge touching them") {
+    // fresh artifact: the walk fixture above stays pristine for the
+    // other tests' laziness order
+    val idx = java.nio.file.Files.createTempDirectory("graft_layer_del").toString
+    val g = GraphIndex.finalGraph(spark, SfDir)
+    GraphIndex.build(spark, idx, g, emb)
+    GraphIndex.materializeLayer(spark, idx)
+    val DelMod = 3
+    val delIds = emb.filter(col("vec_id") % DelMod === 0).select(col("vec_id"))
+    val surv = emb.filter(col("vec_id") % DelMod =!= 0)
+    val deleted = delIds.collect().map(_.getLong(0)).toSet
+    GraphIndex.delete(spark, idx, delIds, surv)
+    val se1 = meta(idx).getAs[Long]("layer_se1")
+    val expect = surv.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = GraphIndex.layerNodes(spark, idx)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === expect, "l1nodes not pruned to the survivor members")
+    val le = GraphIndex.layerEdges(spark, idx).get.collect()
+    assert(le.forall(r => !deleted(r.getLong(0)) && !deleted(r.getLong(1))),
+      "a layer edge still touches a deleted member")
+  }
+}

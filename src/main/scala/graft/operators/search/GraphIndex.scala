@@ -1146,11 +1146,19 @@ object GraphIndex extends QueryModule {
     * reciprocal-edge share (descent symmetrizes neighborhoods, so low
     * reciprocity flags a half-converged build), isolated nodes (corpus
     * vectors with NO out-edges — unreachable as sources; a delete can
-    * strand them). Exact integers + two rounded ratios, one row. */
+    * strand them), plus the v8 HIERARCHY surface: layer-1 member count,
+    * whether the walk layer is materialized (the brute-bar branch), and
+    * the persisted navigation-subgraph row count — read from the LIVE
+    * artifact datasets, so post-ingest drift (members added faster than
+    * the pinned share, stale lists) shows up here first. Exact integers
+    * + two rounded ratios, one row. */
   def qGraphStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
     val g = finalGraph(spark, dir)
+    val idx = artifactPath(dir)
+    val nL1 = layerNodes(spark, idx).count()
+    val nL1Edges = layerEdges(spark, idx).map(_.count()).getOrElse(0L)
     val deg = g.groupBy("i").agg(count(lit(1)).as("d"))
     val degStats = deg.agg(
       count(lit(1)).as("n_indexed"), min(col("d")).as("min_degree"),
@@ -1163,7 +1171,10 @@ object GraphIndex extends QueryModule {
       (lit(n) - col("n_indexed")).as("isolated_nodes"),
       col("n_edges"), col("min_degree"), col("max_degree"),
       round(col("n_edges").cast("double") / col("n_indexed"), 6).as("avg_degree"),
-      round(col("n_recip").cast("double") / col("n_edges"), 6).as("reciprocal_share"))
+      round(col("n_recip").cast("double") / col("n_edges"), 6).as("reciprocal_share"),
+      lit(nL1).as("n_l1"),
+      lit(if (nL1Edges > 0) 1L else 0L).as("layer_walk"),
+      lit(nL1Edges).as("n_l1_edges"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1311,7 +1322,10 @@ object GraphIndex extends QueryModule {
          |ds AS (SELECT count(*) AS n_indexed, min(d) AS min_degree,
          |    max(d) AS max_degree, sum(d) AS n_edges FROM deg),
          |rc AS (SELECT count(*) AS n_recip FROM g a
-         |  WHERE EXISTS (SELECT 1 FROM g b WHERE b.i = a.j AND b.j = a.i))
+         |  WHERE EXISTS (SELECT 1 FROM g b WHERE b.i = a.j AND b.j = a.i)),
+         |sprm AS (SELECT ${GraphServe.upperModulusSql("SELECT n FROM prm")} AS se),
+         |l1 AS (SELECT count(*) AS n1 FROM e
+         |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")})
          |SELECT (SELECT n FROM prm) AS n_vectors,
          |  CAST(ds.n_indexed AS BIGINT) AS n_indexed,
          |  (SELECT n FROM prm) - ds.n_indexed AS isolated_nodes,
@@ -1319,6 +1333,11 @@ object GraphIndex extends QueryModule {
          |  CAST(ds.min_degree AS BIGINT) AS min_degree,
          |  CAST(ds.max_degree AS BIGINT) AS max_degree,
          |  round(CAST(ds.n_edges AS DOUBLE) / ds.n_indexed, 6) AS avg_degree,
-         |  round(CAST(rc.n_recip AS DOUBLE) / ds.n_edges, 6) AS reciprocal_share
-         |FROM ds, rc""".stripMargin)
+         |  round(CAST(rc.n_recip AS DOUBLE) / ds.n_edges, 6) AS reciprocal_share,
+         |  l1.n1 AS n_l1,
+         |  CASE WHEN l1.n1 > ${GraphServe.L1BruteBar} THEN 1 ELSE 0 END AS layer_walk,
+         |  CASE WHEN l1.n1 > ${GraphServe.L1BruteBar}
+         |       THEN l1.n1 * least(${GraphServe.L1Degree}, l1.n1 - 1)
+         |       ELSE 0 END AS n_l1_edges
+         |FROM ds, rc, l1""".stripMargin)
 }

@@ -91,5 +91,18 @@ class GraphIndexSpec extends SparkSpec {
     assert(r.getAs[Long]("min_degree") >= 1)
     val share = r.getAs[Double]("reciprocal_share")
     assert(share > 0.0 && share <= 1.0)
+    // the v8 hierarchy surface: member count matches the pinned stride,
+    // and the walk/edge columns follow the brute-bar contract
+    val emb = graft.Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding"))
+    val se1 = GraphServe.upperModulus(emb.count())
+    assert(r.getAs[Long]("n_l1") ===
+      emb.filter(GraphServe.entryPick(col("vec_id"), se1)).count())
+    val walk = r.getAs[Long]("layer_walk")
+    assert(walk === (if (r.getAs[Long]("n_l1") > GraphServe.L1BruteBar) 1L else 0L))
+    assert(r.getAs[Long]("n_l1_edges") ===
+      (if (walk == 1L)
+        r.getAs[Long]("n_l1") * math.min(GraphServe.L1Degree, r.getAs[Long]("n_l1") - 1)
+      else 0L))
   }
 }

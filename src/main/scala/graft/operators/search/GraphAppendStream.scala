@@ -153,11 +153,12 @@ object GraphAppendStream extends QueryModule {
        |  WHERE ${BatchResidues.drop(t).map(r => s"id % 10 <> $r").mkString(" AND ")}),
        |sund$t AS MATERIALIZED (SELECT i, j FROM $prevGraph
        |  UNION SELECT j AS i, i AS j FROM $prevGraph),
-       |m1s$t AS MATERIALIZED (SELECT id, v FROM src$t
+       |${if (t == 0) "" // src0 = the old chain: its member set IS m1a
+          else s"""m1s$t AS MATERIALIZED (SELECT id, v FROM src$t
        |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
-       |${if (t == 0) "" else layerStateCtes(t) + ",\n"}${
-          GraphIndex.insertEntryCtes(s"s$t", s"m1s$t", s"qn$t",
-          "SELECT se FROM sprm", "SELECT count(*) FROM m1a",
+       |${layerStateCtes(t)},\n"""}${
+          GraphIndex.insertEntryCtes(s"s$t", if (t == 0) "m1a" else s"m1s$t",
+          s"qn$t", "SELECT se FROM sprm", "SELECT count(*) FROM m1a",
           undRel = Some(if (t == 0) "und1a" else s"unds$t"))},
        |ib${t}0 AS MATERIALIZED (SELECT q, j, sim FROM ibs${t}0),
        |${rounds.mkString(",\n")},

@@ -162,6 +162,18 @@ object GraphIndex extends QueryModule {
       .withColumn("bucket", pmod(col("id"), lit(NumBuckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/l1nodes")
+    // a PRE-EXISTING l1edges (in-place rebuild over a corpus that
+    // shrank below the bar) must not survive: it would put the engine
+    // on the walk branch while the oracle's build-count predicate takes
+    // brute, and its stale member ids point nowhere (the r13 review) —
+    // clear it and any crashed-swap litter before the conditional write
+    locally {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("l1edges", "l1edges_appending", "l1edges_app_old",
+        "l1edges_compacting", "l1edges_old")
+        .foreach(d => fs.delete(new Path(s"$indexPath/$d"), true))
+    }
     if (n1 > GraphServe.L1BruteBar) writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
     // guard positions -1: no op has committed yet, so no (fp, seq)
     // probe can match a fresh build's slots
@@ -174,13 +186,42 @@ object GraphIndex extends QueryModule {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/l1edges")
 
+  /** Explicit dataset schemas: an EMPTY layer (possible on small
+    * corpora — membership is a hash stride with no floor — or after a
+    * delete drains every member) writes zero parquet files, and a
+    * schema-inferring read of such a directory throws instead of
+    * returning the empty frame v7's entry handling tolerated (the r13
+    * review). Pinning the schema makes empty reads well-defined. */
+  private val l1NodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+  private val l1EdgesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("i",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("j",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sim",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readL1Nodes(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema(l1NodesSchema).parquet(s"$indexPath/l1nodes")
+
+  private def readL1Edges(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.schema(l1EdgesSchema).parquet(s"$indexPath/l1edges")
+
   /** The live layer-1 member dataset (id, embedding) — every corpus
     * vector with prio(id) ≡ 0 (mod the pinned se1), maintained
     * incrementally by [[append]]/[[delete]]. √n-sized at build; grows
     * linearly with the corpus thereafter (the pinned-stride contract —
     * a rebuild re-pins, exactly like HNSW's fixed per-level share). */
   private[search] def layerNodes(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(s"$indexPath/l1nodes").select(col("id"), col("embedding"))
+    readL1Nodes(spark, indexPath).select(col("id"), col("embedding"))
 
   /** The persisted layer-1 navigation subgraph (directed i, j, sim),
     * or None while the build-time layer sat at or under
@@ -194,7 +235,7 @@ object GraphIndex extends QueryModule {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$indexPath/l1edges")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)
+    if (fs.exists(p)) Some(readL1Edges(spark, indexPath)
       .select(col("i"), col("j"), col("sim")))
     else None
   }
@@ -329,7 +370,7 @@ object GraphIndex extends QueryModule {
       .select(pmod(col("vec_id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     if (touchedL1.nonEmpty) {
-      val l1New = spark.read.parquet(s"$indexPath/l1nodes")
+      val l1New = readL1Nodes(spark, indexPath)
         .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
         .select(col("id"), col("embedding"))
         .unionByName(batchL1.select(col("vec_id").as("id"), col("embedding")))
@@ -338,7 +379,7 @@ object GraphIndex extends QueryModule {
       if (und1Old.isDefined) {
         val allM1 = m1Old.unionByName(batchL1)
         val newL1Edges = GraphServe.l1OutEdges(batchL1, allM1)
-        val l1eNew = spark.read.parquet(s"$indexPath/l1edges")
+        val l1eNew = readL1Edges(spark, indexPath)
           .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
           .select(col("i"), col("j"), col("sim"))
           .unionByName(newL1Edges).dropDuplicates("i", "j")
@@ -798,7 +839,7 @@ object GraphIndex extends QueryModule {
       .select(pmod(col("vec_id"), lit(NumBuckets.toLong)).as("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
     if (touchedL1.nonEmpty) {
-      val l1Surv = spark.read.parquet(s"$indexPath/l1nodes")
+      val l1Surv = readL1Nodes(spark, indexPath)
         .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
         .select(col("id"), col("embedding"))
         .join(delL1.select(col("vec_id").as("id")), Seq("id"), "left_anti")

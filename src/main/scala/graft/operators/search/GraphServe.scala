@@ -226,7 +226,20 @@ object GraphServe extends QueryModule {
       val m2 = m1.filter(entryPick(col("vec_id"), se2))
         .select(col("vec_id").as("j")).localCheckpoint(true)
       val und1 = if (n1 <= L1BruteBar) None
-        else Some(GraphIndex.und(l1OutEdges(m1, m1)).localCheckpoint(true))
+        else Some {
+          // the v8 artifact persists exactly this subgraph (same se1 =
+          // upperModulus(n), same l1OutEdges kernel, deterministic), so
+          // a cold serve reads ~√n artifact rows instead of re-paying
+          // the √n×√n pair job per session; finalGraph validates the
+          // artifact against the corpus fingerprint (and builds it if
+          // stale), and the fallback recompute only fires for an
+          // artifact whose layer was never materialized
+          GraphIndex.finalGraph(spark, dir)
+          val le = GraphIndex
+            .layerEdges(spark, GraphIndex.artifactPath(dir))
+            .getOrElse(l1OutEdges(m1, m1))
+          GraphIndex.und(le).localCheckpoint(true)
+        }
       (m1, n1, m2, und1)
     }
 

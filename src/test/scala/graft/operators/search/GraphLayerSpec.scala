@@ -123,6 +123,47 @@ class GraphLayerSpec extends SparkSpec {
     assert(edgesAfter === edgesBefore, "replay drifted l1edges")
   }
 
+  test("an in-place rebuild below the bar clears a stale walk-branch l1edges") {
+    // the r13 review: a corpus regenerated/shrunk under the SAME
+    // artifact path must not leave the old build's subgraph behind —
+    // the engine would walk stale member ids while the oracle's
+    // build-count predicate takes brute
+    val idx = java.nio.file.Files.createTempDirectory("graft_layer_rebuild").toString
+    val g = GraphIndex.finalGraph(spark, SfDir)
+    GraphIndex.build(spark, idx, g, emb)
+    GraphIndex.materializeLayer(spark, idx)
+    assert(GraphIndex.layerEdges(spark, idx).isDefined)
+    GraphIndex.build(spark, idx, gOld, oldEmb) // in-place rebuild, below bar
+    assert(GraphIndex.layerEdges(spark, idx).isEmpty,
+      "stale l1edges survived an in-place below-bar rebuild")
+  }
+
+  test("a layer drained to zero members stays readable and appendable") {
+    // empty datasets write no parquet files; the schema-pinned reads
+    // must return the empty frame instead of failing inference (the
+    // r13 review — v7 tolerated an empty entry set, v8 must too)
+    val idx = java.nio.file.Files.createTempDirectory("graft_layer_drain").toString
+    val g = GraphIndex.finalGraph(spark, SfDir)
+    GraphIndex.build(spark, idx, g, emb)
+    GraphIndex.materializeLayer(spark, idx)
+    val se1 = meta(idx).getAs[Long]("layer_se1")
+    val memberIds = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .select(col("vec_id"))
+    val surv = emb.join(memberIds, Seq("vec_id"), "left_anti")
+    GraphIndex.delete(spark, idx, memberIds, surv) // every member gone
+    assert(GraphIndex.layerNodes(spark, idx).count() === 0L,
+      "drained l1nodes should read as empty, not throw")
+    assert(GraphIndex.layerEdges(spark, idx).get.count() === 0L,
+      "drained l1edges should read as empty, not throw")
+    // a subsequent append still commits (empty entry set -> empty
+    // insertion beams -> graceful degradation, the v7 contract)
+    val batch = memberIds.limit(3)
+      .join(emb, Seq("vec_id")).select(col("vec_id"), col("embedding"))
+    GraphIndex.append(spark, idx, surv, batch)
+    assert(GraphIndex.layerNodes(spark, idx).count() > 0L,
+      "re-appended members did not re-enter l1nodes")
+  }
+
   test("delete removes members and every layer edge touching them") {
     // fresh artifact: the walk fixture above stays pristine for the
     // other tests' laziness order

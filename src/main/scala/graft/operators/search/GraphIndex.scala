@@ -937,6 +937,13 @@ object GraphIndex extends QueryModule {
     if (touched.nonEmpty)
       swapDataset(spark, indexPath, "edges", "i",
         g.select(col("i"), col("j"), col("sim")), touched)
+    // the maintenance pass heals the NAVIGATION layer too: incremental
+    // appends leave old members' l1edges lists stale (they never
+    // re-rank against newcomers — the layerEdges contract), and this is
+    // the pass that pays full-graph cost anyway, so the |members|² pair
+    // job (≈ one corpus scan) rides along. Only when materialized —
+    // brute artifacts have no subgraph to heal.
+    if (layerEdges(spark, indexPath).isDefined) materializeLayer(spark, indexPath)
   }
 
   /** COMPACT the artifact: rewrite every bucket of both datasets

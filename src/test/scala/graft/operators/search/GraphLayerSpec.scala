@@ -164,6 +164,38 @@ class GraphLayerSpec extends SparkSpec {
       "re-appended members did not re-enter l1nodes")
   }
 
+  test("upsert on a materialized artifact keeps the layer coherent, and optimize heals stale member lists") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_layer_upsert").toString
+    val g = GraphIndex.finalGraph(spark, SfDir)
+    GraphIndex.build(spark, idx, g, emb)
+    GraphIndex.materializeLayer(spark, idx)
+    val UpMod = 4
+    val batch = emb.filter(col("vec_id") % UpMod === 1)
+    val surv = emb.filter(col("vec_id") % UpMod =!= 1)
+    GraphIndex.upsert(spark, idx, surv, batch)
+    val se1 = meta(idx).getAs[Long]("layer_se1")
+    val memberIds = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val nodeIds = GraphIndex.layerNodes(spark, idx)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(nodeIds === memberIds, "l1nodes diverged across upsert")
+    val le = GraphIndex.layerEdges(spark, idx).get.collect()
+    assert(le.forall(r => memberIds(r.getLong(0)) && memberIds(r.getLong(1))),
+      "a layer edge survived outside the member set")
+    assert(le.map(_.getLong(0)).toSet === memberIds,
+      "a member lost all layer out-edges across upsert")
+    // optimize = the maintenance pass: afterwards the layer equals the
+    // EXACT subgraph over current members (stale lists healed)
+    GraphIndex.optimize(spark, idx, emb, rounds = 1)
+    val healed = GraphIndex.layerEdges(spark, idx).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val m1 = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
+    val exact = GraphServe.l1OutEdges(m1, m1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(healed === exact,
+      "optimize did not restore the exact member subgraph")
+  }
+
   test("delete removes members and every layer edge touching them") {
     // fresh artifact: the walk fixture above stays pristine for the
     // other tests' laziness order

@@ -51,6 +51,7 @@ object SparkEntry {
     graft.operators.text.QualityClassifier,
     graft.operators.analytics.Mahalanobis,
     graft.operators.analytics.TemporalJoins,
+    graft.operators.analytics.KmvSketch,
     graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

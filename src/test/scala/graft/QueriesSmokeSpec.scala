@@ -54,7 +54,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_drift_rebalance",
     // same shape: 1-row before/after stats broadcasts crossed into the
     // single report row, plus the sample-bounded exact-truth broadcast
-    "q_graph_drift_optimize")
+    "q_graph_drift_optimize",
+    // 1-row sketch-estimate aggregates crossed with their 1-row exact
+    // grading aggregates into the single report row
+    "q_kmv_distinct", "q_kmv_quantiles")
 
   test("oracle keys ⊆ query keys") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -196,6 +196,27 @@ class GraphLayerSpec extends SparkSpec {
       "optimize did not restore the exact member subgraph")
   }
 
+  test("a crash inside the l1edges bucket swap heals on the replayed append") {
+    edgeSet(idxWalk) // force the shared fixture (build + append done)
+    val before = GraphIndex.layerEdges(spark, idxWalk).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // simulate the swapDataset crash window: a bucket renamed aside
+    // (live missing, parked in the trash dir) before the fresh rename
+    val root = new java.io.File(s"$idxWalk/l1edges")
+    val bucket = root.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val trash = new java.io.File(s"$idxWalk/l1edges_app_old")
+    assert(trash.mkdirs() || trash.isDirectory)
+    val parked = new java.io.File(trash, bucket.getName)
+    assert(bucket.renameTo(parked), "test setup: parking the bucket failed")
+    // the crash-retry contract: replay the SAME batch; swapDataset's
+    // recovery restores the parked bucket before the new swap runs
+    GraphIndex.append(spark, idxWalk, oldEmb, newEmb)
+    val after = GraphIndex.layerEdges(spark, idxWalk).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before, "replayed append did not heal the parked bucket")
+    assert(!trash.exists(), "swap trash dir not cleaned after recovery")
+  }
+
   test("delete removes members and every layer edge touching them") {
     // fresh artifact: the walk fixture above stays pristine for the
     // other tests' laziness order

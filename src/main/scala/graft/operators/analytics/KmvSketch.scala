@@ -55,20 +55,39 @@ object KmvSketch extends QueryModule {
       .otherwise(lit((K - 1L) * SplitMod) / col("kth_hash").cast("double")), 4)
     .as("est_distinct")
 
-  /** Distinct customers per order priority, estimated by a per-group
-    * KMV sketch and graded against the exact distinct; the final row
-    * ('ALL') is the MERGED sketch — union of the per-group sketches cut
-    * back to K — graded against the global exact distinct, the
-    * mergeability law HLL union serves. */
-  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val vals = Tables.orders(spark, dir)
-      .select(col("o_orderpriority").as("grp"), col("o_custkey").as("v"))
-      .distinct()
+  /** Salt width of the pre-cut: a bottom-K over ONE group would hash
+    * every input row to a single reducer's heap (ClusteredDistribution
+    * on a constant — the late-wave review), so the cut runs two-level:
+    * bottom-K per (group, salt) first — `Salt`-way parallel, each heap
+    * still O(K)/O(S) — then the exact cut over the ≤ Salt·K survivors.
+    * Exact by the merge theorem (every global bottom-K member is in
+    * its salt class's bottom-K), so the oracle replays the one-level
+    * order statistic unchanged. */
+  val Salt = 32L
+
+  /** Two-level bottom-`k` per `grpCols` ordered by `ordCols` — the
+    * salted parallel cut (identical rows to the one-level cut). */
+  private def saltedBottomK(df: DataFrame, grpCols: Seq[String],
+                            ordCols: Seq[String], k: Int): DataFrame = {
+    val salted = df.withColumn("kmv_salt",
+      pmod(xxhash64(col(ordCols.head)), lit(Salt)))
+    val pre = graft.plans.TopKPerGroup(salted,
+      grpCols :+ "kmv_salt", ordCols, k)
+      .drop("kmv_salt", "rk")
+    graft.plans.TopKPerGroup(pre, grpCols, ordCols, k)
+  }
+
+  /** The KMV pipeline over an arbitrary (grp, v) relation — factored so
+    * the spec can drive it with constructed groups (the partial-sketch
+    * law needs a group with fewer than K distinct values, which no
+    * test-corpus group provides). */
+  private[analytics] def kmvDistinctFrom(valsRaw: DataFrame): DataFrame = {
+    val vals = valsRaw.select(col("grp"), col("v")).distinct()
     // prio is bijective below the modulus, but ids above it fold into
     // residue classes — dedup hashes so the order statistic is over the
     // distinct-hash set in both engines
     val hd = vals.select(col("grp"), prio(col("v")).as("h")).distinct()
-    val sk = graft.plans.TopKPerGroup(hd, Seq("grp"), Seq("h"), K)
+    val sk = saltedBottomK(hd, Seq("grp"), Seq("h"), K)
       .select(col("grp"), col("h"))
     val per = sk.groupBy("grp")
       .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
@@ -76,6 +95,7 @@ object KmvSketch extends QueryModule {
     val perRows = per.join(exact, Seq("grp"))
       .select(col("grp"), col("n_sketch"), col("kth_hash"), estCol,
         col("exact_distinct"))
+    // the merged cut's input is already sketch-sized (≤ groups·K rows)
     val msk = graft.plans.TopKPerGroup(
       sk.select(col("h")).distinct().withColumn("g", lit(1)),
       Seq("g"), Seq("h"), K)
@@ -88,6 +108,15 @@ object KmvSketch extends QueryModule {
     perRows.unionByName(mergedRow).orderBy("grp")
   }
 
+  /** Distinct customers per order priority, estimated by a per-group
+    * KMV sketch and graded against the exact distinct; the final row
+    * ('ALL') is the MERGED sketch — union of the per-group sketches cut
+    * back to K — graded against the global exact distinct, the
+    * mergeability law HLL union serves. */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctFrom(Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_custkey").as("v")))
+
   /** Discrete quantiles of order totals (exact integer micro-units)
     * from the deterministic bottom-[[S]] hash sample, side by side with
     * the exact corpus quantiles — one row. */
@@ -95,7 +124,7 @@ object KmvSketch extends QueryModule {
     val ov = Tables.orders(spark, dir).select(col("o_orderkey").as("id"),
       (col("o_totalprice").cast("decimal(18,2)") * lit(1000000))
         .cast("decimal(20,0)").cast("long").as("v"))
-    val sample = graft.plans.TopKPerGroup(
+    val sample = saltedBottomK(
       ov.withColumn("g", lit(1)).withColumn("h", prio(col("id"))),
       Seq("g"), Seq("h", "id"), S).select(col("id"), col("v"))
     val sAgg = sample.agg(count(lit(1)).as("n_sample"),

@@ -103,8 +103,13 @@ object GraphIndex extends QueryModule {
     * corpus to find entries, and — when the build-time layer exceeds
     * [[GraphServe.L1BruteBar]] — an `l1edges` dataset persists the
     * layer-1 navigation subgraph the insertion beams descend, closing
-    * the r13 survey's stated insert-path √n term. */
-  val BuildVersion = 8
+    * the r13 survey's stated insert-path √n term. v9: meta also pins
+    * the layer TUNING constants (`l1_degree`, `l1_bar`) and
+    * [[validArtifact]] checks them — the serve now CONSUMES the
+    * persisted subgraph, so a constant changed without a version bump
+    * must invalidate surviving artifacts exactly the way k/rounds
+    * drift does for the base graph (the r13 late-wave review). */
+  val BuildVersion = 9
 
   private def topKPer(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     graft.plans.TopKPerGroup(
@@ -165,13 +170,19 @@ object GraphIndex extends QueryModule {
     // a PRE-EXISTING l1edges (in-place rebuild over a corpus that
     // shrank below the bar) must not survive: it would put the engine
     // on the walk branch while the oracle's build-count predicate takes
-    // brute, and its stale member ids point nowhere (the r13 review) —
-    // clear it and any crashed-swap litter before the conditional write
+    // brute, and its stale member ids point nowhere (the r13 review).
+    // The same goes for EVERY dataset's crashed-swap litter dirs: a
+    // crashed append parks pre-rebuild buckets aside, and the next
+    // append's recovery loop would resurrect those ghost buckets into
+    // the fresh artifact wherever the rebuild left a bucket dir empty
+    // (the late-wave review) — an in-place rebuild clears all of it
     locally {
       import org.apache.hadoop.fs.Path
       val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
-      Seq("l1edges", "l1edges_appending", "l1edges_app_old",
-        "l1edges_compacting", "l1edges_old")
+      val litter = Seq("_appending", "_app_old", "_compacting", "_old")
+      (Seq("l1edges") ++
+        (for (ds <- Seq("edges", "nodes", "l1nodes", "l1edges"); s <- litter)
+          yield s"$ds$s"))
         .foreach(d => fs.delete(new Path(s"$indexPath/$d"), true))
     }
     if (n1 > GraphServe.L1BruteBar) writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
@@ -457,10 +468,12 @@ object GraphIndex extends QueryModule {
     // the RAW accumulator travels as a string: exact, unbounded, and
     // immune to decimal-precision truncation at any corpus size
     Seq((m.n, Degree, KnnGraph.Rounds, BuildVersion, fold(m.acc), m.acc.toString,
-        m.lastA, m.lastASeq, m.lastD, m.lastDSeq, m.seq, m.se1, m.se2, m.n1b))
+        m.lastA, m.lastASeq, m.lastD, m.lastDSeq, m.seq, m.se1, m.se2, m.n1b,
+        GraphServe.L1Degree, GraphServe.L1BruteBar))
       .toDF("n", "k", "rounds", "build_version", "corpus_fp", "fp_acc",
         "last_append_fp", "last_append_seq", "last_delete_fp",
-        "last_delete_seq", "op_seq", "layer_se1", "layer_se2", "n1_build")
+        "last_delete_seq", "op_seq", "layer_se1", "layer_se2", "n1_build",
+        "l1_degree", "l1_bar")
       .coalesce(1).write.mode("overwrite").parquet(fresh.toString)
     fs.delete(old, true)
     if (fs.exists(meta) && !fs.rename(meta, old))
@@ -942,8 +955,12 @@ object GraphIndex extends QueryModule {
     // re-rank against newcomers — the layerEdges contract), and this is
     // the pass that pays full-graph cost anyway, so the |members|² pair
     // job (≈ one corpus scan) rides along. Only when materialized —
-    // brute artifacts have no subgraph to heal.
-    if (layerEdges(spark, indexPath).isDefined) materializeLayer(spark, indexPath)
+    // brute artifacts have no subgraph to heal — and only if any
+    // mutation has committed since the build (op_seq > 0): a
+    // freshly-built layer is exact by construction, so re-healing it
+    // would rewrite byte-identical rows for nothing (late-wave review).
+    if (mm.seq > 0 && layerEdges(spark, indexPath).isDefined)
+      materializeLayer(spark, indexPath)
   }
 
   /** COMPACT the artifact: rewrite every bucket of both datasets
@@ -1094,7 +1111,13 @@ object GraphIndex extends QueryModule {
         m.getAs[Long]("n") == n && m.getAs[Int]("k") == Degree &&
           m.getAs[Int]("rounds") == KnnGraph.Rounds &&
           m.getAs[Int]("build_version") == BuildVersion &&
-          m.getAs[Long]("corpus_fp") == fp
+          m.getAs[Long]("corpus_fp") == fp &&
+          // the serve consumes the persisted layer, so its tuning
+          // constants must match too — a changed L1Degree/L1BruteBar
+          // without a version bump reads as a stale artifact, not a
+          // silently mis-shaped layer (r13 late-wave review)
+          m.getAs[Int]("l1_degree") == GraphServe.L1Degree &&
+          m.getAs[Long]("l1_bar") == GraphServe.L1BruteBar
       }.getOrElse(false)
   }
 

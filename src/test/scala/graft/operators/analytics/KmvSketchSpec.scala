@@ -22,9 +22,20 @@ class KmvSketchSpec extends SparkSpec {
   }
 
   test("a partial sketch (fewer than K distinct) reports the exact count") {
-    distinctRows.filter(_.getAs[Long]("n_sketch") < KmvSketch.K).foreach { r =>
-      assert(r.getAs[Double]("est_distinct") === r.getAs[Long]("exact_distinct").toDouble)
-    }
+    // every test-corpus group holds > K distinct values, so this law
+    // needs CONSTRUCTED groups: one far below K, one far above
+    import spark.implicits._
+    val vals = ((1L to 10L).map(v => ("small", v)) ++
+      (1L to 500L).map(v => ("big", v + 1000000L))).toDF("grp", "v")
+    val rows = KmvSketch.kmvDistinctFrom(vals).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val small = rows("small")
+    assert(small.getAs[Long]("n_sketch") === 10L)
+    assert(small.getAs[Double]("est_distinct") === 10.0,
+      "partial sketch must report the exact count, not the estimator")
+    val big = rows("big")
+    assert(big.getAs[Long]("n_sketch") === KmvSketch.K.toLong)
+    assert(big.getAs[Double]("est_distinct") !== big.getAs[Long]("exact_distinct").toDouble)
   }
 
   test("mergeability: the union-of-sketches cut equals the sketch built directly from all values") {

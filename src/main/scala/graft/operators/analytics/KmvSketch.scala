@@ -83,9 +83,21 @@ object KmvSketch extends QueryModule {
     * test-corpus group provides). */
   private[analytics] def kmvDistinctFrom(valsRaw: DataFrame): DataFrame = {
     val vals = valsRaw.select(col("grp"), col("v")).distinct()
-    // prio is bijective below the modulus, but ids above it fold into
-    // residue classes — dedup hashes so the order statistic is over the
-    // distinct-hash set in both engines
+    // ID-DOMAIN PRECONDITION (r13 advice): the sketch and the estimator
+    // operate on the distinct-HASH set. prio is bijective on
+    // [0, SplitMod = 2^31−1), so there distinct-hash = distinct-value
+    // and the 1/√K envelope applies to exact_distinct. Values at or
+    // above SplitMod fold into residue classes: on such a domain
+    // est_distinct estimates the RESIDUE-CLASS count — a systematic
+    // undercount of exact_distinct (a bias, not sampling error; both
+    // engines agree so the oracle stays green, but the 4σ spec law is
+    // scoped to in-domain corpora; the fold itself is pinned by the
+    // folded-domain law in KmvSketchSpec). A 100 TB deployment with
+    // ids beyond 2^31 swaps prio for a 64-bit bijection (xxhash64-
+    // style) in BOTH engines; the modulus is pinned in one place
+    // (SamplingQueries.SplitMod) exactly for that.
+    // Dedup hashes so the order statistic is over the distinct-hash
+    // set in both engines:
     val hd = vals.select(col("grp"), prio(col("v")).as("h")).distinct()
     val sk = saltedBottomK(hd, Seq("grp"), Seq("h"), K)
       .select(col("grp"), col("h"))

@@ -135,7 +135,8 @@ object GraphAppendStream extends QueryModule {
     * batch's member out-edges ([[layerStateCtes]], the engine's
     * append-time l1edges rows). Then the merged graph + restricted
     * round → `gs$t`. */
-  private def streamBatchCtes(t: Int, prevGraph: String): String = {
+  private def streamBatchCtes(t: Int, prevGraph: String,
+                              walk: Boolean): String = {
     val rounds = (1 to GraphIndex.InsertRounds).map { r =>
       val prev = s"ib$t${r - 1}"
       s"""ic$t$r AS (SELECT DISTINCT p.q, u.j FROM $prev p JOIN sund$t u ON u.i = p.j),
@@ -156,10 +157,10 @@ object GraphAppendStream extends QueryModule {
        |${if (t == 0) "" // src0 = the old chain: its member set IS m1a
           else s"""m1s$t AS MATERIALIZED (SELECT id, v FROM src$t
        |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
-       |${layerStateCtes(t)},\n"""}${
+       |${if (walk) layerStateCtes(t) + ",\n" else ""}"""}${
           GraphIndex.insertEntryCtes(s"s$t", if (t == 0) "m1a" else s"m1s$t",
           s"qn$t", "SELECT se FROM sprm", "SELECT count(*) FROM m1a",
-          undRel = Some(if (t == 0) "und1a" else s"unds$t"))},
+          undRel = Some(if (t == 0) "und1a" else s"unds$t"), walk = walk)},
        |ib${t}0 AS MATERIALIZED (SELECT q, j, sim FROM ibs${t}0),
        |${rounds.mkString(",\n")},
        |newe$t AS MATERIALIZED (SELECT q AS i, j, sim FROM (
@@ -213,12 +214,20 @@ object GraphAppendStream extends QueryModule {
        |  round(CAST((SELECT count(*) FROM $g JOIN exactf USING (i, j)) AS DOUBLE)
        |        / ((SELECT n_eval FROM nev) * $K), 6) AS recall""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "q_graph_append_stream" ->
+  override def oracles: Map[String, String] = Map.empty
+
+  /** Dynamic since r14: the chain emits only the corpus's actual entry
+    * branch (see [[GraphIndex.insertEntryCtes]]) — on the brute branch
+    * the member×member layer-state CTEs (`nlp`) are not generated at
+    * all instead of CASE-pruned, which DuckDB still evaluated. */
+  override def dynamicOracles(spark: SparkSession,
+                              dir: String): Map[String, String] = {
+    val walk = GraphIndex.buildWalkBranch(spark, dir)
+    Map("q_graph_append_stream" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |${GraphIndex.appendCtes},
-         |${streamBatchCtes(0, s"og${KnnGraph.Rounds}")},
-         |${streamBatchCtes(1, "gs0")},
+         |${GraphIndex.appendCtes(walk)},
+         |${streamBatchCtes(0, s"og${KnnGraph.Rounds}", walk)},
+         |${streamBatchCtes(1, "gs0", walk)},
          |evm AS (SELECT CASE WHEN m % ${GraphIndex.AppendMod} = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
@@ -227,4 +236,5 @@ object GraphAppendStream extends QueryModule {
          |UNION ALL
          |${phaseRow(1, "streamed", "gs1")}
          |ORDER BY phase_ord""".stripMargin)
+  }
 }

@@ -124,10 +124,15 @@ object GraphDriftOptimize extends QueryModule {
     * gapp), one optimize descent round (gopt), the measured share, and
     * a branch-SELECTED after-frame — both engines follow the same fired
     * predicate on the unrounded share. */
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = Map.empty
+
+  /** Dynamic since r14: the shared [[GraphIndex.appendCtes]] chain
+    * emits only the corpus's actual entry branch. */
+  override def dynamicOracles(spark: SparkSession,
+                              dir: String): Map[String, String] = Map(
     "q_graph_drift_optimize" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |${GraphIndex.appendCtes},
+         |${GraphIndex.appendCtes(GraphIndex.buildWalkBranch(spark, dir))},
          |${KnnGraph.stepCtes("gapp", "gopt", "do1", "fe")},
          |shr AS (SELECT
          |    CAST((SELECT count(*) FROM e

@@ -185,7 +185,8 @@ object GraphIndex extends QueryModule {
           yield s"$ds$s"))
         .foreach(d => fs.delete(new Path(s"$indexPath/$d"), true))
     }
-    if (n1 > GraphServe.L1BruteBar) writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
+    if (n1 > GraphServe.L1BruteBar)
+      writeLayerEdges(GraphServe.l1OutEdges(m1, m1, n1, KnnGraph.dimOf(m1)), indexPath)
     // guard positions -1: no op has committed yet, so no (fp, seq)
     // probe can match a fresh build's slots
     writeMeta(spark, indexPath, Meta(n, acc, 0L, -1L, 0L, -1L, 0L, se1, se2, n1))
@@ -264,7 +265,10 @@ object GraphIndex extends QueryModule {
   def materializeLayer(spark: SparkSession, indexPath: String): Unit = {
     val m1 = layerNodes(spark, indexPath)
       .select(col("id").as("vec_id"), col("embedding")).localCheckpoint(true)
-    writeLayerEdges(GraphServe.l1OutEdges(m1, m1), indexPath)
+    // tier inputs: a count + a limit-1 dim probe over the CHECKPOINTED
+    // member frame (~√n rows) — maintenance-pass cost, never a corpus scan
+    writeLayerEdges(
+      GraphServe.l1OutEdges(m1, m1, m1.count(), KnnGraph.dimOf(m1)), indexPath)
   }
 
   /** One (id, content hash) row per corpus vector — the rows the
@@ -322,6 +326,7 @@ object GraphIndex extends QueryModule {
     * full op log). */
   def append(spark: SparkSession, indexPath: String,
              oldEmb: DataFrame, newEmb: DataFrame): Unit = {
+    recoverAllSwaps(spark, indexPath) // heal parked buckets BEFORE any read
     val gOld = edges(spark, indexPath).localCheckpoint(true)
     val m = readMeta(spark, indexPath)
     val (cntB, accB) = countAndAcc(newEmb) // one O(batch) scan
@@ -389,7 +394,11 @@ object GraphIndex extends QueryModule {
       swapDataset(spark, indexPath, "l1nodes", "id", l1New, touchedL1)
       if (und1Old.isDefined) {
         val allM1 = m1Old.unionByName(batchL1)
-        val newL1Edges = GraphServe.l1OutEdges(batchL1, allM1)
+        // tier inputs are counts over the two CHECKPOINTED member
+        // frames (~√n + batch-members rows) — commit-path safe, never
+        // a corpus scan (the scoreSliced/fingerprintScans rule)
+        val newL1Edges = GraphServe.l1OutEdges(batchL1, allM1,
+          m1Old.count() + batchL1.count(), KnnGraph.dimOf(batchL1))
         val l1eNew = readL1Edges(spark, indexPath)
           .filter(col("bucket").isin(touchedL1.map(Long.box): _*))
           .select(col("i"), col("j"), col("sim"))
@@ -765,6 +774,7 @@ object GraphIndex extends QueryModule {
   private[search] def delete(spark: SparkSession, indexPath: String,
                              delIds: DataFrame, emb: DataFrame,
                              upsertAppendFp: Option[Long]): Unit = {
+    recoverAllSwaps(spark, indexPath) // heal parked buckets BEFORE any read
     val gOld = edges(spark, indexPath).localCheckpoint(true)
     val m = readMeta(spark, indexPath)
     val (nMeta, accOld) = (m.n, m.acc)
@@ -1018,16 +1028,16 @@ object GraphIndex extends QueryModule {
     * old/new-generation dir set, and correctness depends on the caller
     * REPLAYING the interrupted batch (the [[append]] crash-retry
     * contract) — recovery is resume-forward, not rollback. */
-  private def swapDataset(spark: SparkSession, indexPath: String,
-                          dataset: String, keyCol: String,
-                          frame: DataFrame, touched: Seq[Long]): Unit = {
+  /** Restore any `_app_old`-parked buckets of ONE dataset into live-dir
+    * holes and drop the trash dir. Recovery is resume-forward (see
+    * [[swapDataset]]); a dataset with no live dir (l1edges below the
+    * brute bar) has nothing to recover into and is skipped. */
+  private def recoverDataset(fs: org.apache.hadoop.fs.FileSystem,
+                             indexPath: String, dataset: String): Unit = {
     import org.apache.hadoop.fs.Path
     val data = new Path(s"$indexPath/$dataset")
-    val scratch = new Path(s"$indexPath/${dataset}_appending")
     val trash = new Path(s"$indexPath/${dataset}_app_old")
-    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(data), s"$data missing — not a built graph index")
-    if (fs.exists(trash)) {
+    if (fs.exists(data) && fs.exists(trash)) {
       fs.listStatus(trash).foreach { st =>
         val live = new Path(data, st.getPath.getName)
         if (!fs.exists(live) && !fs.rename(st.getPath, live))
@@ -1037,6 +1047,36 @@ object GraphIndex extends QueryModule {
       }
       fs.delete(trash, true)
     }
+  }
+
+  /** Run the `_app_old` trash recovery for EVERY artifact dataset,
+    * BEFORE any dataset read. swapDataset's lazy in-call recovery only
+    * healed each dataset when (and in the order) it was next SWAPPED —
+    * so a replayed append after a mid-swap crash could read and
+    * localCheckpoint a layer/edge state still missing a parked bucket
+    * (gOld/m1Old/und1Old are captured at the top of append/delete),
+    * descend a layer without that bucket's edges, and commit base rows
+    * diverging from the clean-run/oracle chain (r13 advice). Hoisting
+    * recovery ahead of the reads makes the replay see exactly the
+    * healed pre-crash state. The in-call recovery stays as a
+    * belt-and-braces for direct callers. */
+  private def recoverAllSwaps(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("edges", "nodes", "l1nodes", "l1edges")
+      .foreach(recoverDataset(fs, indexPath, _))
+  }
+
+  private def swapDataset(spark: SparkSession, indexPath: String,
+                          dataset: String, keyCol: String,
+                          frame: DataFrame, touched: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(s"$indexPath/$dataset")
+    val scratch = new Path(s"$indexPath/${dataset}_appending")
+    val trash = new Path(s"$indexPath/${dataset}_app_old")
+    val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(data), s"$data missing — not a built graph index")
+    recoverDataset(fs, indexPath, dataset)
     fs.delete(scratch, true)
     frame.withColumn("bucket", pmod(col(keyCol), lit(NumBuckets.toLong)))
       .filter(col("bucket").isin(touched.map(Long.box): _*))
@@ -1219,10 +1259,19 @@ object GraphIndex extends QueryModule {
     * vectors with NO out-edges — unreachable as sources; a delete can
     * strand them), plus the v8 HIERARCHY surface: layer-1 member count,
     * whether the walk layer is materialized (the brute-bar branch), and
-    * the persisted navigation-subgraph row count — read from the LIVE
-    * artifact datasets, so post-ingest drift (members added faster than
-    * the pinned share, stale lists) shows up here first. Exact integers
-    * + two rounded ratios, one row. */
+    * the persisted navigation-subgraph row count. GRADING CONTRACT
+    * (r13 advice): the engine reads the LIVE artifact datasets while
+    * the oracle computes the FRESH-BUILD closed form
+    * (n1 × min(L1Degree, n1−1)) — the graded law is their EQUALITY,
+    * which holds because this query serves from [[finalGraph]] and
+    * finalGraph rebuilds whenever the corpus fingerprint changes, so
+    * within this query the artifact is always fresh. A red here means a
+    * stale artifact escaped the fingerprint check, not "drift
+    * surfaced". Post-ingest drift on a mutated-in-place artifact
+    * (members appended faster than the pinned share, stale lists) is a
+    * different lifecycle, monitored by [[GraphDriftOptimize]] over its
+    * own appended artifact — not by this drill. Exact integers + two
+    * rounded ratios, one row. */
   def qGraphStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnGraph.e(spark, dir)
     val n = emb.count()
@@ -1280,7 +1329,8 @@ object GraphIndex extends QueryModule {
   private[search] def insertEntryCtes(sfx: String, m1: String,
                                       qsTbl: String, se1Sql: String,
                                       n1bSql: String,
-                                      undRel: Option[String] = None): String = {
+                                      undRel: Option[String] = None,
+                                      walk: Boolean): String = {
     import GraphServe.{L1BruteBar, L1Degree, entryPickSql, upperModulusSql}
     val undName = undRel.getOrElse(s"und1$sfx")
     // the exact layer-1 subgraph over `m1` — the BUILD-time state; a
@@ -1296,29 +1346,60 @@ object GraphIndex extends QueryModule {
          |und1$sfx AS MATERIALIZED (SELECT i, j FROM l1g$sfx
          |  UNION SELECT j AS i, i AS j FROM l1g$sfx),
          |""".stripMargin
+    // Scala-side branch (r13 advice): DuckDB evaluates BOTH UNION arms'
+    // CTE chains even when the scalar gate kills one (measured: an
+    // unreferenced MATERIALIZED CTE runs too), so the old always-emit
+    // shape paid the dead branch's member×member and brute-scoring jobs
+    // at every drill scale. The generator knows the branch (callers
+    // compute the build member count Scala-side, the same value the
+    // engine reads from meta/l1edges-existence), so only the TAKEN
+    // arm's chain is emitted — and the scalar guard STAYS in the
+    // emitted arm: were the Scala-side decision ever wrong, the oracle
+    // returns zero rows and the drill goes loudly red instead of
+    // silently grading the other branch.
+    val brutePart =
+      s"""isb$sfx AS (SELECT $qsTbl.q, $m1.id AS j,
+         |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
+         |  FROM $qsTbl CROSS JOIN $m1 WHERE $m1.id <> $qsTbl.q),
+         |ib${sfx}0 AS MATERIALIZED (
+         |  SELECT q, j, sim FROM (
+         |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+         |    FROM isb$sfx) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) <= $L1BruteBar)""".stripMargin
+    val walkPart =
+      s"""u2prm$sfx AS (SELECT ($se1Sql) * ${upperModulusSql(n1bSql)} AS se2),
+         |ent2$sfx AS (SELECT id AS j FROM $m1
+         |  WHERE ${entryPickSql("id", s"SELECT se2 FROM u2prm$sfx")}),
+         |${subgraph}es2$sfx AS MATERIALIZED (SELECT $qsTbl.q, ent2$sfx.j,
+         |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
+         |  FROM $qsTbl CROSS JOIN ent2$sfx JOIN $m1 ON $m1.id = ent2$sfx.j
+         |  WHERE ent2$sfx.j <> $qsTbl.q),
+         |${GraphServe.descentCtes(sfx, esName = s"es2$sfx", tbl = m1,
+            idc = "id", vc = "v", qsTbl = qsTbl, undTbl = undName,
+            nodeCol = "j")},
+         |ib${sfx}0 AS MATERIALIZED (
+         |  SELECT q, j, sim FROM (
+         |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
+         |    FROM lb$sfx${GraphServe.L1Rounds}) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) > $L1BruteBar)""".stripMargin
     s"""l1n$sfx AS (SELECT CAST(($n1bSql) AS BIGINT) AS n1),
-       |u2prm$sfx AS (SELECT ($se1Sql) * ${upperModulusSql(n1bSql)} AS se2),
-       |ent2$sfx AS (SELECT id AS j FROM $m1
-       |  WHERE ${entryPickSql("id", s"SELECT se2 FROM u2prm$sfx")}),
-       |${subgraph}isb$sfx AS (SELECT $qsTbl.q, $m1.id AS j,
-       |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
-       |  FROM $qsTbl CROSS JOIN $m1 WHERE $m1.id <> $qsTbl.q),
-       |es2$sfx AS MATERIALIZED (SELECT $qsTbl.q, ent2$sfx.j,
-       |    round(list_cosine_similarity($qsTbl.qv, $m1.v), 6) AS sim
-       |  FROM $qsTbl CROSS JOIN ent2$sfx JOIN $m1 ON $m1.id = ent2$sfx.j
-       |  WHERE ent2$sfx.j <> $qsTbl.q),
-       |${GraphServe.descentCtes(sfx, esName = s"es2$sfx", tbl = m1,
-          idc = "id", vc = "v", qsTbl = qsTbl, undTbl = undName,
-          nodeCol = "j")},
-       |ib${sfx}0 AS MATERIALIZED (
-       |  SELECT q, j, sim FROM (
-       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM isb$sfx) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) <= $L1BruteBar
-       |  UNION ALL
-       |  SELECT q, j, sim FROM (
-       |    SELECT q, j, sim, row_number() OVER (PARTITION BY q ORDER BY sim DESC, j) AS rn
-       |    FROM lb$sfx${GraphServe.L1Rounds}) WHERE rn <= $InsertBeam AND (SELECT n1 FROM l1n$sfx) > $L1BruteBar)""".stripMargin
+       |${if (walk) walkPart else brutePart}""".stripMargin
   }
+
+  private val walkBranchMemo = new graft.BoundedMemo[String, Boolean](KnnGraph.MemoCap)
+
+  /** Scala-side replica of the append drills' branch predicate: does the
+    * BUILD corpus (the old chain) put the artifact on the walk branch
+    * (l1edges materialized)? The same value the engine reads as
+    * n1_build/l1edges-existence; computed here so [[dynamicOracles]] can
+    * emit only the taken arm's CTE chain. */
+  private[search] def buildWalkBranch(spark: SparkSession, dir: String): Boolean =
+    walkBranchMemo.getOrElseUpdate(dir) {
+      val oldEmb = KnnGraph.e(spark, dir)
+        .filter(col("vec_id") % AppendMod =!= NewResidue)
+      val nOld = oldEmb.count()
+      val se1 = GraphServe.upperModulus(nOld)
+      val n1b = oldEmb.filter(GraphServe.entryPick(col("vec_id"), se1)).count()
+      n1b > GraphServe.L1BruteBar
+    }
 
   /** The shared append replay: old chain (prefix `o`), insertion beams,
     * merged graph + one restricted descent round → `gapp`. Shared with
@@ -1327,7 +1408,7 @@ object GraphIndex extends QueryModule {
     * `sprm.se` is the pinned build-time stride — in this drill the
     * build corpus IS the old chain, so it replays as
     * upperModulus(|old|)). */
-  private[search] def appendCtes: String =
+  private[search] def appendCtes(walk: Boolean): String =
     s"""${KnnGraph.graphCtePrefixWhere(s"vec_id % $AppendMod <> $NewResidue", "o")},
        |fe AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qn AS MATERIALIZED (SELECT id AS q, v AS qv FROM fe WHERE id % $AppendMod = $NewResidue),
@@ -1337,7 +1418,7 @@ object GraphIndex extends QueryModule {
        |m1a AS MATERIALIZED (SELECT id, v FROM oe
        |  WHERE ${GraphServe.entryPickSql("id", "SELECT se FROM sprm")}),
        |${insertEntryCtes("a", "m1a", "qn", "SELECT se FROM sprm",
-          "SELECT count(*) FROM m1a")},
+          "SELECT count(*) FROM m1a", walk = walk)},
        |ib0 AS MATERIALIZED (SELECT q, j, sim FROM iba0),
        |${(1 to InsertRounds).map(insertCtes).mkString(",\n")},
        |newe AS MATERIALIZED (SELECT q AS i, j, sim FROM (
@@ -1369,10 +1450,15 @@ object GraphIndex extends QueryModule {
        |              WHERE EXISTS (SELECT 1 FROM $g b WHERE b.i = a.j AND b.j = a.i)) AS DOUBLE)
        |        / (SELECT count(*) FROM $g), 6) AS recip_share""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
+  /** q_graph_append is a DYNAMIC oracle since r14: the generator
+    * computes the drill's walk/brute branch from the corpus (the same
+    * deterministic predicate the engine evaluates) so [[appendCtes]]
+    * emits only the taken arm's CTE chain — see [[insertEntryCtes]]. */
+  override def dynamicOracles(spark: SparkSession,
+                              dir: String): Map[String, String] = Map(
     "q_graph_append" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |$appendCtes,
+         |${appendCtes(buildWalkBranch(spark, dir))},
          |evm AS (SELECT CASE WHEN m % $AppendMod = 0 THEN m + 1 ELSE m END AS m FROM prm),
          |ev AS MATERIALIZED (SELECT id, v FROM e WHERE id % (SELECT m FROM evm) = 0),
          |nev AS (SELECT count(*) AS n_eval FROM ev),
@@ -1385,7 +1471,9 @@ object GraphIndex extends QueryModule {
          |${phaseRow(1, "appended", "gapp", "exactf", "nev")}
          |UNION ALL
          |${phaseRow(2, "full_rebuild", s"g${KnnGraph.Rounds}", "exactf", "nev")}
-         |ORDER BY phase_ord""".stripMargin,
+         |ORDER BY phase_ord""".stripMargin)
+
+  override def oracles: Map[String, String] = Map(
     "q_graph_stats" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
          |g AS MATERIALIZED (SELECT i, j FROM g${KnnGraph.Rounds}),

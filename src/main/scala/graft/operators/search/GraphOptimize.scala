@@ -94,10 +94,16 @@ object GraphOptimize extends QueryModule {
        |              WHERE EXISTS (SELECT 1 FROM $g b WHERE b.i = a.j AND b.j = a.i)) AS DOUBLE)
        |        / (SELECT count(*) FROM $g), 6) AS recip_share""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = Map.empty
+
+  /** Dynamic since r14: the shared [[GraphIndex.appendCtes]] chain
+    * emits only the corpus's actual entry branch (see
+    * [[GraphIndex.insertEntryCtes]]). */
+  override def dynamicOracles(spark: SparkSession,
+                              dir: String): Map[String, String] = Map(
     "q_graph_optimize" ->
       s"""WITH ${KnnGraph.graphCtePrefix},
-         |${GraphIndex.appendCtes},
+         |${GraphIndex.appendCtes(GraphIndex.buildWalkBranch(spark, dir))},
          |${(1 to Rounds).map(r =>
               stepCtes(if (r == 1) "gapp" else s"gopt${r - 1}",
                 if (r == Rounds) "gopt" else s"gopt$r", s"op$r"))

@@ -237,29 +237,62 @@ object GraphServe extends QueryModule {
           GraphIndex.finalGraph(spark, dir)
           val le = GraphIndex
             .layerEdges(spark, GraphIndex.artifactPath(dir))
-            .getOrElse(l1OutEdges(m1, m1))
+            .getOrElse(l1OutEdges(m1, m1, n1, KnnGraph.dimOf(m1)))
           GraphIndex.und(le).localCheckpoint(true)
         }
       (m1, n1, m2, und1)
     }
 
+  /** Broadcast budget (bytes) for the `dst` member frame in
+    * [[l1OutEdges]] — the [[KnnGraph.scoreSliced]] tier discipline
+    * applied to the layer kernel (r13 verdict #3): past this size the
+    * kernel stops trusting one unbounded broadcast. */
+  private[graft] val L1BroadcastBytes: Long = 64L << 20
+
+  /** Hard cap on the sliced tier's slice count: 64 slices × the budget
+    * ≈ a 4 GB member frame ≈ 10⁷ members ≈ a 10¹⁴-vector corpus —
+    * beyond the design envelope; there the right build is NN-descent
+    * over the members (the [[KnnGraph]] kernel), not exact all-pairs. */
+  private val L1MaxSlices = 64
+
   /** Exact top-[[L1Degree]] out-edges of each `src` member against the
     * `dst` member set (self excluded) — the layer-1 subgraph kernel,
     * shared by the serve's in-session layer ([[l1Layer]]), the
     * artifact's persisted layer ([[GraphIndex.build]]), and the
-    * incremental member additions on append. `dst` is broadcast (the
-    * member set is ~√n of the corpus — a few MB of (id, vector) rows
-    * even at 10⁹ nodes; at 10¹¹+ swap in an NN-descent build over the
-    * members, the [[KnnGraph]] kernel). Returns DIRECTED (i, j, sim). */
-  private[graft] def l1OutEdges(src: DataFrame, dst: DataFrame): DataFrame = {
-    val pairs = src.select(col("vec_id").as("i"), col("embedding").as("vi"))
-      .crossJoin(broadcast(
-        dst.select(col("vec_id").as("j"), col("embedding").as("vj"))))
-      .filter(col("i") =!= col("j"))
+    * incremental member additions on append. Returns DIRECTED
+    * (i, j, sim).
+    *
+    * Two scoring tiers, chosen from caller-supplied sizes (`nDst` rows,
+    * `dim` floats — no scan of either frame, the scoreSliced rule):
+    * while the (id, vector) member frame fits [[L1BroadcastBytes]]
+    * (~√n of the corpus — a few MB even at 10⁹ nodes), one broadcast
+    * nested-loop stage; past the budget, the frame is hash-sliced into
+    * budget-sized broadcasts and the SAME all-pairs covered as a union
+    * of slice stages — each dst row lands in exactly one slice, and the
+    * single final top-K (deterministic (sim, j) order) makes the two
+    * tiers ROW-IDENTICAL (GraphLayerSpec law), unlike an approximate
+    * NN-descent tier. Tier choice is plan-only. */
+  private[graft] def l1OutEdges(src: DataFrame, dst: DataFrame,
+                                nDst: Long, dim: Long,
+                                budget: Long = L1BroadcastBytes): DataFrame = {
+    val s = src.select(col("vec_id").as("i"), col("embedding").as("vi"))
+    val d = dst.select(col("vec_id").as("j"), col("embedding").as("vj"))
+    val bytes = nDst * (4L * dim + 48L)
+    val pairs =
+      if (bytes <= budget) s.crossJoin(broadcast(d))
+      else {
+        val slices = math.min(L1MaxSlices.toLong,
+          math.max(2L, (bytes + budget - 1) / budget)).toInt
+        (0 until slices).map { k =>
+          s.crossJoin(broadcast(d.filter(
+            pmod(xxhash64(col("j")), lit(slices.toLong)) === lit(k.toLong))))
+        }.reduce(_ unionByName _)
+      }
+    val scored = pairs.filter(col("i") =!= col("j"))
       .select(col("i"), col("j"),
         round(cosine_sim(col("vi"), col("vj")), 6).as("sim"))
     graft.plans.TopKPerGroup(
-      pairs.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
+      scored.withColumn("neg_sim", -col("sim")), Seq("i"), Seq("neg_sim", "j"),
       L1Degree).select(col("i"), col("j"), col("sim"))
   }
 

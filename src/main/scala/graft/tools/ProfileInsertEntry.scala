@@ -37,7 +37,8 @@ object ProfileInsertEntry {
     val qs = newEmb.select(col("vec_id").as("q"), col("embedding").as("qv"))
 
     val und1 = Prof.time("layer-1 subgraph build (one-time, amortized)") {
-      GraphIndex.und(GraphServe.l1OutEdges(m1, m1)).localCheckpoint(true)
+      GraphIndex.und(GraphServe.l1OutEdges(m1, m1, n1, KnnGraph.dimOf(m1)))
+        .localCheckpoint(true)
     }
     def run(label: String, layer: GraphIndex.LayerState): Unit = (1 to 3).foreach { i =>
       Prof.time(s"$label #$i") {

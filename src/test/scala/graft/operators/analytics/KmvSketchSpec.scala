@@ -15,10 +15,35 @@ class KmvSketchSpec extends SparkSpec {
       val est = r.getAs[Double]("est_distinct")
       val exact = r.getAs[Long]("exact_distinct").toDouble
       // σ ≈ exact/√(K−2) ≈ 12.7%; allow 4σ — a violated bound means the
-      // hash is non-uniform or the order statistic is wrong, not luck
+      // hash is non-uniform or the order statistic is wrong, not luck.
+      // Scope: holds for in-domain corpora (ids < SplitMod = 2^31−1,
+      // true of every testdata key); the folded-domain law below pins
+      // what happens beyond it
       assert(math.abs(est - exact) <= 4.0 * exact / math.sqrt(KmvSketch.K - 2.0),
         s"${r.getAs[String]("grp")}: est $est vs exact $exact")
     }
+  }
+
+  test("folded-domain precondition: ids beyond SplitMod estimate the residue-class count") {
+    // the r13 advice scenario pinned as a law: prio folds v and
+    // v + SplitMod into the SAME hash, so on a domain spanning the
+    // modulus the estimator tracks the distinct-HASH count — half of
+    // exact_distinct here — a documented bias OUTSIDE the 1/√K
+    // envelope, not sampling error (see kmvDistinctFrom's precondition)
+    import spark.implicits._
+    import graft.operators.sampling.SamplingQueries.SplitMod
+    val base = (1L to 500L)
+    val vals = (base.map(v => ("folded", v)) ++
+      base.map(v => ("folded", v + SplitMod))).toDF("grp", "v")
+    val r = KmvSketch.kmvDistinctFrom(vals).collect()
+      .filter(_.getAs[String]("grp") == "folded").head
+    assert(r.getAs[Long]("exact_distinct") === 1000L)
+    val est = r.getAs[Double]("est_distinct")
+    // estimates the 500 residue classes, within THEIR 4σ envelope —
+    // and therefore far below exact_distinct's
+    assert(math.abs(est - 500.0) <= 4.0 * 500.0 / math.sqrt(KmvSketch.K - 2.0),
+      s"folded-domain estimate $est should track the 500 residue classes")
+    assert(est < 800.0, s"folded-domain estimate $est should undercount exact 1000")
   }
 
   test("a partial sketch (fewer than K distinct) reports the exact count") {

@@ -190,7 +190,7 @@ class GraphLayerSpec extends SparkSpec {
     val healed = GraphIndex.layerEdges(spark, idx).get.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val m1 = emb.filter(GraphServe.entryPick(col("vec_id"), se1))
-    val exact = GraphServe.l1OutEdges(m1, m1).collect()
+    val exact = GraphServe.l1OutEdges(m1, m1, m1.count(), KnnGraph.dimOf(m1)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(healed === exact,
       "optimize did not restore the exact member subgraph")
@@ -215,6 +215,77 @@ class GraphLayerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after === before, "replayed append did not heal the parked bucket")
     assert(!trash.exists(), "swap trash dir not cleaned after recovery")
+  }
+
+  test("l1OutEdges tiers are row-identical: sliced-broadcast (forced) equals one-broadcast") {
+    // the scoreSliced discipline applied to the layer kernel (r13
+    // verdict #3): past the broadcast budget the member frame is
+    // hash-sliced into budget-sized broadcasts; same all-pairs, same
+    // deterministic top-K → ROWS identical, tier choice plan-only
+    val m1 = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n1 = m1.count()
+    val dim = KnnGraph.dimOf(m1)
+    val bytes = n1 * (4L * dim + 48L)
+    val one = GraphServe.l1OutEdges(m1, m1, n1, dim) // fits the real budget
+    assert(!one.queryExecution.executedPlan.toString.contains("Union"),
+      "small member frame should take the single-broadcast tier")
+    val forcedBudget = math.max(1L, bytes / 3) // => 4 hash slices
+    val sliced = GraphServe.l1OutEdges(m1, m1, n1, dim, budget = forcedBudget)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), "forced budget did not take the sliced tier")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = rows(one)
+    assert(a.nonEmpty)
+    assert(rows(sliced) === a, "sliced tier diverged from the broadcast tier")
+  }
+
+  test("edges parity through the TRUE mid-swap crash window (l1edges bucket parked, edges pre-append)") {
+    // The r13 advice scenario, reconstructed exactly: in append()'s swap
+    // order, a crash inside the l1edges bucket swap leaves meta/nodes/
+    // l1nodes committed, ONE l1edges bucket parked in _app_old, and the
+    // base edges dataset still PRE-append. The replayed append must heal
+    // the parked bucket BEFORE capturing the layer state (und1Old), or
+    // it descends a layer missing that bucket's edges and can commit
+    // base rows diverging from the clean-run/oracle chain. The parity
+    // law: the healed artifact's edges AND layer equal the
+    // uninterrupted run's, bit-exact (the replay is deterministic and,
+    // with the hoisted recovery, sees identical inputs).
+    val done = java.nio.file.Files.createTempDirectory("graft_crash_done").toString
+    val crashed = java.nio.file.Files.createTempDirectory("graft_crash_mid").toString
+    for (idx <- Seq(done, crashed)) {
+      GraphIndex.build(spark, idx, gOld, oldEmb)
+      GraphIndex.materializeLayer(spark, idx)
+    }
+    GraphIndex.append(spark, done, oldEmb, newEmb) // the crashed attempt, completed
+    // splice the completed attempt's post-swap state into the crashed
+    // artifact — everything append() commits BEFORE the edges swap
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fs = new Path(done).getFileSystem(conf)
+    for (ds <- Seq("meta", "nodes", "l1nodes", "l1edges")) {
+      fs.delete(new Path(s"$crashed/$ds"), true)
+      FileUtil.copy(fs, new Path(s"$done/$ds"), fs, new Path(s"$crashed/$ds"),
+        false, conf)
+    }
+    // park the FULLEST l1edges bucket (the swap died between its two
+    // renames) — an empty bucket would make the hole undetectable
+    val buckets = fs.listStatus(new Path(s"$crashed/l1edges"))
+      .map(_.getPath).filter(_.getName.startsWith("bucket="))
+      .sortBy(p => -fs.getContentSummary(p).getLength)
+    val trash = new Path(s"$crashed/l1edges_app_old")
+    fs.mkdirs(trash)
+    assert(fs.rename(buckets.head, new Path(trash, buckets.head.getName)),
+      "test setup: parking the bucket failed")
+    GraphIndex.append(spark, crashed, oldEmb, newEmb) // the checkpoint replay
+    def full(idx: String) = GraphIndex.edges(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full(crashed) === full(done),
+      "replayed append diverged from the clean run's base graph")
+    def le(idx: String) = GraphIndex.layerEdges(spark, idx).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(le(crashed) === le(done),
+      "layer subgraph diverged across the replay")
   }
 
   test("delete removes members and every layer edge touching them") {

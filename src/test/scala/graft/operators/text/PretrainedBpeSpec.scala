@@ -11,6 +11,90 @@ class PretrainedBpeSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // ------------------------------------------------------- golden fixture
+  // Real GPT-2 tokenizer data, vendored by hand (public knowledge, zero
+  // egress — r13 verdict #4): a subset of the published merges.txt
+  // (src/test/resources/graft/bpe/gpt2_golden.merges.txt) plus the
+  // matching vocab-id subset. The byte-alphabet ids are DERIVED from the
+  // published bytes_to_unicode layout (printable 0x21-0x7E -> ids 0-93,
+  // 0xA1-0xAC -> 94-105, 0xAE-0xFF -> 106-187, the 68 remapped bytes
+  // ascending -> 188-255; anchors 'a'=64, '!'=0, Ġ=220, Ċ=198 are
+  // widely published); merged-token ids follow GPT-2's id = 256 + merge
+  // rank. The golden pairs below are the released tokenizer's actual
+  // (text -> ids) outputs.
+  private val GoldenVocab: Map[String, Int] = Map(
+    // byte alphabet (derived; Ġ/Ċ/ĉ are bytes 0x20/0x0A/0x09's images)
+    "!" -> 0, "," -> 11, "." -> 13, "0" -> 15, "9" -> 24, "?" -> 30,
+    "A" -> 32, "T" -> 51, "a" -> 64, "z" -> 89, "Ġ" -> 220, "Ċ" -> 198,
+    "ĉ" -> 197,
+    // merged tokens (id = 256 + published merge rank)
+    "Ġt" -> 256, "Ġa" -> 257, "he" -> 258, "in" -> 259, "re" -> 260,
+    "on" -> 261, "Ġthe" -> 262, "er" -> 263, "at" -> 265, "Ġo" -> 267,
+    "it" -> 270, "an" -> 272, "Ġan" -> 281, "Ġto" -> 284, "Ġof" -> 286,
+    "Ġin" -> 287, "Ġand" -> 290, "'s" -> 338, "nd" -> 358, "th" -> 400,
+    "The" -> 464, "the" -> 1169)
+
+  /** Published-tokenizer outputs: text → GPT-2 token ids (as released;
+    * single-token words verified against the public vocabulary, byte
+    * tokens against the derived alphabet). */
+  private val GoldenPairs: Seq[(String, Seq[Int])] = Seq(
+    // byte-level singletons straight off the alphabet
+    "!" -> Seq(0), "A" -> Seq(32), "a" -> Seq(64), "z" -> Seq(89),
+    "0" -> Seq(15), "9" -> Seq(24), "?" -> Seq(30),
+    " " -> Seq(220), "\n" -> Seq(198), "\t" -> Seq(197),
+    // the earliest merges, as standalone words
+    " t" -> Seq(256), " a" -> Seq(257), "he" -> Seq(258), "in" -> Seq(259),
+    "re" -> Seq(260), "on" -> Seq(261), "er" -> Seq(263), "at" -> Seq(265),
+    "an" -> Seq(272), "th" -> Seq(400),
+    // multi-merge words (each a single token in the released vocab)
+    " the" -> Seq(262), "the" -> Seq(1169), "The" -> Seq(464),
+    " to" -> Seq(284), " of" -> Seq(286), " in" -> Seq(287),
+    " and" -> Seq(290),
+    // contraction split: published regex peels 's as its own pre-token
+    "it's" -> Seq(270, 338),
+    // punctuation, inner whitespace runs, trailing whitespace
+    "it, the." -> Seq(270, 11, 262, 13),
+    "the  the" -> Seq(1169, 220, 262),
+    "the " -> Seq(1169, 220),
+    "the.\n" -> Seq(1169, 13, 198),
+    "The the and the" -> Seq(464, 262, 290, 262))
+
+  test("GOLDEN: the pipeline reproduces released GPT-2 token ids on the vendored fixture") {
+    // end-to-end: real merges subset in (the exact file format a user
+    // drops in) → pretokenize → remap → greedy merges → vocab ids out.
+    // Closes the "a released file drops in with no code change" claim
+    // with released data instead of a stand-in.
+    val in = getClass.getResourceAsStream("/graft/bpe/gpt2_golden.merges.txt")
+    assert(in != null, "golden merges resource missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val merges = try PretrainedBpe.loadMerges(src.getLines()) finally src.close()
+    assert(merges.size === 22)
+    val ranks = merges.zipWithIndex.toMap
+    for ((text, wantIds) <- GoldenPairs) {
+      val toks = Gpt2.pretokenize(text)
+        .flatMap(pt => Gpt2.encodePretoken(pt, ranks))
+      val ids = toks.map { t =>
+        assert(GoldenVocab.contains(t),
+          s"'$text' produced token '$t' outside the golden vocab — " +
+            "the merge path diverged from the released tokenizer")
+        GoldenVocab(t)
+      }
+      assert(ids === wantIds, s"'$text' tokenized to $toks")
+    }
+  }
+
+  test("GOLDEN: the same fixture through the Column expression (the query path)") {
+    val in = getClass.getResourceAsStream("/graft/bpe/gpt2_golden.merges.txt")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val merges = try PretrainedBpe.loadMerges(src.getLines()) finally src.close()
+    val df = GoldenPairs.map(_._1).toDF("txt")
+      .select(col("txt"), Gpt2BpeTokens(col("txt"), merges).as("toks"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1).map(GoldenVocab)).toMap
+    for ((text, wantIds) <- GoldenPairs)
+      assert(got(text) === wantIds, s"expression path diverged on '$text'")
+  }
+
   test("loadMerges parses the published merges.txt format: header skipped, rank = line order") {
     // a snippet in the exact shape of GPT-2's released file
     val file = Seq("#version: 0.2", "Ġ t", "h e", "Ġt he", "").iterator

@@ -11,7 +11,11 @@ object ExplainAudit {
       else Seq("q1_agg", "q_join_agg", "q_topk_bruteforce", "q_chunk_sim_stats",
         "q_nearest_centroid", "q_dsir_weights", "q_bloom_dedup", "q_nprobe_sweep",
         "q_bucketed_join", "q_event_funnel", "q_props_agg", "q_props_topk",
-        "q_ann_filtered", "q_graph_stats", "q_graph_filtered")
+        "q_ann_filtered", "q_graph_stats", "q_graph_filtered",
+        // r13 surface (r14 audit extension; the load-bearing plan
+        // properties are additionally spec-asserted in GraphPlanAuditSpec)
+        "q_graph_serve", "q_umap_layout", "q_kmv_distinct",
+        "q_graph_drift_optimize", "q_token_pretrained")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(

@@ -30,6 +30,61 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - whole) / whole < 0.02, s"merged=$est whole=$whole")
   }
 
+  test("cross-grade: HLL on the KMV drill relation tracks its exact columns PER GROUP") {
+    // r13 verdict #7: the two declared rows-only sketch queries are now
+    // graded against the oracle-checked KMV twin's exact side-by-side
+    // columns on the SAME relation (orders: grp = o_orderpriority,
+    // v = o_custkey), per group — not just globally. The KMV drill
+    // carries exact_distinct per group and a merged 'ALL' row; HLL++
+    // (approx_count_distinct, declared rsd 5%) must sit inside its band
+    // against those same numbers.
+    val kmv = KmvSketch.qKmvDistinct(spark, SfDir).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("exact_distinct")).toMap
+    val hll = graft.Tables.orders(spark, SfDir)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(approx_count_distinct(col("o_custkey")).as("hll"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .collect()
+    assert(hll.nonEmpty)
+    hll.foreach { r =>
+      val grp = r.getAs[String]("grp")
+      val e = r.getAs[Long]("exact")
+      // the KMV drill's exact column IS the same definition — bit-equal
+      assert(kmv(grp) === e,
+        s"$grp: KMV exact_distinct ${kmv(grp)} != direct exact $e")
+      val h = r.getAs[Long]("hll").toDouble
+      // the declared rsd 5% is a STANDARD DEVIATION, not a hard bound:
+      // per-group grading uses 2σ (measured max at the gate corpora:
+      // 5.4% on the 130-distinct 5-LOW group — a 1.1σ deviation);
+      // the global/union rollup stays inside the hard 2% band below
+      assert(math.abs(h - e) / e < 0.10,
+        s"$grp: HLL $h outside 2x the declared 5% rsd of exact $e")
+    }
+    // merged rollup vs the KMV 'ALL' row's exact (the 2% union band)
+    val all = kmv("ALL").toDouble
+    val hAll = graft.Tables.orders(spark, SfDir)
+      .agg(approx_count_distinct(col("o_custkey"))).head().getLong(0).toDouble
+    assert(math.abs(hAll - all) / all < 0.02,
+      s"global HLL $hAll outside 2% of the KMV ALL exact $all")
+  }
+
+  test("q_hll_merge per-source estimates sit inside the 5% band (not just the union)") {
+    // per-group arm of the mergeability grading: each source's OWN
+    // sketch estimate against its exact distinct, before the union
+    val rows = graft.Tables.documents(spark, SfDir)
+      .groupBy(col("source"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("est"),
+        countDistinct(col("doc_id")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val est = r.getAs[Number]("est").doubleValue() // estimate lands as bigint
+      assert(math.abs(est - e) / e < 0.05,
+        s"${r.getAs[String]("source")}: per-source HLL $est outside 5% of $e")
+    }
+  }
+
   test("approximate quantiles bracket the exact median") {
     val row = AnalyticsQueries.qSketchStats(spark, SfDir).head()
     val p50 = row.getAs[Double]("p50_price")

@@ -217,6 +217,36 @@ class GraphLayerSpec extends SparkSpec {
     assert(!trash.exists(), "swap trash dir not cleaned after recovery")
   }
 
+  test("layer-share tracks corpus-share: the corpus-share monitor dominates layer staleness") {
+    // The dominance law (r13 verdict #2): layer membership is a pinned
+    // hash stride over ids, so appended rows enter the layer at the SAME
+    // rate the corpus grows — the staleness population the ShareBar
+    // monitor doesn't directly see (appended members whose neighbors'
+    // lists were never re-ranked) tracks the corpus share it DOES see,
+    // within binomial concentration. Hence by the time layer staleness
+    // could accumulate past the bar, the corpus-share trigger has fired.
+    // The tight large-n measurement is the sfwalk decay drill
+    // (tools/ProfileLayerDecay; curve recorded in SURVEY §5).
+    val memberIds = GraphIndex.layerNodes(spark, idxWalk)
+      .select(col("id")).collect().map(_.getLong(0))
+    val n1 = memberIds.length.toDouble
+    assert(n1 > 0)
+    val layerShare = memberIds.count(
+      _ % GraphIndex.AppendMod == GraphIndex.NewResidue) / n1
+    val nAll = emb.count().toDouble
+    val corpusShare = newEmb.count().toDouble / nAll
+    val delta = 4.0 * math.sqrt(corpusShare * (1 - corpusShare) / n1) + 1.0 / n1
+    assert(math.abs(layerShare - corpusShare) <= delta,
+      s"layer share $layerShare drifted from corpus share $corpusShare " +
+        s"beyond the 4-sigma binomial envelope ($delta) over $n1 members")
+    // and the monitor's decision matches on both sides of the bar: the
+    // fixture's 20% growth fires; the quiet (zero-append) case must not
+    assert(GraphDriftOptimize.decide(newEmb.count(), nAll.toLong)._2,
+      "the corpus-share monitor did not fire at 20% growth")
+    assert(!GraphDriftOptimize.decide(0L, nAll.toLong)._2,
+      "the quiet case fired")
+  }
+
   test("l1OutEdges tiers are row-identical: sliced-broadcast (forced) equals one-broadcast") {
     // the scoreSliced discipline applied to the layer kernel (r13
     // verdict #3): past the broadcast budget the member frame is

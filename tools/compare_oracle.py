@@ -69,6 +69,12 @@ def main(sf_dir, out_dir):
     memlimit = os.environ.get("GRAFT_ORACLE_MEMLIMIT")
     if memlimit:
         con.execute(f"SET memory_limit='{memlimit}'")
+    # cap DuckDB's spill so a pathological replay (the sf10 graph chains
+    # spilled >50 GB) fails CLEANLY instead of filling the disk under a
+    # concurrently-running Spark campaign
+    tmpcap = os.environ.get("GRAFT_ORACLE_TEMPLIMIT")
+    if tmpcap:
+        con.execute(f"SET max_temp_directory_size='{tmpcap}'")
     only = {s for s in os.environ.get("GRAFT_ORACLE_ONLY", "").split(",") if s}
     skip = {s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s}
     for t in TABLES:

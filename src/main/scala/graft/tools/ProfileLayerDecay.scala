@@ -73,10 +73,16 @@ object ProfileLayerDecay {
     Prof.time(s"build (n=$nB)") { GraphIndex.build(spark, idx, gOld, prefix) }
     val meta0 = spark.read.parquet(s"$idx/meta").head()
     val se2 = meta0.getAs[Long]("layer_se2")
-    require(new java.io.File(s"$idx/l1edges").exists(),
-      s"corpus too small: build stayed on the brute branch " +
-        s"(n1_build=${meta0.getAs[Long]("n1_build")} <= ${GraphServe.L1BruteBar}) — " +
-        "run at sfwalk scale or larger")
+    if (!new java.io.File(s"$idx/l1edges").exists()) {
+      // prefix sits below the brute bar (the bar is on the BUILD corpus)
+      // — force the walk branch through the explicit maintenance API,
+      // the GraphLayerSpec discipline: append() maintains l1edges from
+      // then on (presence, not the bar, drives maintenance)
+      println(s"[decay] build below brute bar " +
+        s"(n1_build=${meta0.getAs[Long]("n1_build")}) — forcing the walk " +
+        "layer via materializeLayer")
+      GraphIndex.materializeLayer(spark, idx)
+    }
 
     // fixed eval queries: a coprime stride of the BUILD prefix, present
     // in the corpus from step 0 so every step grades the same queries

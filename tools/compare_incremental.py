@@ -9,9 +9,23 @@ single pathological DuckDB replay cannot stall the whole campaign
 
 Usage: python3 tools/compare_incremental.py <sf_dir> <out_dir> <state.json>
                                             [timeout_sec=900]
-Env: GRAFT_ORACLE_THREADS / GRAFT_ORACLE_MEMLIMIT pass through.
+Env: GRAFT_ORACLE_THREADS / GRAFT_ORACLE_MEMLIMIT / GRAFT_ORACLE_TEMPLIMIT
+     pass through. GRAFT_COMPARE_RETRY = comma-separated query names to
+     force-retry regardless of recorded status (e.g. to re-run a 'fail'
+     with a bigger memory limit).
 """
 import sys, os, json, glob, subprocess
+
+def _out_mtime(out_dir, name):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    return max((os.path.getmtime(f) for f in files), default=None)
+
+def _save(state, state_path):
+    # atomic: a kill mid-write must not corrupt the resumable state
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1)
+    os.replace(tmp, state_path)
 
 def main(sf_dir, out_dir, state_path, timeout=900):
     state = {}
@@ -22,11 +36,23 @@ def main(sf_dir, out_dir, state_path, timeout=900):
         print(f"no {sql_path} yet"); return 0
     oracle = json.load(open(sql_path))
     here = os.path.dirname(os.path.abspath(__file__))
+    force = set(filter(None, os.environ.get(
+        "GRAFT_COMPARE_RETRY", "").split(",")))
     for name in sorted(oracle):
-        if name in state and state[name]["status"] != "timeout":
-            continue
-        if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+        mt = _out_mtime(out_dir, name)
+        if mt is None:
             continue  # spark output not produced yet — next sweep
+        if name in state and name not in force:
+            st = state[name]["status"]
+            # retry timeouts (unless deferred for this sweep), and fails
+            # whose Spark output was re-produced after the recorded
+            # attempt; keep everything else
+            stale_fail = (st == "fail"
+                          and mt > state[name].get("out_mtime", float("inf")))
+            defer_to = os.environ.get("GRAFT_COMPARE_NO_TIMEOUT_RETRY")
+            if st == "ok" or (st == "fail" and not stale_fail) \
+                    or (st == "timeout" and defer_to):
+                continue
         env = dict(os.environ, GRAFT_ORACLE_ONLY=name)
         try:
             p = subprocess.run(
@@ -38,9 +64,9 @@ def main(sf_dir, out_dir, state_path, timeout=900):
             status = "ok" if line.startswith("OK") else "fail"
         except subprocess.TimeoutExpired:
             line, status = f"TIMEOUT after {timeout}s", "timeout"
-        state[name] = {"status": status, "detail": line}
+        state[name] = {"status": status, "detail": line, "out_mtime": mt}
         print(f"{status:8s} {name}: {line}", flush=True)
-        json.dump(state, open(state_path, "w"), indent=1)
+        _save(state, state_path)
     done = sum(1 for v in state.values() if v["status"] == "ok")
     bad = {k: v["detail"] for k, v in state.items() if v["status"] == "fail"}
     to = [k for k, v in state.items() if v["status"] == "timeout"]

@@ -75,6 +75,12 @@ def main(sf_dir, out_dir):
     tmpcap = os.environ.get("GRAFT_ORACLE_TEMPLIMIT")
     if tmpcap:
         con.execute(f"SET max_temp_directory_size='{tmpcap}'")
+    # spill OUTSIDE the repo: an in-memory DuckDB defaults its temp dir
+    # to ./.tmp under cwd, which is how a 1.9 GB spill file ended up
+    # committed in the r14 end-of-round snapshot
+    tmpdir = os.environ.get("GRAFT_ORACLE_TEMPDIR", "/tmp/graft_duckdb_tmp")
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     only = {s for s in os.environ.get("GRAFT_ORACLE_ONLY", "").split(",") if s}
     skip = {s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",") if s}
     for t in TABLES:

@@ -174,27 +174,67 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("c_mktsegment", "rk")
   }
 
+  /** 3σ envelopes for the sketch grading booleans. HLL register layouts
+    * are engine-internal, so the raw estimates can never hash-match a
+    * DuckDB replay — but their ERROR BOUND is a contract, and a
+    * within-envelope BOOLEAN is deterministic and oracle-assertable
+    * (the oracle emits literal TRUE — r14 verdict #7). 3σ of the
+    * declared rsd (≈0.3% breach odds per group on a fresh corpus, vs
+    * the 2σ band SketchSpec measures at the gate corpora): a failed
+    * hash on these rows now means the sketch broke its bound. */
+  private val HllGroupBand = 0.15  // approx_count_distinct rsd 0.05 × 3
+  private val HllUnionBand = 0.05  // datasketches lgK=12 rsd ≈1.6% × 3
+
   /** Sketch aggregates — the approximate statistics an OLAP engine leans
     * on at 100 TB (HLL++ distinct counts, t-digest-style quantiles via
-    * approx_percentile). Approximation is engine-specific → rows-only;
-    * SketchSpec bounds the error against exact values. */
-  def qSketchStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+    * approx_percentile). Oracle-checked since r15 via twin substitution
+    * (r14 verdict #7): the row carries the EXACT distincts plus the
+    * deterministic KMV estimate (the [[KmvSketch]] kernel — replayed
+    * hash-exact in SQL), while the engine-specific HLL++ /
+    * percentile_approx estimates are graded as within-envelope booleans
+    * the oracle asserts TRUE: HLL inside 3σ of its declared rsd, the
+    * GK quantile inside its rank-error band (accuracy 10000 ⇒ rank
+    * error ≤ 1e-4·n, graded against the exact disc quantiles at
+    * p±0.01 — two orders of magnitude of slack). */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val kmv = KmvSketch.kmvDistinctFrom(
+        li.select(col("l_returnflag").as("grp"), col("l_partkey").as("v")))
+      .filter(col("grp") =!= "ALL")
+      .select(col("grp"), col("est_distinct").as("kmv_parts_est"),
+        col("exact_distinct").as("exact_parts"))
+    val hll = li.groupBy(col("l_returnflag").as("grp"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2).as("p50_price"),
-        round(percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)), 2).as("p95_price"))
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
+        expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p49"),
+        expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p51"),
+        expr("percentile_disc(0.94) WITHIN GROUP (ORDER BY l_extendedprice)").as("p94"),
+        expr("percentile_disc(0.96) WITHIN GROUP (ORDER BY l_extendedprice)").as("p96"))
+    hll.join(kmv, Seq("grp"))
+      .select(col("grp").as("l_returnflag"),
+        col("exact_parts"), col("kmv_parts_est"), col("exact_orders"),
+        (abs(col("ap").cast("double") / col("exact_parts") - 1) <= HllGroupBand)
+          .as("hll_parts_in_band"),
+        (abs(col("ao").cast("double") / col("exact_orders") - 1) <= HllGroupBand)
+          .as("hll_orders_in_band"),
+        col("p50a").between(col("p49"), col("p51")).as("p50_in_rank_band"),
+        col("p95a").between(col("p94"), col("p96")).as("p95_in_rank_band"))
       .orderBy("l_returnflag")
+  }
 
   /** MERGEABLE HLL sketches — the half of the sketch story that matters at
     * 100 TB: per-group partial sketches (here per source) are persistable
     * state that later UNIONS into coarser rollups without rescanning the
     * data (per-day sketches → monthly distincts; per-partition → global).
-    * Datasketches HLL via hll_sketch_agg/hll_union_agg; estimates are
-    * engine-specific → rows-only, with error bounds vs exact in
-    * SketchSpec. */
+    * Datasketches HLL via hll_sketch_agg/hll_union_agg; oracle-checked
+    * since r15 via twin substitution: exact per-source rollup replayed
+    * in SQL, the union estimate graded as a 3σ within-envelope boolean
+    * the oracle asserts TRUE (raw estimate stays spec-graded in
+    * SketchSpec). */
   def qHllMerge(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.documents(spark, dir)
       .groupBy(col("source"))
@@ -204,7 +244,9 @@ object AnalyticsQueries extends QueryModule {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
         sum(col("exact_docs")).as("exact_total"),
         count(lit(1)).as("n_sources"))
-      .select(col("n_sources"), col("exact_total"), col("est_total"))
+      .select(col("n_sources"), col("exact_total"),
+        (abs(col("est_total").cast("double") / col("exact_total") - 1)
+          <= HllUnionBand).as("est_in_band"))
   }
 
   /** EXACT distributed percentiles — the oracle-checkable counterpart of
@@ -586,6 +628,34 @@ object AnalyticsQueries extends QueryModule {
     "q_events_window" -> (qEventsWindow _))
 
   override def oracles: Map[String, String] = Map(
+    "q_sketch_stats" ->
+      // twin-substitution row (r14 verdict #7): exact distincts + the
+      // deterministic KMV estimate replay hash-exact; the HLL/GK
+      // estimates are graded as within-envelope booleans the oracle
+      // asserts TRUE — a hash mismatch here means a broken error bound
+      s"""WITH vals AS (SELECT DISTINCT l_returnflag AS grp, l_partkey AS v FROM lineitem),
+        |hd AS (SELECT DISTINCT grp, ${graft.operators.sampling.SamplingQueries.prioSql("v")} AS h FROM vals),
+        |sk AS (SELECT grp, h FROM (
+        |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |    FROM hd) WHERE rn <= ${KmvSketch.K}),
+        |per AS (SELECT grp, count(*) AS n_sketch, max(h) AS kth_hash
+        |  FROM sk GROUP BY grp),
+        |ex AS (SELECT grp, count(*) AS exact_parts FROM vals GROUP BY grp),
+        |eo AS (SELECT l_returnflag AS grp, count(DISTINCT l_orderkey) AS exact_orders
+        |  FROM lineitem GROUP BY 1)
+        |SELECT per.grp AS l_returnflag, ex.exact_parts,
+        |  ${KmvSketch.estSql} AS kmv_parts_est, eo.exact_orders,
+        |  TRUE AS hll_parts_in_band, TRUE AS hll_orders_in_band,
+        |  TRUE AS p50_in_rank_band, TRUE AS p95_in_rank_band
+        |FROM per JOIN ex USING (grp) JOIN eo ON eo.grp = per.grp
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_hll_merge" ->
+      """WITH per AS (
+        |  SELECT source, count(DISTINCT doc_id) AS cd FROM documents GROUP BY source)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(cd) AS BIGINT) AS exact_total,
+        |  TRUE AS est_in_band
+        |FROM per""".stripMargin,
     "q_props_agg" ->
       """WITH e AS (
         |  SELECT event_type, user_id, value,

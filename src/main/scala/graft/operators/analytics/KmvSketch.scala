@@ -157,7 +157,7 @@ object KmvSketch extends QueryModule {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_kmv_quantiles" -> (qKmvQuantiles _))
 
-  private def estSql: String =
+  private[analytics] def estSql: String =
     s"""round(CASE WHEN n_sketch < $K THEN CAST(n_sketch AS DOUBLE)
        |  ELSE ${(K - 1L) * SplitMod} / CAST(kth_hash AS DOUBLE) END, 4)""".stripMargin
 

@@ -929,6 +929,11 @@ object GraphIndex extends QueryModule {
     * set. */
   def optimize(spark: SparkSession, indexPath: String, emb: DataFrame,
                rounds: Int = 1): Unit = {
+    // heal parked _app_old buckets BEFORE any dataset read, like
+    // append/delete — optimizing an artifact whose last append crashed
+    // mid-swap would otherwise checkpoint a graph missing a parked
+    // bucket (r14 advice #1)
+    recoverAllSwaps(spark, indexPath)
     // `emb` MUST be the exact corpus the artifact indexes — verified
     // against meta's (n, accumulator) with one full scan (this is a
     // full-graph maintenance pass; one audit-grade scan is
@@ -983,6 +988,11 @@ object GraphIndex extends QueryModule {
     * IvfIndex.compact scaladoc for the object-store manifest variant). */
   def compact(spark: SparkSession, indexPath: String): Unit = {
     import org.apache.hadoop.fs.Path
+    // heal parked _app_old buckets first: compacting an un-healed
+    // artifact would rewrite datasets missing a parked bucket AND leave
+    // the stale trash to be "restored" into the freshly compacted dir
+    // by a later recovery (r14 advice #1)
+    recoverAllSwaps(spark, indexPath)
     val fs = new Path(indexPath).getFileSystem(spark.sessionState.newHadoopConf())
     // l1edges only exists on walk-branch artifacts (layerEdges contract)
     val datasets = Seq("edges", "nodes", "l1nodes") ++
@@ -1390,7 +1400,13 @@ object GraphIndex extends QueryModule {
     * BUILD corpus (the old chain) put the artifact on the walk branch
     * (l1edges materialized)? The same value the engine reads as
     * n1_build/l1edges-existence; computed here so [[dynamicOracles]] can
-    * emit only the taken arm's CTE chain. */
+    * emit only the taken arm's CTE chain.
+    *
+    * ONE-CORPUS-PER-PATH assumption: the branch is memoized per `dir`
+    * for the session's lifetime, so regenerating the corpus at that
+    * path at a DIFFERENT scale within one long-lived session can emit
+    * the stale arm. The in-arm scalar guard keeps that a loud zero-row
+    * red, never a silent wrong grade (r14 advice #4). */
   private[search] def buildWalkBranch(spark: SparkSession, dir: String): Boolean =
     walkBranchMemo.getOrElseUpdate(dir) {
       val oldEmb = KnnGraph.e(spark, dir)

@@ -272,15 +272,40 @@ object GraphServe extends QueryModule {
     * single final top-K (deterministic (sim, j) order) makes the two
     * tiers ROW-IDENTICAL (GraphLayerSpec law), unlike an approximate
     * NN-descent tier. Tier choice is plan-only. */
+  /** Non-empty iff the member frame needs MORE than [[L1MaxSlices]]
+    * budget-sized slices — i.e. the exact all-pairs layer build is past
+    * its design envelope and the honest tier is NN-descent over the
+    * members ([[KnnGraph]]). Factored out so the guard's message is
+    * spec-assertable (r14 verdict #5: the cap must not be silent). */
+  private[graft] def sliceCapWarning(bytes: Long, budget: Long): Option[String] = {
+    val need = math.max(2L, (bytes + budget - 1) / budget)
+    if (need <= L1MaxSlices) None
+    else Some(s"l1OutEdges: member frame (~$bytes bytes) needs $need " +
+      s"broadcast slices but the tier caps at $L1MaxSlices — slices will " +
+      s"exceed the ${budget >> 20} MB budget. Past this envelope the " +
+      "honest layer build is NN-descent over the members (KnnGraph), " +
+      "not exact all-pairs.")
+  }
+
   private[graft] def l1OutEdges(src: DataFrame, dst: DataFrame,
                                 nDst: Long, dim: Long,
                                 budget: Long = L1BroadcastBytes): DataFrame = {
     val s = src.select(col("vec_id").as("i"), col("embedding").as("vi"))
     val d = dst.select(col("vec_id").as("j"), col("embedding").as("vj"))
-    val bytes = nDst * (4L * dim + 48L)
+    // element width from the frame's schema: several paths cast the
+    // embedding to DOUBLE, which would halve the estimate and let the
+    // one-broadcast tier run 2x past its budget (r14 advice #2)
+    val elemBytes = dst.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => 8L
+      case _ => 4L
+    }
+    val bytes = nDst * (elemBytes * dim + 48L)
     val pairs =
       if (bytes <= budget) s.crossJoin(broadcast(d))
       else {
+        sliceCapWarning(bytes, budget).foreach(m =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(m))
         val slices = math.min(L1MaxSlices.toLong,
           math.max(2L, (bytes + budget - 1) / budget)).toInt
         (0 until slices).map { k =>

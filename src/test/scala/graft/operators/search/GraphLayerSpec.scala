@@ -270,6 +270,31 @@ class GraphLayerSpec extends SparkSpec {
     assert(rows(sliced) === a, "sliced tier diverged from the broadcast tier")
   }
 
+  test("slice-cap guard is loud and the broadcast estimate follows the schema's element width") {
+    // r14 verdict #5: needing >L1MaxSlices slices must warn, naming the
+    // honest fallback tier — never silently cap
+    val budget = GraphServe.L1BroadcastBytes
+    assert(GraphServe.sliceCapWarning(10L * budget, budget).isEmpty,
+      "within-envelope sizes must not warn")
+    val msg = GraphServe.sliceCapWarning(65L * budget, budget)
+    assert(msg.exists(_.contains("NN-descent")),
+      s"over-cap warning missing or does not name the fallback: $msg")
+    // r14 advice #2: a double-typed member frame is budgeted at 8
+    // bytes/element — the same (n, dim) flips to the sliced tier at a
+    // budget where the float frame stays single-broadcast
+    val m1 = emb.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n1 = m1.count()
+    val dim = KnnGraph.dimOf(m1)
+    val between = n1 * (6L * dim + 48L) // float est < between < double est
+    val f = GraphServe.l1OutEdges(m1, m1, n1, dim, budget = between)
+    assert(!f.queryExecution.executedPlan.toString.contains("Union"),
+      "float frame under budget should take the single-broadcast tier")
+    val m1d = m1.withColumn("embedding", col("embedding").cast("array<double>"))
+    val d = GraphServe.l1OutEdges(m1d, m1d, n1, dim, budget = between)
+    assert(d.queryExecution.executedPlan.toString.contains("Union"),
+      "double frame over budget must take the sliced tier")
+  }
+
   test("edges parity through the TRUE mid-swap crash window (l1edges bucket parked, edges pre-append)") {
     // The r13 advice scenario, reconstructed exactly: in append()'s swap
     // order, a crash inside the l1edges bucket swap leaves meta/nodes/

@@ -29,10 +29,17 @@ class PretrainedBpeSpec extends SparkSpec {
     "ĉ" -> 197,
     // merged tokens (id = 256 + published merge rank)
     "Ġt" -> 256, "Ġa" -> 257, "he" -> 258, "in" -> 259, "re" -> 260,
-    "on" -> 261, "Ġthe" -> 262, "er" -> 263, "at" -> 265, "Ġo" -> 267,
-    "it" -> 270, "an" -> 272, "Ġan" -> 281, "Ġto" -> 284, "Ġof" -> 286,
-    "Ġin" -> 287, "Ġand" -> 290, "'s" -> 338, "nd" -> 358, "th" -> 400,
-    "The" -> 464, "the" -> 1169)
+    "on" -> 261, "Ġthe" -> 262, "er" -> 263, "at" -> 265, "Ġw" -> 266,
+    "Ġo" -> 267, "it" -> 270, "is" -> 271, "an" -> 272, "or" -> 273,
+    "Ġb" -> 275, "Ġf" -> 277, "Ġan" -> 281, "Ġto" -> 284, "Ġth" -> 285,
+    "Ġof" -> 286, "Ġin" -> 287, "Ġh" -> 289, "Ġand" -> 290, "as" -> 292,
+    "ll" -> 297, "Ġn" -> 299, "Ġbe" -> 307, "ot" -> 313, "ĠI" -> 314,
+    "ut" -> 315, "Ġis" -> 318, "Ġon" -> 319, "Ġthat" -> 326, "Ġfor" -> 329,
+    "'s" -> 338, "Ġhe" -> 339, "Ġit" -> 340, "ith" -> 342, "Ġwith" -> 351,
+    "Ġas" -> 355, "nd" -> 358, "Ġwas" -> 373, "Ġat" -> 379, "Ġare" -> 389,
+    "Ġor" -> 393, "th" -> 400, "Ġnot" -> 407, "Ġby" -> 416, "Ġthis" -> 428,
+    "The" -> 464, "Ġhis" -> 465, "Ġbut" -> 475, "Ġall" -> 477,
+    "the" -> 1169)
 
   /** Published-tokenizer outputs: text → GPT-2 token ids (as released;
     * single-token words verified against the public vocabulary, byte
@@ -59,6 +66,34 @@ class PretrainedBpeSpec extends SparkSpec {
     "the.\n" -> Seq(1169, 13, 198),
     "The the and the" -> Seq(464, 262, 290, 262))
 
+  /** r14 verdict #6: ONE ~100-token sample so the greedy loop is
+    * verified at realistic merge depth (3-4 merges per word, competing
+    * merges present at several steps — e.g. ` that` must pick at(9)
+    * over Ġth(29) mid-word, ` for` must pick or(17) over Ġf(21)), not
+    * only the 1-3-merge shorts above. Constrained writing: every word
+    * is CHAIN-COMPLETE in the vendored merge subset (all merges of its
+    * real GPT-2 derivation are present, in true relative order), so the
+    * subset reproduces the released tokenizer's exact segmentation —
+    * a word with missing chain merges would split differently than the
+    * full released file and the ids would not be golden. */
+  private val GoldenLongText: String =
+    "The the of it all is that it is as it was, and all that is in it " +
+    "is all that was in it, but it is not all that it was to be, for " +
+    "all that was is not all that is, and as it was by the the of it, " +
+    "this is his, and it's not for the the of it, but for all that it " +
+    "is, and I was with it at the the of it all, was I not, and are " +
+    "all that are not as all that was."
+
+  private val GoldenLongIds: Seq[Int] = Seq(
+    464, 262, 286, 340, 477, 318, 326, 340, 318, 355, 340, 373, 11, 290,
+    477, 326, 318, 287, 340, 318, 477, 326, 373, 287, 340, 11, 475, 340,
+    318, 407, 477, 326, 340, 373, 284, 307, 11, 329, 477, 326, 373, 318,
+    407, 477, 326, 318, 11, 290, 355, 340, 373, 416, 262, 262, 286, 340,
+    11, 428, 318, 465, 11, 290, 340, 338, 407, 329, 262, 262, 286, 340,
+    11, 475, 329, 477, 326, 340, 318, 11, 290, 314, 373, 351, 340, 379,
+    262, 262, 286, 340, 477, 11, 373, 314, 407, 11, 290, 389, 477, 326,
+    389, 407, 355, 477, 326, 373, 13)
+
   test("GOLDEN: the pipeline reproduces released GPT-2 token ids on the vendored fixture") {
     // end-to-end: real merges subset in (the exact file format a user
     // drops in) → pretokenize → remap → greedy merges → vocab ids out.
@@ -68,9 +103,9 @@ class PretrainedBpeSpec extends SparkSpec {
     assert(in != null, "golden merges resource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val merges = try PretrainedBpe.loadMerges(src.getLines()) finally src.close()
-    assert(merges.size === 22)
+    assert(merges.size === 55)
     val ranks = merges.zipWithIndex.toMap
-    for ((text, wantIds) <- GoldenPairs) {
+    for ((text, wantIds) <- GoldenPairs :+ (GoldenLongText -> GoldenLongIds)) {
       val toks = Gpt2.pretokenize(text)
         .flatMap(pt => Gpt2.encodePretoken(pt, ranks))
       val ids = toks.map { t =>
@@ -87,11 +122,12 @@ class PretrainedBpeSpec extends SparkSpec {
     val in = getClass.getResourceAsStream("/graft/bpe/gpt2_golden.merges.txt")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     val merges = try PretrainedBpe.loadMerges(src.getLines()) finally src.close()
-    val df = GoldenPairs.map(_._1).toDF("txt")
+    val all = GoldenPairs :+ (GoldenLongText -> GoldenLongIds)
+    val df = all.map(_._1).toDF("txt")
       .select(col("txt"), Gpt2BpeTokens(col("txt"), merges).as("toks"))
     val got = df.collect().map(r =>
       r.getString(0) -> r.getSeq[String](1).map(GoldenVocab)).toMap
-    for ((text, wantIds) <- GoldenPairs)
+    for ((text, wantIds) <- all)
       assert(got(text) === wantIds, s"expression path diverged on '$text'")
   }
 

@@ -203,18 +203,40 @@ object AnalyticsQueries extends QueryModule {
       .filter(col("grp") =!= "ALL")
       .select(col("grp"), col("est_distinct").as("kmv_parts_est"),
         col("exact_distinct").as("exact_parts"))
+    // countDistinct is kept OUT of the sketch aggregation: a DISTINCT
+    // aggregate beside TypedImperative ones forces the multi-phase
+    // distinct rewrite, and the O(values)-sized percentile state then
+    // serializes/merges through every extra phase (measured 22x on the
+    // sf0.1 sweep). Split aggs, 3-row equi-joins.
+    val exactOrders = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     val hll = li.groupBy(col("l_returnflag").as("grp"))
       .agg(
+        count(lit(1)).as("n"),
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_orderkey")).as("ao"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"),
-        expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p49"),
-        expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p51"),
-        expr("percentile_disc(0.94) WITHIN GROUP (ORDER BY l_extendedprice)").as("p94"),
-        expr("percentile_disc(0.96) WITHIN GROUP (ORDER BY l_extendedprice)").as("p96"))
-    hll.join(kmv, Seq("grp"))
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95a"))
+    // exact disc bounds WITHOUT percentile_disc's per-instance
+    // value->count map (4 instances each buffering every distinct price
+    // cost ~6 s at sf0.1): one (grp, value) frequency agg + a window
+    // cumsum + one conditional-min pass computes all four order
+    // statistics — disc(p) = min{v : cum_count(v) >= p*n}. Spark-side
+    // only (the oracle asserts the booleans as TRUE), so the fast plan
+    // needs no SQL replay.
+    val freq = li.groupBy(col("l_returnflag").as("grp"),
+        col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = freq.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
+    val bounds = cum.join(hll.select(col("grp"), col("n")), Seq("grp"))
+      .groupBy("grp")
+      .agg(
+        min(when(col("cum") >= col("n") * 0.49, col("v"))).as("p49"),
+        min(when(col("cum") >= col("n") * 0.51, col("v"))).as("p51"),
+        min(when(col("cum") >= col("n") * 0.94, col("v"))).as("p94"),
+        min(when(col("cum") >= col("n") * 0.96, col("v"))).as("p96"))
+    hll.join(bounds, Seq("grp")).join(exactOrders, Seq("grp")).join(kmv, Seq("grp"))
       .select(col("grp").as("l_returnflag"),
         col("exact_parts"), col("kmv_parts_est"), col("exact_orders"),
         (abs(col("ap").cast("double") / col("exact_parts") - 1) <= HllGroupBand)

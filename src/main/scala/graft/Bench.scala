@@ -29,10 +29,42 @@ import org.apache.spark.sql.SparkSession
   * 27 extra queries joined the shared round-robin, not code. Before
   * chasing any cross-round delta: rerun the affected queries isolated
   * with reps>=5 and compare THAT to the prior round's full-sweep number.
+  *
+  * Window telemetry (round-16, after the r14/r15 driver sweeps recorded
+  * 1.3x medians on untouched code ~50 min after the last commit): every
+  * sweep now stamps /proc/loadavg and free disk at start AND end into
+  * both the stdout line ("env") and the full map file, so a polluted
+  * window convicts itself — a load_start of 8 on a 32-cpu box explains a
+  * 1.3x median without any archaeology.
+  *
+  * Output files (round-16, after bench_times.json was clobbered twice at
+  * round end): the full per-query map is ALWAYS written to a fresh
+  * stamped file (/tmp/graft_bench/bench_<utc>_<sf>.json, never
+  * overwritten); bench_times.json in cwd — the committed, canonical
+  * round map — is written ONLY when SPARK_GRAFT_BENCH_CANONICAL=1, so
+  * subset runs and driver sweeps can no longer silently replace the
+  * round's chosen isolated full-sweep record.
   */
 object Bench {
+  /** One-line window-health marker: 1/5/15-min loadavg + free disk (GB) on
+    * the cwd filesystem. Read at sweep start and end; a driver sweep that
+    * runs on a loaded box (stray JVMs, a concurrent campaign) now records
+    * the evidence in its own output instead of presenting as a code
+    * regression (r14 230.8 s / r15 240.8 s, both adjudicated environment). */
+  private def envMarker(): String = {
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val freeGb =
+      try new java.io.File(".").getUsableSpace / (1024L * 1024 * 1024)
+      catch { case _: Throwable => -1L }
+    s""""load":"$load","disk_free_gb":$freeGb"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val envStart = envMarker()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -115,7 +147,9 @@ object Bench {
     val errs = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + jstr(v) }.mkString("{", ",", "}")
     val total = healthy.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${failed.size},"sf":"$sfDir","reps":$reps}"""
+    val envEnd = envMarker()
+    val envJson = s""""env_start":{$envStart},"env_end":{$envEnd}"""
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${failed.size},$envJson,"sf":"$sfDir","reps":$reps}"""
     // complete copy on disk (incl. every raw sample) — log tails truncate,
     // files don't; lets any reader diff every query across rounds
     val allSamples = selected.map { case (name, _) =>
@@ -128,12 +162,37 @@ object Bench {
       n -> math.max(0.0, samples(n).head - med) }
     val coldAll = coldByQ.collect { case (n, c) if c > 0.0 =>
       "\"" + n + "\":" + ms(c) }.mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_times.json"),
-      s"""{"line":$fullLine,"cold":$coldAll,"samples":$allSamples}""" + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}")
+    // Every sweep gets its own stamped file — no invocation can clobber a
+    // prior sweep's record (r15 What's-wrong #3: the committed isolated
+    // map was overwritten twice by later runs sharing one mutable path).
+    // The committed canonical map (bench_times.json in cwd) is opt-in.
+    val fileBody = s"""{"line":$fullLine,"cold":$coldAll,"samples":$allSamples}""" + "\n"
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val sfTag = new java.io.File(sfDir).getName
+    val stampedPath = s"/tmp/graft_bench/bench_${stamp}_$sfTag.json"
+    val canonical = sys.env.get("SPARK_GRAFT_BENCH_CANONICAL").contains("1")
+    val written = scala.collection.mutable.Buffer.empty[String]
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/tmp/graft_bench"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stampedPath), fileBody)
+      written += stampedPath
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $stampedPath write failed: ${e.getMessage}")
     }
+    if (canonical) {
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_times.json"), fileBody)
+        written += "bench_times.json"
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}")
+      }
+    }
+    val queriesFile = written.headOption.getOrElse("(write failed)")
     // The driver persists only the LAST ~2000 chars of stdout into
     // BENCH_rN.json — a 140-query map (~3.5 KB) can never survive that
     // window, and rounds 1-8 lost the first ~56 queries alphabetically to
@@ -164,7 +223,7 @@ object Bench {
       .filter(_._2 >= 0.5).toSeq.sortBy(-_._2)
       .map { case (f, c) => "\"" + f + "\":" + ms(c) }.mkString("{", ",", "}")
     val coldJson = s""""cold_total":${ms(coldTotal)},"cold_families":$coldFams"""
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${selected.size},"n_errors":${failed.size},"errors":$errs,$coldJson,"families":$famTotals,"top":$top,"queries_file":"bench_times.json","sf":"$sfDir","reps":$reps}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${selected.size},"n_errors":${failed.size},"errors":$errs,$coldJson,"families":$famTotals,"top":$top,$envJson,"queries_file":"$queriesFile","sf":"$sfDir","reps":$reps}"""
     System.err.println(fullLine)
     println(compact)
     spark.stop()

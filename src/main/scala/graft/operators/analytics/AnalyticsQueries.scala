@@ -212,7 +212,10 @@ object AnalyticsQueries extends QueryModule {
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     val hll = li.groupBy(col("l_returnflag").as("grp"))
       .agg(
-        count(lit(1)).as("n"),
+        // rank base counts NON-NULL prices, matching percentile_approx's
+        // null handling — count(1) would shift the disc-bound ranks on a
+        // corpus with null prices (r15 advice #3)
+        count(col("l_extendedprice")).as("n"),
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_orderkey")).as("ao"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
@@ -224,8 +227,8 @@ object AnalyticsQueries extends QueryModule {
     // statistics — disc(p) = min{v : cum_count(v) >= p*n}. Spark-side
     // only (the oracle asserts the booleans as TRUE), so the fast plan
     // needs no SQL replay.
-    val freq = li.groupBy(col("l_returnflag").as("grp"),
-        col("l_extendedprice").as("v"))
+    val freq = li.filter(col("l_extendedprice").isNotNull)
+      .groupBy(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = freq.withColumn("cum",
       sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))

@@ -294,11 +294,14 @@ object GraphServe extends QueryModule {
     val d = dst.select(col("vec_id").as("j"), col("embedding").as("vj"))
     // element width from the frame's schema: several paths cast the
     // embedding to DOUBLE, which would halve the estimate and let the
-    // one-broadcast tier run 2x past its budget (r14 advice #2)
+    // one-broadcast tier run 2x past its budget (r14 advice #2). Every
+    // element type pays its declared defaultSize — a silent 4-byte
+    // fallback would under-budget any future wider type (long/decimal
+    // arrays) the same way doubles were (r15 advice #4).
     val elemBytes = dst.schema("embedding").dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, _) => 8L
-      case _ => 4L
+      case org.apache.spark.sql.types.ArrayType(et, _) => et.defaultSize.toLong
+      case other => throw new IllegalArgumentException(
+        s"l1OutEdges: embedding must be an array column, got $other")
     }
     val bytes = nDst * (elemBytes * dim + 48L)
     val pairs =

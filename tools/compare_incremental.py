@@ -41,18 +41,26 @@ def main(sf_dir, out_dir, state_path, timeout=900):
     for name in sorted(oracle):
         mt = _out_mtime(out_dir, name)
         if mt is None:
+            if name in force:
+                # a forced retry must never vanish silently
+                print(f"skipped  {name}: forced but no spark output yet",
+                      flush=True)
             continue  # spark output not produced yet — next sweep
         if name in state and name not in force:
             st = state[name]["status"]
-            # retry timeouts (unless deferred for this sweep), and fails
-            # whose Spark output was re-produced after the recorded
-            # attempt; keep everything else
-            stale_fail = (st == "fail"
-                          and mt > state[name].get("out_mtime", float("inf")))
+            # retry timeouts (unless deferred for this sweep), and ANY
+            # recorded outcome — ok or fail — whose Spark output was
+            # re-produced after the recorded attempt (a stale 'ok' kept
+            # forever would hide a regression introduced after the pass);
+            # keep everything else
+            stale = mt > state[name].get("out_mtime", float("inf"))
             defer_to = os.environ.get("GRAFT_COMPARE_NO_TIMEOUT_RETRY")
-            if st == "ok" or (st == "fail" and not stale_fail) \
+            if (st in ("ok", "fail") and not stale) \
                     or (st == "timeout" and defer_to):
                 continue
+            if st == "ok" and stale:
+                print(f"stale ok {name}: spark output re-produced after "
+                      f"recorded pass — re-comparing", flush=True)
         env = dict(os.environ, GRAFT_ORACLE_ONLY=name)
         try:
             p = subprocess.run(

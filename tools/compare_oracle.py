@@ -13,6 +13,35 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# MLlib-fit-family queries: their outputs embed a fitted model's values,
+# which are NOT ulp-reproducible across JVMs — comparing one Verify leg's
+# parquet against another leg's oracle literals produced the r14 campaign's
+# two false-red kmeans rows. Verify stamps a per-JVM leg id into
+# <out>/<query>/_LEG and <out>/oracle_leg.json; these queries REFUSE a
+# cross-leg pairing instead of reporting a phantom value mismatch.
+FIT_FAMILY = {"q_kmeans_sizes", "q_kmeans_inertia", "q_kmeans_restarts",
+              "q_ksweep", "q_pca"}
+
+def leg_of(path):
+    try:
+        with open(path) as f:
+            s = f.read().strip()
+        return json.loads(s)["leg"] if s.lstrip().startswith("{") else s
+    except Exception:
+        return None
+
+def cross_leg(out_dir, name):
+    """Returns (out_leg, oracle_leg) when a fit-family pairing crosses
+    Verify legs; None when same-leg or when either stamp is absent
+    (pre-r16 outputs carry no stamps — back-compat, caveat emptor)."""
+    if name not in FIT_FAMILY:
+        return None
+    out_leg = leg_of(f"{out_dir}/{name}/_LEG")
+    oracle_leg = leg_of(f"{out_dir}/oracle_leg.json")
+    if out_leg and oracle_leg and out_leg != oracle_leg:
+        return (out_leg, oracle_leg)
+    return None
+
 class ArrayColumn(Exception):
     pass
 
@@ -93,6 +122,14 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        xl = cross_leg(out_dir, name)
+        if xl:
+            print(f"FAIL {name}: CROSS-LEG pairing refused (output leg "
+                  f"{xl[0]}, oracle leg {xl[1]}) — fit-family outputs must "
+                  f"pair with oracle_sql.json from the SAME Verify JVM "
+                  f"(same-run pairing rule; re-leg this query + "
+                  f"oracle_sql.json in one Verify run)")
+            n_bad += 1; continue
         try:
             got = canon(pq.read_table(files[0]).to_pandas())
         except ArrayColumn as ex:

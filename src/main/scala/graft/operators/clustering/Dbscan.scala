@@ -3,25 +3,58 @@ package graft.operators.clustering
 import graft.{QueryModule, Tables}
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed DBSCAN (SURVEY §2) — the reference sweeps sklearn DBSCAN
   * over (eps, min_samples) (silhouettes.ipynb:264-310).
   *
   * Stages:
+  *  0. exact-duplicate contraction ([[contractDups]]): identical vectors
+  *     collapse to one representative carrying a multiplicity — the
+  *     ε-pair scan then runs on DISTINCT vectors only. Duplicates share
+  *     neighborhoods exactly (d(x,p)=d(y,p) when x=y), so weighted
+  *     neighbor counts give identical core/border decisions and the
+  *     per-point labels expand back losslessly; the pair set shrinks
+  *     QUADRATICALLY in duplicate depth. On a duplicate-heavy corpus
+  *     (real web-scale text is; the sf10 ScaleCorpus plants 100 copies
+  *     per base vector) this is the difference between 10⁴ and 10⁸ pair
+  *     rows per neighborhood;
   *  1. ε-neighbor pairs — EXACT metric blocking ([[epsPairs]]): band on a
   *     pivot distance + salted equi-join, never a nested-loop join over
   *     the full table;
-  *  2. core points = neighbor count (incl. self) ≥ minPts;
-  *  3. clusters = connected components of the core-core graph
+  *  2. core groups = weighted neighbor count (own copies + Σ multiplicity
+  *     of ε-neighbor groups) ≥ minPts — every member of a group is core
+  *     iff the group is;
+  *  3. clusters = connected components of the core-core group graph
   *     ([[ConnectedComponents]]: partition-local union-find contraction +
-  *     alternating star rounds);
-  *  4. border points adopt the smallest cluster among their core neighbors;
-  *     everything else is noise (cluster -1).
+  *     alternating star rounds). Copies of a core vector are mutually
+  *     connected at distance 0, which the contraction models for free
+  *     (one node);
+  *  4. border groups adopt the smallest cluster among their core neighbor
+  *     groups; everything else is noise (cluster -1).
   *
-  * Deterministic: cluster id = min core vec_id in the component.
+  * Deterministic: cluster id = min core vec_id in the component — the
+  * representative is the group's min id, so min-over-reps equals
+  * min-over-points and labels are bit-identical to the uncontracted run
+  * (DbscanSpec proves both against a brute-force reference on planted
+  * duplicates; the DuckDB oracle replays point-level semantics).
   */
 object Dbscan {
+
+  /** Stage 0: tag every row with its duplicate-group representative
+    * (min id among rows with an identical vector) and the group's
+    * multiplicity. ONE wide shuffle (window over the vector value); rows
+    * with a NULL vector each form their own singleton group so their
+    * no-neighbor noise semantics survive contraction. */
+  private[clustering] def contractDups(points: DataFrame, idCol: String,
+                                       vecCol: String): DataFrame = {
+    val byVec = Window.partitionBy(
+      col(vecCol), when(col(vecCol).isNull, col(idCol)))
+    points.select(col(idCol), col(vecCol))
+      .withColumn("rep", min(col(idCol)).over(byVec))
+      .withColumn("m", count(lit(1)).over(byVec))
+  }
 
   /** Exact ε-candidate pairs via metric-space blocking (LAESA/iDistance
     * family — public pivot-pruning technique). For any pivot p the triangle
@@ -86,44 +119,64 @@ object Dbscan {
 
   def run(points: DataFrame, idCol: String, vecCol: String,
           eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
-    val pairs = epsPairs(points, idCol, vecCol, eps).select(col("i"), col("j"))
-    label(points, pairs, idCol, minPts, maxIter)
+    val marked = contractDups(points, idCol, vecCol).cache()
+    val groups = marked.filter(col(idCol) === col("rep"))
+      .select(col("rep"), col(vecCol), col("m"))
+    val pairs = epsPairs(groups, "rep", vecCol, eps).select(col("i"), col("j"))
+    val grpLabels = labelGroups(groups, pairs, minPts, maxIter)
+    // lossless expansion: every member inherits its group's label — core
+    // status and cluster are group properties (identical vectors have
+    // identical neighborhoods)
+    marked.select(col(idCol), col("rep"))
+      .join(grpLabels, Seq("rep"))
+      .select(col(idCol), col("cluster"), col("is_core"))
   }
 
-  /** Stages 2-4 given the ε-neighbor pairs (shared by [[run]] and
-    * [[sweep]]). */
-  private def label(points: DataFrame, pairs0: DataFrame, idCol: String,
-                    minPts: Int, maxIter: Int): DataFrame = {
+  /** Stages 2-4 on the CONTRACTED graph: `groups` = (rep, m) one row per
+    * distinct vector, `pairs0` = symmetric ε-pairs between group
+    * representatives. Returns (rep, cluster, is_core) per group. */
+  private def labelGroups(groups: DataFrame, pairs0: DataFrame,
+                          minPts: Int, maxIter: Int): DataFrame = {
     val pairs = pairs0.cache()
-    val counts = pairs.groupBy(col("i")).agg((count(lit(1)) + 1).as("n_nb"))
+    val mByRep = groups.select(col("rep"), col("m"))
+    // weighted neighbor count incl. self-copies: a member of group g has
+    // (m_g − 1) zero-distance duplicate neighbors plus every member of
+    // each ε-neighbor group — n_nb + 1 = m_g + Σ_{(g,h)∈pairs} m_h
+    val ext = pairs
+      .join(mByRep.select(col("rep").as("j"), col("m").as("m_j")), Seq("j"))
+      .groupBy(col("i")).agg(sum(col("m_j")).as("ext"))
     // minPts <= 1: every point is core (incl. zero-neighbor points absent
     // from the pairs frame) — matches sklearn min_samples=1 semantics
     val core =
-      if (minPts <= 1) points.select(col(idCol).as("i")).cache()
-      else counts.filter(col("n_nb") >= minPts).select(col("i")).cache()
-    // core-core edges (symmetric)
+      if (minPts <= 1) mByRep.select(col("rep").as("i")).cache()
+      else mByRep.select(col("rep").as("i"), col("m"))
+        .join(ext, Seq("i"), "left")
+        .filter(col("m") + coalesce(col("ext"), lit(0L)) >= minPts)
+        .select(col("i")).cache()
+    // core-core edges (symmetric); intra-group edges are implicit (one node)
     val coreEdges = pairs
       .join(core.select(col("i")), Seq("i"))
       .join(core.select(col("i").as("j")), Seq("j"))
-    // connected components of the core graph — DataFrame-native contraction
-    // + star rounds (see ConnectedComponents); component id = min core
-    // vec_id (deterministic)
+    // connected components of the core group graph — DataFrame-native
+    // contraction + star rounds (see ConnectedComponents); component id =
+    // min core rep = min core vec_id (reps are group-min ids), so labels
+    // equal the uncontracted run's (deterministic)
     val isolatedCores = core // cores with no core neighbor form singleton clusters
     val ccDf = ConnectedComponents.run(coreEdges, "i", "j", maxRounds = maxIter)
       .select(col("id").as("i"), col("component").as("cl"))
     val labels = isolatedCores.join(ccDf, Seq("i"), "left")
       .select(col("i"), coalesce(col("cl"), col("i")).as("cl"))
       .cache()
-    // border assignment: smallest core-neighbor's cluster
-    // labels has exactly one row per core point, so this single join both
+    // border assignment: smallest core-neighbor group's cluster
+    // labels has exactly one row per core group, so this single join both
     // restricts j to core neighbors and fetches their cluster
     val borderLabels = pairs
       .join(labels.select(col("i").as("j"), col("cl")), Seq("j"))
       .groupBy(col("i")).agg(min(col("cl")).as("border_cl"))
-    val out = points.select(col(idCol).as("i"))
+    val out = groups.select(col("rep").as("i"))
       .join(labels.withColumnRenamed("cl", "core_cl"), Seq("i"), "left")
       .join(borderLabels, Seq("i"), "left")
-      .select(col("i").as(idCol),
+      .select(col("i").as("rep"),
         coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"),
         col("core_cl").isNotNull.as("is_core"))
     // NOTE: pairs/core/labels stay cached — the returned plan is lazy, so
@@ -169,43 +222,80 @@ object Dbscan {
     val spark = points.sparkSession
     import spark.implicits._
     val epsSorted = epsList.sorted
-    val distPairs = epsPairs(points, idCol, vecCol, epsSorted.last).cache()
-    // ct(i): the ε at which i becomes core (null = never within the sweep).
-    // minPts ≤ 1 is sklearn min_samples=1: every point core immediately.
+    // stage 0 as in [[run]]: the sweep's shared max-ε pair scan — the
+    // stage whose multi-ε shuffle blew a 75 GB disk envelope at sf10
+    // before contraction — runs on distinct vectors only; all per-ε
+    // statistics are multiplicity-weighted sums, and no expansion back to
+    // points is needed because the output is O(#arms) aggregate rows
+    val marked = contractDups(points, idCol, vecCol).cache()
+    val groups = marked.filter(col(idCol) === col("rep"))
+      .select(col("rep"), col(vecCol), col("m")).cache()
+    val mByRep = groups.select(col("rep"), col("m"))
+    val distPairs = epsPairs(groups, "rep", vecCol, epsSorted.last).cache()
+    // ct(g): the ε at which g's members become core (null = never within
+    // the sweep) — the weighted (minPts − m_g)-th smallest neighbor-GROUP
+    // distance; 0 when the group's own copies already reach minPts.
+    // minPts ≤ 1 is sklearn min_samples=1: every point core immediately
+    // (subsumed by m ≥ 1 ≥ minPts).
     val ct =
-      if (minPts <= 1) points.select(col(idCol).as("i"), lit(0.0).as("ct"))
-      else graft.plans.TopKPerGroup(distPairs, Seq("i"), Seq("dist", "j"), minPts - 1)
-        .filter(col("rk") === minPts - 1)
-        .select(col("i"), col("dist").as("ct"))
-        .cache() // feeds bt, nodeStats and both tEdges sides
+      if (minPts <= 1) mByRep.select(col("rep").as("i"), lit(0.0).as("ct"))
+      else {
+        val withMj = distPairs
+          .join(mByRep.select(col("rep").as("j"), col("m").as("m_j")), Seq("j"))
+        // every pair row carries weight ≥ 1, so the weighted k-th element
+        // lies within the first (minPts − 1) rows by dist: the bounded
+        // TopKPerGroup heap still applies, followed by a cumsum over at
+        // most (minPts − 1) rows per group
+        val top = graft.plans.TopKPerGroup(
+          withMj, Seq("i"), Seq("dist", "j"), minPts - 1)
+        val cum = top.withColumn("cumw", sum(col("m_j"))
+          .over(Window.partitionBy(col("i")).orderBy(col("dist"), col("j"))))
+        val ctExt = cum
+          .join(mByRep.select(col("rep").as("i"), col("m").as("m_i")), Seq("i"))
+          .filter(col("cumw") >= lit(minPts.toLong) - col("m_i"))
+          .groupBy(col("i")).agg(min(col("dist")).as("ct_ext"))
+        mByRep.select(col("rep").as("i"), col("m"))
+          .join(ctExt, Seq("i"), "left")
+          .select(col("i"),
+            when(col("m") >= minPts, lit(0.0)).otherwise(col("ct_ext")).as("ct"))
+          .filter(col("ct").isNotNull)
+          .cache() // feeds bt, nodeStats and both tEdges sides
+      }
     // Attach ct to the i side of the SYMMETRIC pair frame once; both
     // threshold structures reduce from it without further joins:
     //  - the unordered pair (a,b) appears as (a,b,ct_a) and (b,a,ct_b), so
-    //    max over the pair group of m = max(dist, ct_i) IS the edge
+    //    max over the pair group of act = max(dist, ct_i) IS the edge
     //    activation t(a,b) = max(dist, ct_a, ct_b) — requiring both
     //    directions present (sides = 2) enforces both-endpoints-core;
-    //  - min over j's partner group of the same m IS bt(j), the ε at
-    //    which j first has a core neighbor (border activation).
+    //  - min over j's partner group of the same act IS bt(j), the ε at
+    //    which j first has a core neighbor (border activation). A group's
+    //    OWN copies never matter here: they become core exactly at ct_g,
+    //    and a point only counts as border while ct_g > ε.
     val withCt = distPairs
       .join(ct.select(col("i"), col("ct").as("ct_i")), Seq("i"))
-      .select(col("i"), col("j"), greatest(col("dist"), col("ct_i")).as("m"))
+      .select(col("i"), col("j"), greatest(col("dist"), col("ct_i")).as("act"))
       .cache()
     val tEdges = withCt
       .groupBy(least(col("i"), col("j")).as("i"),
         greatest(col("i"), col("j")).as("j"))
-      .agg(max(col("m")).as("t"), count(lit(1)).as("sides"))
+      .agg(max(col("act")).as("t"), count(lit(1)).as("sides"))
       .filter(col("sides") === 2).drop("sides")
       .cache()
     tEdges.count()
-    val bt = withCt.groupBy(col("j").as("i")).agg(min(col("m")).as("bt"))
-    val nodeStats = points.select(col(idCol).as("i"))
+    val bt = withCt.groupBy(col("j").as("i")).agg(min(col("act")).as("bt"))
+    val nodeStats = mByRep.select(col("rep").as("i"), col("m"))
       .join(ct, Seq("i"), "left").join(bt, Seq("i"), "left").cache()
-    // ONE pass over the per-node frame for every arm's core/border/noise
+    // ONE pass over the per-group frame for every arm's core/border/noise
+    // (m-weighted point counts) plus the per-arm core GROUP count the
+    // singleton-cluster arithmetic needs (a core group with no active
+    // edge is ONE cluster regardless of its multiplicity — its copies are
+    // mutually connected at distance 0)
     val statCols = epsSorted.zipWithIndex.flatMap { case (e, ix) => Seq(
-      sum(when(col("ct") <= e, 1L).otherwise(0L)).as(s"core$ix"),
-      sum(when((col("ct").isNull || col("ct") > e) && col("bt") <= e, 1L)
+      sum(when(col("ct") <= e, col("m")).otherwise(0L)).as(s"core$ix"),
+      sum(when(col("ct") <= e, 1L).otherwise(0L)).as(s"coreg$ix"),
+      sum(when((col("ct").isNull || col("ct") > e) && col("bt") <= e, col("m"))
         .otherwise(0L)).as(s"border$ix")) }
-    val totals = nodeStats.agg(count(lit(1)).as("n_total"), statCols: _*).head()
+    val totals = nodeStats.agg(sum(col("m")).as("n_total"), statCols: _*).head()
     val nTotal = totals.getLong(0)
     // ascending quotient-CC chain for n_clusters
     var comp: DataFrame = null // (id, component) over edge-incident cores
@@ -237,11 +327,15 @@ object Dbscan {
       val cc = comp.agg(count(lit(1)), countDistinct(col("component"))).head()
       val (ccNodes, ccComps) = (cc.getLong(0), cc.getLong(1))
       val nCore = totals.getLong(totals.fieldIndex(s"core$ix"))
+      // singleton clusters count GROUPS: isolated core groups not in the
+      // CC node set each form one cluster (their copies are one component)
+      val nCoreG = totals.getLong(totals.fieldIndex(s"coreg$ix"))
       val nBorder = totals.getLong(totals.fieldIndex(s"border$ix"))
-      (eps, ccComps + (nCore - ccNodes), nCore, nBorder, nTotal - nCore - nBorder)
+      (eps, ccComps + (nCoreG - ccNodes), nCore, nBorder, nTotal - nCore - nBorder)
     }
     distPairs.unpersist(false); ct.unpersist(false); withCt.unpersist(false)
     nodeStats.unpersist(false); tEdges.unpersist(false)
+    marked.unpersist(false); groups.unpersist(false)
     rows.toDF("eps", "n_clusters", "n_core", "n_border", "n_noise")
       .orderBy("eps")
   }

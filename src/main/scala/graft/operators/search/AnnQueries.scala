@@ -50,15 +50,17 @@ object AnnQueries extends QueryModule {
   def qLof(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
-    val b = e.select(col("label"), col("vec_id").as("j"), col("embedding").as("eb"))
-    val w = Window.partitionBy(col("i")).orderBy(col("d"), col("j"))
-    val knn = a.join(b, Seq("label")).filter(col("i") =!= col("j"))
-      .select(col("i"), col("j"), euclidean_dist(col("ea"), col("eb")).as("d"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("i"), col("j"), col("d"))
-    // k-distance of every point = distance to its k-th neighbor
+    // LOF is a GROUP property under exact-duplicate contraction: members
+    // of a (label, vector) duplicate group share the same distance
+    // multiset, hence the same k-distance, reachability sums, lrd, and
+    // lof — so every derivation below runs on group REPRESENTATIVES only
+    // ([[KnnContracted]], repsOnly) and the final scores expand back by
+    // one join. The pair scan shrinks quadratically in duplicate depth;
+    // values are identical to the point-level formulation (the DuckDB
+    // oracle still replays point-level).
+    val knn = KnnContracted.knn(e, k, euclidean_dist(_, _), repsOnly = true)
+      .select(col("v").as("i"), col("nbg").as("j"), col("d"))
+    // k-distance of every group = distance to its k-th nearest point
     val kdist = knn.groupBy(col("i").as("p")).agg(max(col("d")).as("kdist"))
     // reach(i,o) = max(kdist(o), d(i,o)); lrd(i) = 1 / (mean reach over
     // kNN(i) + 1e-10) — sklearn's exact stabilizer (_local_reachability_
@@ -69,13 +71,15 @@ object AnnQueries extends QueryModule {
       .select(col("i"), greatest(col("kdist"), col("d")).as("reach"))
       .groupBy(col("i"))
       .agg((lit(1.0) / (avg(col("reach")) + lit(1e-10))).as("lrd"))
-    // lof(i) = mean lrd(neighbors) / lrd(i)
+    // lof(i) = mean lrd(neighbors) / lrd(i); neighbor lrd is its group's
     val nbLrd = lrd.select(col("i").as("nb"), col("lrd").as("lrd_nb"))
-    knn.join(nbLrd, knn("j") === nbLrd("nb"))
+    val lofByGroup = knn.join(nbLrd, knn("j") === nbLrd("nb"))
       .groupBy(col("i"))
       .agg(avg(col("lrd_nb")).as("mean_lrd_nb"))
       .join(lrd, Seq("i"))
-      .select(col("i").as("vec_id"), round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
+      .select(col("i").as("rep"), round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
+    KnnContracted.expand(e, lofByGroup)
+      .select(col("vec_id"), col("lof"))
       .orderBy("vec_id")
   }
 

@@ -58,37 +58,32 @@ object SearchQueries extends QueryModule {
       .limit(10)
   }
 
-  /** 3 nearest neighbors per vector within its label block (euclidean),
-    * via the custom TopKPerGroup operator (bounded heaps, no per-group
-    * sort of the full pair set). Ties broken on rounded distance then
-    * neighbor id so both engines pick the same rows. */
+  /** 3 nearest neighbors per vector within its label block (euclidean):
+    * exact-duplicate contraction ([[KnnContracted]]) runs the pair scan on
+    * distinct vectors only, then reconstructs each point's exact top-3
+    * from bounded per-group expansions — identical rows to the
+    * uncontracted window formulation (the oracle replays point-level), at
+    * a pair cost quadratically smaller in duplicate depth. Ties broken on
+    * rounded distance then neighbor id so both engines pick the same
+    * rows. */
   def qKnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("v"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("nb"), col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
-      .withColumn("l2_dist", round(euclidean_dist(col("emb_a"), col("emb_b")), 6))
-      .select(col("v"), col("nb"), col("l2_dist"))
-    graft.plans.TopKPerGroup(pairs, Seq("v"), Seq("l2_dist", "nb"), 3)
-      .select(col("v").as("vec_id"), col("rk"), col("nb").as("neighbor"), col("l2_dist"))
+    KnnContracted.knn(e, 3, (a, b) => round(euclidean_dist(a, b), 6))
+      .select(col("v").as("vec_id"), col("rk"), col("nb").as("neighbor"),
+        col("d").as("l2_dist"))
       .orderBy("vec_id", "rk")
   }
 
   /** kth-NN-distance outliers — the reference's NearestNeighbors outlier
     * study (analisis-informe.ipynb): a point whose 3rd-nearest neighbor is
-    * far away sits in a sparse region. Reuses the blocked kNN pair join +
-    * TopKPerGroup; the global top-20 compiles to TakeOrderedAndProject
-    * (per-partition heaps, no full sort). */
+    * far away sits in a sparse region. Reuses the contracted kNN kernel;
+    * the global top-20 compiles to TakeOrderedAndProject (per-partition
+    * heaps, no full sort). */
   def qKnnOutlier(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("v"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("nb"), col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
-      .withColumn("l2_dist", round(euclidean_dist(col("emb_a"), col("emb_b")), 6))
-      .select(col("v"), col("nb"), col("l2_dist"))
-    graft.plans.TopKPerGroup(pairs, Seq("v"), Seq("l2_dist", "nb"), 3)
+    KnnContracted.knn(e, 3, (a, b) => round(euclidean_dist(a, b), 6))
       .filter(col("rk") === 3)
-      .select(col("v").as("vec_id"), col("l2_dist").as("knn_dist"))
+      .select(col("v").as("vec_id"), col("d").as("knn_dist"))
       .orderBy(col("knn_dist").desc, col("vec_id"))
       .limit(20)
   }

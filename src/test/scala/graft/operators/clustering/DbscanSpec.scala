@@ -60,6 +60,97 @@ class DbscanSpec extends SparkSpec {
     assert(got == want, s"blocked pairs diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
+  /** Brute-force point-level DBSCAN (sklearn semantics, min-core-id
+    * cluster labels) — the independent reference the contraction path is
+    * proved against. */
+  private def bruteDbscan(pts: Seq[(Long, Array[Double])], eps: Double,
+                          minPts: Int): Map[Long, (Long, Boolean)] = {
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val nbrs = pts.map { case (i, v) =>
+      i -> pts.filter { case (j, w) => j != i && d(v, w) <= eps }.map(_._1)
+    }.toMap
+    val core = pts.collect {
+      case (i, _) if nbrs(i).size + 1 >= minPts => i }.toSet
+    var label = Map.empty[Long, Long]
+    for (c <- core.toSeq.sorted if !label.contains(c)) {
+      var comp = Set(c); var frontier = Set(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(x => nbrs(x).filter(core)).diff(comp)
+        comp ++= frontier
+      }
+      val lbl = comp.min
+      comp.foreach(x => label += x -> lbl)
+    }
+    pts.map { case (i, _) =>
+      if (core(i)) i -> (label(i), true)
+      else {
+        val coreNb = nbrs(i).filter(core)
+        i -> (if (coreNb.nonEmpty) (coreNb.map(label).min, false)
+              else (-1L, false))
+      }
+    }.toMap
+  }
+
+  /** Exercises every contraction case: a group core purely from its own
+    * copies (m ≥ minPts), a group core only WITH its copies' weight, a
+    * singleton border adopting a duplicated core's cluster, a duplicated
+    * pair below minPts with no neighbors (noise), a singleton noise
+    * point, and two duplicated groups that are core only via each other. */
+  private lazy val dupPts: Seq[(Long, Array[Double])] =
+    (0L to 4L).map(i => (i, Array(0.0, 0.0))) ++
+      Seq(10L, 11L).map(i => (i, Array(0.3, 0.0))) ++
+      Seq((20L, Array(0.7, 0.0))) ++
+      Seq(30L, 31L).map(i => (i, Array(10.0, 10.0))) ++
+      Seq((40L, Array(20.0, 20.0))) ++
+      Seq(50L, 51L).map(i => (i, Array(5.0, 5.0))) ++
+      Seq(60L, 61L).map(i => (i, Array(5.3, 5.0)))
+
+  test("duplicate contraction preserves exact labels vs a brute-force reference") {
+    val df = dupPts.toDF("id", "vec")
+    val want = bruteDbscan(dupPts, eps = 0.5, minPts = 4)
+    val got = Dbscan.run(df, "id", "vec", eps = 0.5, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == want,
+      s"contracted labels diverge: ${got.toSeq.sortBy(_._1).diff(want.toSeq.sortBy(_._1))}")
+    // sanity on the planted structure itself: the 5-copy group is core on
+    // its own copies, the singleton at 0.7 is a border, the 2-copy group
+    // at (10,10) is noise despite its duplicate
+    assert(want(0L) == (0L, true) && want(20L)._2 == false &&
+      want(20L)._1 == 0L && want(30L) == (-1L, false))
+  }
+
+  test("duplicate contraction: sweep rows equal brute-force per-eps aggregates") {
+    val df = dupPts.toDF("id", "vec")
+    val epsArms = Seq(0.2, 0.5, 1.0)
+    val got = Dbscan.sweep(df, "id", "vec", epsArms, minPts = 4)
+      .orderBy("eps").collect()
+    epsArms.sorted.zip(got).foreach { case (eps, row) =>
+      val ref = bruteDbscan(dupPts, eps, minPts = 4)
+      val nClusters = ref.values.collect { case (cl, _) if cl >= 0 => cl }.toSet.size
+      val nCore = ref.values.count(_._2)
+      val nBorder = ref.values.count { case (cl, c) => !c && cl >= 0 }
+      val nNoise = ref.values.count(_._1 == -1L)
+      assert((row.getAs[Long]("n_clusters"), row.getAs[Long]("n_core"),
+        row.getAs[Long]("n_border"), row.getAs[Long]("n_noise")) ==
+        (nClusters.toLong, nCore.toLong, nBorder.toLong, nNoise.toLong),
+        s"sweep arm eps=$eps diverges from brute force: $row vs " +
+          s"($nClusters, $nCore, $nBorder, $nNoise)")
+    }
+  }
+
+  test("contractDups: rep is the group-min id, multiplicities sum to n") {
+    val df = dupPts.toDF("id", "vec")
+    val m = Dbscan.contractDups(df, "id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(m.length == dupPts.size)
+    assert(m.filter(_._1 < 5L).forall(t => t._2 == 0L && t._3 == 5L))
+    assert(m.find(_._1 == 40L).get._2 == 40L)
+    val groups = m.map(t => (t._2, t._3)).distinct
+    assert(groups.map(_._2).sum == dupPts.size,
+      "group multiplicities must partition the points")
+  }
+
   test("eps sweep: each row partitions n, looser eps never shrinks clusters' reach") {
     // blob spacing is 0.01: eps below it isolates everything
     val r = Dbscan.sweep(blobs, "id", "vec", epsList = Seq(0.005, 0.5, 100.0),

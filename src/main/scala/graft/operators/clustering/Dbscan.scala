@@ -42,6 +42,24 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** Contraction pays when the pair scan shrinks ~(ratio)²; below this
+    * duplicate ratio the window + weighted joins are pure overhead and
+    * the point-level plan is right. Plan-only gate — both paths are
+    * exact (DbscanSpec proves the contracted one against brute force;
+    * the DuckDB oracle replays point-level either way). */
+  val MinContractRatio = 1.25
+
+  /** One cheap probe job: rows / approx-distinct vectors. HLL error
+    * (±2%) is irrelevant at the 1.25 boundary — corpora sit at 1.0
+    * (unique) or ≫2 (duplicate-heavy web data). */
+  private[clustering] def shouldContract(points: DataFrame,
+                                         vecCol: String): Boolean = {
+    val r = points.agg(count(lit(1)),
+      approx_count_distinct(col(vecCol))).head()
+    r.getLong(0).toDouble >=
+      MinContractRatio * math.max(1L, r.getLong(1)).toDouble
+  }
+
   /** Stage 0: tag every row with its duplicate-group representative
     * (min id among rows with an identical vector) and the group's
     * multiplicity. ONE wide shuffle (window over the vector value); rows
@@ -119,11 +137,20 @@ object Dbscan {
 
   def run(points: DataFrame, idCol: String, vecCol: String,
           eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
+    if (!shouldContract(points, vecCol)) {
+      // duplicate-poor corpus: every point is its own group — no window,
+      // no weighted joins, no expansion; the original point-level plan
+      val groups = points.select(col(idCol).as("rep"), col(vecCol),
+        lit(1L).as("m"))
+      val pairs = epsPairs(groups, "rep", vecCol, eps).select(col("i"), col("j"))
+      return labelGroups(groups, pairs, minPts, maxIter, weighted = false)
+        .select(col("rep").as(idCol), col("cluster"), col("is_core"))
+    }
     val marked = contractDups(points, idCol, vecCol).cache()
     val groups = marked.filter(col(idCol) === col("rep"))
       .select(col("rep"), col(vecCol), col("m"))
     val pairs = epsPairs(groups, "rep", vecCol, eps).select(col("i"), col("j"))
-    val grpLabels = labelGroups(groups, pairs, minPts, maxIter)
+    val grpLabels = labelGroups(groups, pairs, minPts, maxIter, weighted = true)
     // lossless expansion: every member inherits its group's label — core
     // status and cluster are group properties (identical vectors have
     // identical neighborhoods)
@@ -136,15 +163,20 @@ object Dbscan {
     * distinct vector, `pairs0` = symmetric ε-pairs between group
     * representatives. Returns (rep, cluster, is_core) per group. */
   private def labelGroups(groups: DataFrame, pairs0: DataFrame,
-                          minPts: Int, maxIter: Int): DataFrame = {
+                          minPts: Int, maxIter: Int,
+                          weighted: Boolean): DataFrame = {
     val pairs = pairs0.cache()
     val mByRep = groups.select(col("rep"), col("m"))
     // weighted neighbor count incl. self-copies: a member of group g has
     // (m_g − 1) zero-distance duplicate neighbors plus every member of
-    // each ε-neighbor group — n_nb + 1 = m_g + Σ_{(g,h)∈pairs} m_h
-    val ext = pairs
-      .join(mByRep.select(col("rep").as("j"), col("m").as("m_j")), Seq("j"))
-      .groupBy(col("i")).agg(sum(col("m_j")).as("ext"))
+    // each ε-neighbor group — n_nb + 1 = m_g + Σ_{(g,h)∈pairs} m_h.
+    // In the unweighted (m ≡ 1) branch Σ m_h is a plain pair count — no
+    // multiplicity join needed.
+    val ext =
+      if (weighted) pairs
+        .join(mByRep.select(col("rep").as("j"), col("m").as("m_j")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("m_j")).as("ext"))
+      else pairs.groupBy(col("i")).agg(count(lit(1)).as("ext"))
     // minPts <= 1: every point is core (incl. zero-neighbor points absent
     // from the pairs frame) — matches sklearn min_samples=1 semantics
     val core =
@@ -226,8 +258,14 @@ object Dbscan {
     // stage whose multi-ε shuffle blew a 75 GB disk envelope at sf10
     // before contraction — runs on distinct vectors only; all per-ε
     // statistics are multiplicity-weighted sums, and no expansion back to
-    // points is needed because the output is O(#arms) aggregate rows
-    val marked = contractDups(points, idCol, vecCol).cache()
+    // points is needed because the output is O(#arms) aggregate rows.
+    // Same plan-only gate as [[run]]: a duplicate-poor corpus skips the
+    // window and the weighted ct machinery entirely.
+    val weighted = shouldContract(points, vecCol)
+    val marked =
+      if (weighted) contractDups(points, idCol, vecCol).cache()
+      else points.select(col(idCol), col(vecCol), col(idCol).as("rep"),
+        lit(1L).as("m"))
     val groups = marked.filter(col(idCol) === col("rep"))
       .select(col("rep"), col(vecCol), col("m")).cache()
     val mByRep = groups.select(col("rep"), col("m"))
@@ -239,6 +277,14 @@ object Dbscan {
     // (subsumed by m ≥ 1 ≥ minPts).
     val ct =
       if (minPts <= 1) mByRep.select(col("rep").as("i"), lit(0.0).as("ct"))
+      else if (!weighted)
+        // m ≡ 1: the weighted k-th order statistic IS the (minPts−1)-th
+        // smallest pair distance — the bounded heap alone suffices
+        graft.plans.TopKPerGroup(distPairs, Seq("i"), Seq("dist", "j"),
+            minPts - 1)
+          .filter(col("rk") === minPts - 1)
+          .select(col("i"), col("dist").as("ct"))
+          .cache()
       else {
         val withMj = distPairs
           .join(mByRep.select(col("rep").as("j"), col("m").as("m_j")), Seq("j"))

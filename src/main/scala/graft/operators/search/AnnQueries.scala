@@ -58,7 +58,9 @@ object AnnQueries extends QueryModule {
     // one join. The pair scan shrinks quadratically in duplicate depth;
     // values are identical to the point-level formulation (the DuckDB
     // oracle still replays point-level).
-    val knn = KnnContracted.knn(e, k, euclidean_dist(_, _), repsOnly = true)
+    val contracted = KnnContracted.shouldContract(e)
+    val knn = KnnContracted.knn(e, k, euclidean_dist(_, _), repsOnly = true,
+        contract = Some(contracted))
       .select(col("v").as("i"), col("nbg").as("j"), col("d"))
     // k-distance of every group = distance to its k-th nearest point
     val kdist = knn.groupBy(col("i").as("p")).agg(max(col("d")).as("kdist"))
@@ -78,9 +80,12 @@ object AnnQueries extends QueryModule {
       .agg(avg(col("lrd_nb")).as("mean_lrd_nb"))
       .join(lrd, Seq("i"))
       .select(col("i").as("rep"), round(col("mean_lrd_nb") / col("lrd"), 4).as("lof"))
-    KnnContracted.expand(e, lofByGroup)
-      .select(col("vec_id"), col("lof"))
-      .orderBy("vec_id")
+    // duplicate-poor gate: every point is its own group — skip the
+    // expansion join entirely (rep IS vec_id)
+    val perPoint =
+      if (contracted) KnnContracted.expand(e, lofByGroup)
+      else lofByGroup.withColumnRenamed("rep", "vec_id")
+    perPoint.select(col("vec_id"), col("lof")).orderBy("vec_id")
   }
 
   /** Recall@10 of the IVF probe against exact brute-force ground truth —

@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object KnnContracted {
 
+  /** Contraction pays for itself when the pair scan shrinks at least
+    * ~(ratio)²; below this duplicate ratio the expansion machinery (one
+    * wide window + two bounded heaps + the candidate union) is pure
+    * overhead and the point-level plan is the right one. The gate is
+    * PLAN-ONLY — both paths produce identical rows (KnnContractedSpec). */
+  val MinContractRatio = 1.25
+
+  /** One cheap probe job: rows / approx-distinct (label, vector) groups.
+    * HLL error (±2%) is irrelevant at the 1.25 decision boundary; the
+    * corpora that matter sit at 1.0 (unique) or ≫2 (duplicate-heavy). */
+  private[search] def dupRatio(e: DataFrame): Double = {
+    val r = e.agg(count(lit(1)),
+      approx_count_distinct(struct(col("label"), col("embedding")))).head()
+    r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
+  }
+
+  /** The gate, probed once — callers that also need the decision (e.g.
+    * LOF's expansion step) pass it back into [[knn]] to avoid a second
+    * probe job. */
+  def shouldContract(e: DataFrame): Boolean = dupRatio(e) >= MinContractRatio
+
   /** Tag every row with its (label, vector) duplicate-group representative
     * and multiplicity. One wide shuffle; NULL vectors form singleton
     * groups so their no-neighbor semantics survive. */
@@ -57,7 +78,21 @@ object KnnContracted {
     *                 skipping the member-level fan-out entirely
     */
   def knn(e: DataFrame, k: Int, dist: (Column, Column) => Column,
-          repsOnly: Boolean = false): DataFrame = {
+          repsOnly: Boolean = false,
+          contract: Option[Boolean] = None): DataFrame = {
+    if (!contract.getOrElse(shouldContract(e))) {
+      // duplicate-poor corpus: the original point-level plan, verbatim —
+      // every point is its own group (nbg = nb), so group-property
+      // consumers (LOF's kdist/lrd) see exactly the point-level values
+      val a = e.select(col("label"), col("vec_id").as("v"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("nb"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label")).filter(col("v") =!= col("nb"))
+        .select(col("v"), dist(col("ea"), col("eb")).as("d"), col("nb"))
+      return graft.plans.TopKPerGroup(pairs, Seq("v"), Seq("d", "nb"), k)
+        .select(col("v"), col("nb"), col("d"), col("nb").as("nbg"), col("rk"))
+    }
     val marked = mark(e).cache()
     val groups = marked.filter(col("vec_id") === col("rep"))
     // k+1 smallest member ids per group (bounded heap): rk=1 is the rep

@@ -139,6 +139,13 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("contraction gate: on for the planted-duplicate frame, off for unique blobs") {
+    assert(Dbscan.shouldContract(dupPts.toDF("id", "vec"), "vec"),
+      "15 points over 7 distinct vectors must gate contraction ON")
+    assert(!Dbscan.shouldContract(blobs, "vec"),
+      "all-unique blobs must keep the point-level plan")
+  }
+
   test("contractDups: rep is the group-min id, multiplicities sum to n") {
     val df = dupPts.toDF("id", "vec")
     val m = Dbscan.contractDups(df, "id", "vec")

@@ -55,6 +55,21 @@ class KnnContractedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
 
+  test("gate: planted duplicates contract, unique frames keep the point-level plan") {
+    assert(KnnContracted.shouldContract(dupFrame),
+      "16 points over 9 (label, vector) groups must gate ON")
+    val unique = (0L to 20L).map(i => (0, i, Array(i.toDouble, 0.0)))
+      .toDF("label", "vec_id", "embedding")
+    assert(!KnnContracted.shouldContract(unique))
+    // the forced-off path on the duplicate frame still produces the same
+    // rows (the gate is plan-only)
+    val on = asSet(KnnContracted.knn(dupFrame, K, euclidean_dist(_, _),
+      contract = Some(true)))
+    val off = asSet(KnnContracted.knn(dupFrame, K, euclidean_dist(_, _),
+      contract = Some(false)))
+    assert(on == off, s"gate changed results: ${(on -- off).take(5)} / ${(off -- on).take(5)}")
+  }
+
   test("contracted knn equals the point-level window formulation (rounded dist)") {
     val got = asSet(KnnContracted.knn(dupFrame, K,
       (a, b) => round(euclidean_dist(a, b), 6)))

@@ -274,17 +274,58 @@ object GraphServe extends QueryModule {
     * NN-descent tier. Tier choice is plan-only. */
   /** Non-empty iff the member frame needs MORE than [[L1MaxSlices]]
     * budget-sized slices — i.e. the exact all-pairs layer build is past
-    * its design envelope and the honest tier is NN-descent over the
-    * members ([[KnnGraph]]). Factored out so the guard's message is
-    * spec-assertable (r14 verdict #5: the cap must not be silent). */
+    * its design envelope. Self-builds (src eq dst) now take the
+    * [[l1DescentTier]] automatically; this warning remains for the
+    * INCREMENTAL caller (append scores a new batch against all members,
+    * a shape NN-descent does not cover), which falls back to capped
+    * slices. Factored out so the guard's message is spec-assertable
+    * (r14 verdict #5: the cap must not be silent). */
   private[graft] def sliceCapWarning(bytes: Long, budget: Long): Option[String] = {
     val need = math.max(2L, (bytes + budget - 1) / budget)
     if (need <= L1MaxSlices) None
     else Some(s"l1OutEdges: member frame (~$bytes bytes) needs $need " +
       s"broadcast slices but the tier caps at $L1MaxSlices — slices will " +
       s"exceed the ${budget >> 20} MB budget. Past this envelope the " +
-      "honest layer build is NN-descent over the members (KnnGraph), " +
-      "not exact all-pairs.")
+      "honest layer build is NN-descent over the members (KnnGraph) — " +
+      "taken automatically for self-builds; this incremental src≠dst " +
+      "call keeps exact capped slices.")
+  }
+
+  /** Tier 3 of the layer build — NN-descent over the members, for
+    * self-builds past the [[L1MaxSlices]] envelope (member frames beyond
+    * ~4 GB ≈ 10⁷ members ≈ a 10¹⁴-vector corpus). APPROXIMATE by
+    * contract: the layer feeds beam-search entry, where a recall-graded
+    * neighbor list degrades entry quality marginally instead of breaking
+    * anything (GraphLayerSpec grades it ≥0.9 against the exact tier at a
+    * forced-envelope test scale); the exact tiers stay row-identical to
+    * each other as before.
+    *
+    * The descent's ring seeds need DENSE 0..n−1 ids while layer members
+    * carry sparse corpus ids (every modulus-th vector, or arbitrary
+    * appended ids) — re-index via a distributed sort + zipWithIndex (no
+    * single-partition window), run the descent in dense space, and map
+    * both endpoints back. Deterministic end to end (deterministic sort
+    * key, ring seeds, hash-capped pools, (−sim, j) tie order). */
+  private[graft] def l1DescentTier(members: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    val m = members.select(col("vec_id"), col("embedding"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      m.schema("embedding").copy(name = "embedding"),
+      org.apache.spark.sql.types.StructField("orig_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val indexed = spark.createDataFrame(
+      m.rdd.sortBy(_.getLong(0)).zipWithIndex().map { case (r, ix) =>
+        org.apache.spark.sql.Row(ix, r.get(1), r.getLong(0)) },
+      schema).localCheckpoint(true)
+    val g = KnnGraph.buildRounds(
+      indexed.select(col("vec_id"), col("embedding")),
+      L1Degree, KnnGraph.Rounds).last
+    val back = indexed.select(col("vec_id").as("d_id"), col("orig_id"))
+    g.join(back.select(col("d_id").as("i"), col("orig_id").as("oi")), Seq("i"))
+      .join(back.select(col("d_id").as("j"), col("orig_id").as("oj")), Seq("j"))
+      .select(col("oi").as("i"), col("oj").as("j"), col("sim"))
   }
 
   private[graft] def l1OutEdges(src: DataFrame, dst: DataFrame,
@@ -304,6 +345,13 @@ object GraphServe extends QueryModule {
         s"l1OutEdges: embedding must be an array column, got $other")
     }
     val bytes = nDst * (elemBytes * dim + 48L)
+    // past the slice envelope, a SELF-build hands off to the NN-descent
+    // tier (approximate, recall-graded — see l1DescentTier); the
+    // incremental src≠dst shape keeps exact capped slices + the loud
+    // warning below
+    if (bytes > budget && (src eq dst) &&
+        math.max(2L, (bytes + budget - 1) / budget) > L1MaxSlices)
+      return l1DescentTier(src)
     val pairs =
       if (bytes <= budget) s.crossJoin(broadcast(d))
       else {

@@ -295,6 +295,36 @@ class GraphLayerSpec extends SparkSpec {
       "double frame over budget must take the sliced tier")
   }
 
+  test("descent tier past the slice envelope: recall >= 0.9 vs the exact layer, sparse ids mapped back") {
+    // r15 missing #2, closed: a SELF-build whose member frame needs more
+    // than L1MaxSlices budget-slices now hands off to NN-descent over
+    // the members instead of warning + over-budget slices. The tier is
+    // APPROXIMATE by contract — graded against the exact layer, not
+    // asserted row-identical like the two exact tiers.
+    // sparse member ids (every 7th vector) exercise the dense re-index
+    val m1 = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val n1 = m1.count()
+    val dim = KnnGraph.dimOf(m1)
+    val exact = GraphServe.l1OutEdges(m1, m1, n1, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // budget of 64 bytes → need ≫ 64 slices → descent tier (self-build)
+    val approx = GraphServe.l1OutEdges(m1, m1, n1, dim, budget = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && approx.nonEmpty)
+    // endpoints must be original sparse corpus ids, not dense indices
+    val ids = m1.collect().map(_.getLong(0)).toSet
+    assert(approx.forall { case (i, j) => ids(i) && ids(j) },
+      "descent tier leaked dense re-index ids")
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, f"descent-tier layer recall $recall%.3f < 0.9 " +
+      s"(|exact|=${exact.size}, |approx|=${approx.size})")
+    // determinism: a fresh build returns the same edge set
+    val replay = GraphServe.l1OutEdges(m1, m1, n1, dim, budget = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == approx, "descent tier is not deterministic")
+  }
+
   test("edges parity through the TRUE mid-swap crash window (l1edges bucket parked, edges pre-append)") {
     // The r13 advice scenario, reconstructed exactly: in append()'s swap
     // order, a crash inside the l1edges bucket swap leaves meta/nodes/

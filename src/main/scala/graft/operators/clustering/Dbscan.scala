@@ -51,9 +51,14 @@ object Dbscan {
 
   /** One cheap probe job: rows / approx-distinct vectors. HLL error
     * (±2%) is irrelevant at the 1.25 boundary — corpora sit at 1.0
-    * (unique) or ≫2 (duplicate-heavy web data). */
+    * (unique) or ≫2 (duplicate-heavy web data). Guarded by a FREE
+    * plan-stats size check (KnnContracted.MinProbeBytes): under it the
+    * pair scan is cheap either way and even the probe job is
+    * measurable overhead at bench granularity. */
   private[clustering] def shouldContract(points: DataFrame,
                                          vecCol: String): Boolean = {
+    if (points.queryExecution.optimizedPlan.stats.sizeInBytes <
+        graft.operators.search.KnnContracted.MinProbeBytes) return false
     val r = points.agg(count(lit(1)),
       approx_count_distinct(col(vecCol))).head()
     r.getLong(0).toDouble >=
@@ -136,8 +141,9 @@ object Dbscan {
   }
 
   def run(points: DataFrame, idCol: String, vecCol: String,
-          eps: Double, minPts: Int, maxIter: Int = 20): DataFrame = {
-    if (!shouldContract(points, vecCol)) {
+          eps: Double, minPts: Int, maxIter: Int = 20,
+          contract: Option[Boolean] = None): DataFrame = {
+    if (!contract.getOrElse(shouldContract(points, vecCol))) {
       // duplicate-poor corpus: every point is its own group — no window,
       // no weighted joins, no expansion; the original point-level plan
       val groups = points.select(col(idCol).as("rep"), col(vecCol),
@@ -249,7 +255,8 @@ object Dbscan {
     * All driver-side results are O(#arms) numbers; nothing data-sized
     * leaves the executors. */
   def sweep(points: DataFrame, idCol: String, vecCol: String,
-            epsList: Seq[Double], minPts: Int, maxIter: Int = 20): DataFrame = {
+            epsList: Seq[Double], minPts: Int, maxIter: Int = 20,
+            contract: Option[Boolean] = None): DataFrame = {
     require(epsList.nonEmpty, "epsList must not be empty")
     val spark = points.sparkSession
     import spark.implicits._
@@ -261,7 +268,7 @@ object Dbscan {
     // points is needed because the output is O(#arms) aggregate rows.
     // Same plan-only gate as [[run]]: a duplicate-poor corpus skips the
     // window and the weighted ct machinery entirely.
-    val weighted = shouldContract(points, vecCol)
+    val weighted = contract.getOrElse(shouldContract(points, vecCol))
     val marked =
       if (weighted) contractDups(points, idCol, vecCol).cache()
       else points.select(col(idCol), col(vecCol), col(idCol).as("rep"),

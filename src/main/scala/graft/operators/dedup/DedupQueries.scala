@@ -125,14 +125,55 @@ object DedupQueries extends QueryModule {
     * the synthetic corpus has no pairs above 0.5. */
   def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
-      .filter(col("v1") < col("v2"))
+    // r16: exact-duplicate contraction behind the shared ratio-probe gate
+    // (graft.operators.search.KnnContracted). The OUTPUT is inherently
+    // pair-sized either way, but the cosine SCORING drops from
+    // Σ block² point pairs to distinct-vector group pairs (10⁴× at 100
+    // copies/vector); qualifying group pairs then expand to member pairs
+    // by two bounded joins. Exact: identical vectors give identical
+    // cosines (the expansion reuses the group-level computed value, never
+    // a literal), each unordered member pair appears exactly once
+    // (distinct groups via (least, greatest); within-group via v1 < v2),
+    // and the gate keeps duplicate-poor corpora on the original plan.
+    embedPairs(e, graft.operators.search.KnnContracted.shouldContract(e))
+      .orderBy("v1", "v2")
+  }
+
+  /** The τ-filtered pair kernel behind [[qDedupEmbed]], gate explicit so
+    * the spec can force both plans on one frame. */
+  private[dedup] def embedPairs(e: DataFrame, contract: Boolean): DataFrame = {
+    if (!contract) {
+      val a = e.select(col("label"), col("vec_id").as("v1"), col("embedding").as("emb_a"))
+      val b = e.select(col("label"), col("vec_id").as("v2"), col("embedding").as("emb_b"))
+      return a.join(b, Seq("label"))
+        .filter(col("v1") < col("v2"))
+        .withColumn("cos_sim", round(cosine_sim(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos_sim") > 0.4)
+        .select(col("label"), col("v1"), col("v2"), col("cos_sim"))
+    }
+    val marked = graft.operators.search.KnnContracted.mark(e).cache()
+    val groups = marked.filter(col("vec_id") === col("rep"))
+    val ga = groups.select(col("label"), col("rep").as("g1"), col("embedding").as("emb_a"))
+    val gb = groups.select(col("label"), col("rep").as("g2"), col("embedding").as("emb_b"))
+    // group pairs INCLUDING self-pairs (g, g): a duplicate group's own
+    // member pairs share the group's self-cosine (computed, ≈1.0)
+    val gp = ga.join(gb, Seq("label"))
+      .filter(col("g1") <= col("g2"))
       .withColumn("cos_sim", round(cosine_sim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos_sim") > 0.4)
-      .select(col("label"), col("v1"), col("v2"), col("cos_sim"))
-      .orderBy("v1", "v2")
+      .select(col("label"), col("g1"), col("g2"), col("cos_sim"))
+    val m1 = marked.select(col("rep").as("g1"), col("vec_id").as("va"))
+    val m2 = marked.select(col("rep").as("g2"), col("vec_id").as("vb"))
+    val cross = gp.filter(col("g1") =!= col("g2"))
+      .join(m1, Seq("g1")).join(m2, Seq("g2"))
+      .select(col("label"), least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"), col("cos_sim"))
+    val within = gp.filter(col("g1") === col("g2"))
+      .join(m1, Seq("g1"))
+      .join(m2.withColumnRenamed("g2", "g1"), Seq("g1"))
+      .filter(col("va") < col("vb"))
+      .select(col("label"), col("va").as("v1"), col("vb").as("v2"), col("cos_sim"))
+    cross.unionByName(within)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the embedding-space

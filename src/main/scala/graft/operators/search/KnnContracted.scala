@@ -49,15 +49,27 @@ object KnnContracted {
     r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
   }
 
+  /** Below this plan-estimated input size the quadratic pair scan is
+    * cheap regardless of duplicates, and even the one probe JOB is
+    * measurable overhead (~1.4 s of scheduling on a loaded box against a
+    * 0.7 s query at sf0.1) — skip the probe entirely. Read from the
+    * optimizer's stats: no job, no scan. 4 MB keeps the sf0.1 bench
+    * corpus (0.8 MB parquet) probe-free while the 10×-duplicate sf1
+    * corpus (5.2 MB) still probes and contracts. */
+  val MinProbeBytes: Long = 4L << 20
+
   /** The gate, probed once — callers that also need the decision (e.g.
     * LOF's expansion step) pass it back into [[knn]] to avoid a second
-    * probe job. */
-  def shouldContract(e: DataFrame): Boolean = dupRatio(e) >= MinContractRatio
+    * probe job. Two stages: a free plan-stats size check, then the one
+    * probe job only on corpora large enough for contraction to matter. */
+  def shouldContract(e: DataFrame): Boolean =
+    e.queryExecution.optimizedPlan.stats.sizeInBytes >= MinProbeBytes &&
+      dupRatio(e) >= MinContractRatio
 
   /** Tag every row with its (label, vector) duplicate-group representative
     * and multiplicity. One wide shuffle; NULL vectors form singleton
     * groups so their no-neighbor semantics survive. */
-  private[search] def mark(e: DataFrame): DataFrame = {
+  private[graft] def mark(e: DataFrame): DataFrame = {
     val byVec = Window.partitionBy(col("label"), col("embedding"),
       when(col("embedding").isNull, col("vec_id")))
     e.select(col("label"), col("vec_id"), col("embedding"))

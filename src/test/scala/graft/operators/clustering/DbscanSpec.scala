@@ -109,8 +109,14 @@ class DbscanSpec extends SparkSpec {
   test("duplicate contraction preserves exact labels vs a brute-force reference") {
     val df = dupPts.toDF("id", "vec")
     val want = bruteDbscan(dupPts, eps = 0.5, minPts = 4)
-    val got = Dbscan.run(df, "id", "vec", eps = 0.5, minPts = 4)
+    val got = Dbscan.run(df, "id", "vec", eps = 0.5, minPts = 4,
+        contract = Some(true))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // ...and the un-forced gate (size pre-gate rejects a toy frame) must
+    // produce the same rows through the point-level path
+    val ungated = Dbscan.run(df, "id", "vec", eps = 0.5, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(ungated == want, "point-level path diverges from brute force")
     assert(got == want,
       s"contracted labels diverge: ${got.toSeq.sortBy(_._1).diff(want.toSeq.sortBy(_._1))}")
     // sanity on the planted structure itself: the 5-copy group is core on
@@ -123,7 +129,8 @@ class DbscanSpec extends SparkSpec {
   test("duplicate contraction: sweep rows equal brute-force per-eps aggregates") {
     val df = dupPts.toDF("id", "vec")
     val epsArms = Seq(0.2, 0.5, 1.0)
-    val got = Dbscan.sweep(df, "id", "vec", epsArms, minPts = 4)
+    val got = Dbscan.sweep(df, "id", "vec", epsArms, minPts = 4,
+        contract = Some(true))
       .orderBy("eps").collect()
     epsArms.sorted.zip(got).foreach { case (eps, row) =>
       val ref = bruteDbscan(dupPts, eps, minPts = 4)
@@ -139,9 +146,11 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
-  test("contraction gate: on for the planted-duplicate frame, off for unique blobs") {
-    assert(Dbscan.shouldContract(dupPts.toDF("id", "vec"), "vec"),
-      "15 points over 7 distinct vectors must gate contraction ON")
+  test("contraction gate: size pre-gate rejects toy frames without a probe job") {
+    // both frames are far below MinProbeBytes — the gate must say no
+    // before ever running the duplicate-ratio probe
+    assert(!Dbscan.shouldContract(dupPts.toDF("id", "vec"), "vec"),
+      "a toy frame must not pass the size pre-gate")
     assert(!Dbscan.shouldContract(blobs, "vec"),
       "all-unique blobs must keep the point-level plan")
   }

@@ -14,6 +14,28 @@ class DedupQueriesSpec extends SparkSpec {
     assert(dups.length == 1 && dups(0).getAs[Long]("keeper") == 1L)
   }
 
+  test("embed-dedup contraction is row-identical to the point-level pair scan") {
+    // planted duplicate structure incl. interleaved member ids across
+    // groups (so the (least, greatest) emission is exercised), a
+    // duplicate group whose within-pairs must carry the computed
+    // self-cosine, and a cross-label clone that must NOT pair
+    val rows: Seq[(Int, Long, Array[Double])] =
+      (0L to 3L).map(i => (0, i, Array(1.0, 0.0, 0.0))) ++
+        Seq((0, 10L, Array(0.9, 0.1, 0.0)), (0, 2L + 100L, Array(0.9, 0.1, 0.0))) ++
+        Seq((0, 20L, Array(-1.0, 0.0, 0.0))) ++ // anti-parallel: below τ
+        Seq((1, 30L, Array(1.0, 0.0, 0.0)), (1, 31L, Array(0.8, 0.2, 0.0)))
+    val e = rows.toDF("label", "vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val contracted = asSet(DedupQueries.embedPairs(e, contract = true))
+    val pointLevel = asSet(DedupQueries.embedPairs(e, contract = false))
+    assert(contracted == pointLevel,
+      s"extra=${(contracted -- pointLevel).take(5)} missing=${(pointLevel -- contracted).take(5)}")
+    assert(pointLevel.nonEmpty)
+    // within-group pairs present with the computed self-cosine
+    assert(contracted.exists { case (_, v1, v2, c) => v1 == 0L && v2 == 1L && c >= 0.999999 })
+  }
+
   test("jaccard: identical texts → 1.0, disjoint → 0.0") {
     val sh = DedupQueries.shingles(lit("a b c d e"))
     val self = spark.range(1).select(

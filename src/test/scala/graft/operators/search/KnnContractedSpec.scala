@@ -55,9 +55,11 @@ class KnnContractedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
 
-  test("gate: planted duplicates contract, unique frames keep the point-level plan") {
-    assert(KnnContracted.shouldContract(dupFrame),
-      "16 points over 9 (label, vector) groups must gate ON")
+  test("gate: size pre-gate rejects toy frames; forced paths agree") {
+    // the two-stage gate: toy frames fail the free plan-stats size check
+    // before any probe job runs
+    assert(!KnnContracted.shouldContract(dupFrame),
+      "a toy frame must not pass the size pre-gate")
     val unique = (0L to 20L).map(i => (0, i, Array(i.toDouble, 0.0)))
       .toDF("label", "vec_id", "embedding")
     assert(!KnnContracted.shouldContract(unique))
@@ -72,23 +74,25 @@ class KnnContractedSpec extends SparkSpec {
 
   test("contracted knn equals the point-level window formulation (rounded dist)") {
     val got = asSet(KnnContracted.knn(dupFrame, K,
-      (a, b) => round(euclidean_dist(a, b), 6)))
+      (a, b) => round(euclidean_dist(a, b), 6), contract = Some(true)))
     val want = asSet(pointLevelKnn(dupFrame, K, rounded = true))
     assert(got == want,
       s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
   test("contracted knn equals the point-level window formulation (raw dist)") {
-    val got = asSet(KnnContracted.knn(dupFrame, K, euclidean_dist(_, _)))
+    val got = asSet(KnnContracted.knn(dupFrame, K, euclidean_dist(_, _),
+      contract = Some(true)))
     val want = asSet(pointLevelKnn(dupFrame, K, rounded = false))
     assert(got == want,
       s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
 
   test("repsOnly output is the rep-rows subset, with correct neighbor groups") {
-    val all = KnnContracted.knn(dupFrame, K, euclidean_dist(_, _)).cache()
+    val all = KnnContracted.knn(dupFrame, K, euclidean_dist(_, _),
+      contract = Some(true)).cache()
     val reps = KnnContracted.knn(dupFrame, K, euclidean_dist(_, _),
-      repsOnly = true)
+      repsOnly = true, contract = Some(true))
     val marked = KnnContracted.mark(dupFrame)
       .select(col("vec_id"), col("rep")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -119,7 +123,7 @@ class KnnContractedSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // the contracted qLof pipeline, on the same frame (k=5)
     val knnC = KnnContracted.knn(dupFrame, 5, euclidean_dist(_, _),
-      repsOnly = true)
+      repsOnly = true, contract = Some(true))
       .select(col("v").as("i"), col("nbg").as("j"), col("d"))
     val kdistC = knnC.groupBy(col("i").as("p")).agg(max(col("d")).as("kdist"))
     val lrdC = knnC.join(kdistC, knnC("j") === kdistC("p"))

@@ -217,15 +217,19 @@ object SamplingQueries extends QueryModule {
     * corpus. Docs ranked by weight = the resampling order.
     *
     * Scale shape: feature expansion and bucket hashing are MAP-SIDE
-    * (array transform + char-Horner fold, codegen'd — no UDF); the
-    * distributions are two partial-agg shuffles collapsing to B=64 rows;
-    * scoring joins the B-row ratio table BROADCAST, so the whole pipeline
-    * is one scan + two bounded shuffles regardless of corpus size.
+    * (array transform + char-Horner fold, codegen'd — no UDF); BOTH
+    * distributions AND their totals come from ONE partial-agg shuffle
+    * collapsing to ≤B=64 rows (r16 — previously a totals agg plus two
+    * separate groupBys made three passes); scoring joins the B-row ratio
+    * table BROADCAST, so the whole pipeline is two scans + one bounded
+    * shuffle regardless of corpus size.
     *
     * Oracle determinism: the bucket hash is exact integer arithmetic both
     * engines replay char-for-char; per-feature log-ratios are round(ln,6)
     * → DECIMAL(9,6), summed exactly (order-free), per the QueryModule
-    * discipline. Totals are collected as exact longs (2 scalars).
+    * discipline. Per-bucket counts are exact longs; totals are their sums
+    * (DsirEquivalence spec proves the fused shape row-identical to the
+    * three-pass formulation).
     */
   def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets
@@ -243,14 +247,29 @@ object SamplingQueries extends QueryModule {
       // replays (HornerBucketSpec asserts equality), ~O(len) allocations
       // cheaper per feature
       .withColumn("bkt", graft.functions.HornerBucket(col("f"), DsirHashMod, B)))
-    val totRow = feats
-      .agg(count(lit(1)), count(when(col("lang") === "en", 1))).head()
-    val (tr, tt) = (totRow.getLong(0), totRow.getLong(1))
-    val raw = feats.groupBy("bkt").agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter(col("lang") === "en")
-      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    // r16: ONE partial-agg pass yields both distributions AND the totals —
+    // the previous shape scanned the (cached) feature frame three times
+    // before the scoring join (totals agg, raw groupBy, filtered tgt
+    // groupBy); cr/ct per bucket carry the same exact longs
+    // (count(when(en)) ≡ filter(en).count()), and the totals are their
+    // sums over the ≤B collected rows (driver-bounded by construction).
+    // Guide §1.2: remove unnecessary passes before tuning anything else.
+    val bktCounts = feats.groupBy("bkt").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct")).collect()
+    val (tr, tt) = bktCounts.foldLeft((0L, 0L)) { case ((a, t), r) =>
+      (a + r.getLong(1), t + r.getLong(2)) }
+    val counts = spark.createDataFrame(
+      spark.sparkContext.parallelize(bktCounts.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cr",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ct",
+          org.apache.spark.sql.types.LongType))))
     val lrs = spark.range(B).select(col("id").as("bkt"))
-      .join(raw, Seq("bkt"), "left").join(tgt, Seq("bkt"), "left")
+      .join(counts, Seq("bkt"), "left")
       .select(col("bkt"),
         round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") * lit(tr + B)
           / ((coalesce(col("cr"), lit(0L)) + 1) * lit(tt + B))), 6)

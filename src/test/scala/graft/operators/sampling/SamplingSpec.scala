@@ -161,6 +161,49 @@ class SamplingSpec extends SparkSpec {
     assert(b == 33L, s"bucket hash drifted from the oracle arithmetic: $b")
   }
 
+  test("DSIR weights: fused single-pass counts are row-identical to the " +
+      "three-pass formulation (DsirEquivalence)") {
+    // Independent reimplementation of the pre-r16 pipeline (separate
+    // totals agg + raw groupBy + filtered tgt groupBy, bucket hash via
+    // the oracle's SQL HOF instead of HornerBucket) — the fused query
+    // must reproduce it cell for cell.
+    val B = SamplingQueries.DsirBuckets
+    val ws = filter(split(trim(lower(col("text"))),
+      graft.operators.text.TextQueries.WsRe), w => length(w) > 0)
+    val base = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), col("lang"), ws.as("ws"))
+    val uni = base.select(col("doc_id"), col("lang"), explode(col("ws")).as("f"))
+    val bi = base.filter(size(col("ws")) > 1)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("f"))
+    val feats = uni.unionByName(bi).withColumn("bkt", expr(
+      s"aggregate(sequence(1, length(f)), 0L, (acc, i) -> (acc * 31 + ascii(substring(f, i, 1))) % 1000003) % $B"))
+      .cache()
+    val totRow = feats
+      .agg(count(lit(1)), count(when(col("lang") === "en", 1))).head()
+    val (tr, tt) = (totRow.getLong(0), totRow.getLong(1))
+    val raw = feats.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val lrs = spark.range(B).select(col("id").as("bkt"))
+      .join(raw, Seq("bkt"), "left").join(tgt, Seq("bkt"), "left")
+      .select(col("bkt"),
+        round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") * lit(tr + B)
+          / ((coalesce(col("cr"), lit(0L)) + 1) * lit(tt + B))), 6)
+          .cast("decimal(9,6)").as("lr6"))
+    val expected = feats.join(broadcast(lrs), Seq("bkt"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr6")).cast("double"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(25).collect().toSeq
+    val actual = SamplingQueries.qDsirWeights(spark, SfDir).collect().toSeq
+    feats.unpersist()
+    assert(actual == expected,
+      s"fused DSIR diverged from the three-pass formulation:\n" +
+        s"  fused:     ${actual.take(3)}\n  three-pass: ${expected.take(3)}")
+  }
+
   test("DSIR weights: ranked output favors the target (English) slice") {
     val rows = SamplingQueries.qDsirWeights(spark, SfDir).collect()
     assert(rows.length == 25)
